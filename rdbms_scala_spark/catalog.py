@@ -1,0 +1,82 @@
+"""Catalog: named tables over Parquet (and CSV) files.
+
+Replaces the reference's global mutable catalog + eager in-heap
+storage (``hm``/``hashData``, Microbase.scala:29-30, 950-983) with
+lazy columnar scans registered as temp views. Nothing is materialized
+at registration time — Catalyst prunes columns and pushes predicates
+into the Parquet scan, which is the distributed analog of the
+reference's hash/tree indexes (Microbase.scala:994-1024): row-group
+min/max skipping answers the same range predicates the tree index
+served, without a per-table build step.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver's TPC-H-ish star schema plus the extension tables.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join these (at any scale
+#: factor region/nation are bounded; customer/supplier/part grow but
+#: stay orders of magnitude below the fact tables).
+BROADCAST_DIMS = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy Parquet scan of one table.
+
+    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark
+    reads as a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``,
+    set by the session factory); convert to a microsecond timestamp by
+    integer division so truncation matches DuckDB's ns->us cast.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    names: tuple[str, ...] = TABLES,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Load tables and (optionally) register them as temp views so the
+    SQL surface (``spark.sql``) sees the same names as the DataFrame
+    surface. Missing files are skipped so callers can work against
+    partial directories.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,72 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Replaces the reference's process setup (a bare REPL over a global
+in-memory catalog, Microbase.scala:942-949). Configuration choices
+are made for a large cluster and merely *sized down* for local mode:
+
+- AQE on (runtime join-strategy changes, partition coalescing, skew
+  join splitting) — the knobs that matter most at 100 TB.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  on a real cluster this would be ~2-3x total executor cores (AQE
+  coalesces down, so erring high is safe).
+- Arrow enabled for the Pandas-UDF paths (dedup/similarity/multimodal).
+- Session timezone pinned to UTC so date/timestamp semantics match the
+  DuckDB oracle regardless of host timezone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(app_name: str = "rdbms_scala_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (``local[*]``
+    when unset). On a real cluster the caller passes the cluster
+    master / relies on spark-submit; every other config below is
+    cluster-appropriate as-is.
+    """
+    cpus = _cpus()
+    shuffle_parts = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        str(os.cpu_count() or 32) if cpus == "*" else cpus,
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- optimizer / runtime re-planning -------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        # --- IO ------------------------------------------------------------
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise rejected;
+        # read as long and convert in catalog.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- python interop ------------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- semantics -----------------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # Standard (non-ANSI) SQL mode: the correctness oracle is DuckDB,
+        # whose arithmetic matches Spark's legacy mode for the surface we
+        # expose (e.g. x/0 -> NULL is not exercised; overflow wraps are not
+        # exercised). Keeping ANSI off avoids runtime errors on edge rows.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

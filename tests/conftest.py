@@ -1,0 +1,43 @@
+"""Shared fixtures: one SparkSession per test run, a DuckDB connection
+with the same parquet tables registered as views, and the sf dir under
+test (default sf0.001 for speed; set RDBMS_SPARK_TEST_SF_DIR=/root/
+testdata/sf0.01 to mirror the driver's correctness gate exactly)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rdbms_scala_spark.catalog import TABLES, table_path
+from rdbms_scala_spark.session import get_spark
+
+SF_DIR = os.environ.get("RDBMS_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("rdbms_scala_spark-tests")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """DuckDB connection with each parquet table registered as a view,
+    matching the driver's oracle environment."""
+    con = duckdb.connect()
+    for name in TABLES:
+        path = table_path(SF_DIR, name)
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
