@@ -75,7 +75,7 @@ def load_tables(
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df

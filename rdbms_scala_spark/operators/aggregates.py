@@ -1,0 +1,211 @@
+"""Aggregation operators — SURVEY.md §2.4.
+
+The reference's live surface was COUNT/SUM/AVG only, computed by
+explicit foldLeft per group after a full materialize + groupBy
+(Microbase.scala:343-416); its generic DeclarativeAggregate engine
+(which would have added MIN/MAX) was dead code (303-342, 417-499).
+Here: the full Spark aggregate surface with map-side partial
+aggregation — each query is one shuffle on its grouping key.
+
+ANSI deviations from the reference (§8 quirks 3/4/8) are deliberate:
+AVG of ints is a double, empty SUM/AVG is NULL, COUNT(col) skips
+NULLs — matching the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+
+@register(
+    "agg_ungrouped",
+    oracle="""
+    SELECT count(*)                        AS n_rows,
+           CAST(sum(l_quantity) AS DOUBLE) AS total_qty,
+           round(avg(l_extendedprice), 4)  AS avg_price,
+           round(min(l_extendedprice), 2)  AS min_price,
+           round(max(l_extendedprice), 2)  AS max_price
+    FROM lineitem
+    """,
+    tags=("A1",),
+)
+def agg_ungrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped (global) aggregate — evalAgg (Microbase.scala:343-369)
+    plus the MIN/MAX its dead path aspired to. Partial aggregation
+    means one row per partition reaches the final reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("total_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                       AS n,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(avg(l_discount), 4)      AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A2",),
+)
+def agg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped hash aggregate — evalAggGroup (Microbase.scala:370-416)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT count(DISTINCT l_suppkey)             AS n_suppliers,
+           count(DISTINCT l_partkey)             AS n_parts,
+           count(DISTINCT l_returnflag)          AS n_flags
+    FROM lineitem
+    """,
+    tags=("aggregate", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT ...) — absent from the reference (no Distinct
+    handling at all). Spark expands multi-distinct into an
+    expand+two-phase aggregate; exact, not approximate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 700
+    """,
+    tags=("aggregate", "having"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — never handled by the reference (UnresolvedHaving
+    unimplemented, SURVEY.md §2.4); a post-aggregation filter here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .filter(F.col("_tq") > 700)
+        .select("l_suppkey", F.round("_tq", 2).alias("total_qty"))
+    )
+
+
+@register(
+    "agg_minmax_dates",
+    oracle="""
+    SELECT o_orderstatus,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_order,
+           min(o_orderpriority)                   AS min_priority,
+           max(o_orderpriority)                   AS max_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "minmax"),
+)
+def agg_minmax_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX over temporal and string columns — the ordering-based
+    aggregates the reference's live path lacked entirely."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+        F.min("o_orderpriority").alias("min_priority"),
+        F.max("o_orderpriority").alias("max_priority"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total) — a Spark
+    superset capability; one Expand + single shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_quantity), 4)         AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    # HLL estimates differ across engines; rows-only check. The exact
+    # companion `agg_distinct` is the correctness anchor.
+    oracle=None,
+    tags=("aggregate", "approx", "scale"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path where the
+    exact expand+shuffle of COUNT DISTINCT is too expensive — fixed
+    sketch memory per group, mergeable across partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+    )

@@ -1,0 +1,99 @@
+"""Set operations — SURVEY.md §2.6.
+
+The reference supported only UNION ALL (iterator concatenation,
+Microbase.scala:289-295); bare UNION parsed to Distinct(Union) and
+crashed (§8 quirk 6). Here: the full set-op surface with correct
+dedup semantics matching the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+
+@register(
+    "union_all",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, 'customer' AS side
+    FROM customer WHERE c_nationkey = 3
+    UNION ALL
+    SELECT s_suppkey AS key, s_name AS name, 'supplier' AS side
+    FROM supplier WHERE s_nationkey = 3
+    """,
+    tags=("U1",),
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — no dedup, pure concatenation of partitions (no
+    shuffle at all in Spark: union is a metadata operation)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select(F.col("c_custkey").alias("key"), F.col("c_name").alias("name"), F.lit("customer").alias("side"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 3)
+        .select(F.col("s_suppkey").alias("key"), F.col("s_name").alias("name"), F.lit("supplier").alias("side"))
+    )
+    return cust.union(supp)
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop", "distinct"),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare UNION (dedup) — the case that crashed the reference."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct()
+
+
+@register(
+    "intersect_keys",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000
+    """,
+    tags=("setop", "intersect"),
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — high-balance customers who
+    also placed a big order."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return cust.intersect(orders)
+
+
+@register(
+    "except_keys",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    EXCEPT
+    SELECT o_custkey AS key FROM orders
+    """,
+    tags=("setop", "except"),
+)
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — customers who never ordered."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return cust.subtract(orders)

@@ -1,0 +1,166 @@
+"""Window functions — absent from the reference (SURVEY.md §2.10),
+exposed as the Spark-native superset the driver mandates.
+
+Every window below partitions by a key and orders with a unique
+tiebreaker so results are deterministic across engines (ties would
+otherwise make running sums/lags engine-dependent).
+
+At scale each window is one shuffle on the partition key; rows within
+a partition are sorted once and all frames evaluate in that pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+    FROM (
+        SELECT c_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t WHERE rn <= 3
+    """,
+    tags=("window", "topn"),
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — the per-group top-k
+    pattern that needs no self-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           rank()       OVER (PARTITION BY s_nationkey ORDER BY round(s_acctbal, 2) DESC) AS bal_rank,
+           dense_rank() OVER (PARTITION BY s_nationkey ORDER BY round(s_acctbal, 2) DESC) AS bal_dense_rank
+    FROM supplier
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank within nation by account balance."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.round("s_acctbal", 2).desc())
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS days_since_prev
+    FROM orders
+    """,
+    tags=("window", "lag"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days since the customer's previous order (lag + date diff);
+    NULL for each customer's first order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_spend
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer over order history (explicit ROWS
+    frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg_3
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-order moving average of spend per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, W.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "window_share_of_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 4)
+               AS price_share
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+    tags=("window", "ratio"),
+)
+def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each line's share of its order total — unordered whole-partition
+    frame (no ORDER BY -> frame is the full partition)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    w = W.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w), 4).alias("price_share"),
+    )

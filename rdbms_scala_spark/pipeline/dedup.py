@@ -1,0 +1,301 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension — nothing like this exists in the reference, whose data
+model is 5 scalar types; SURVEY.md §7.3).
+
+Four tiers, by cost/recall tradeoff at 100 TB:
+
+- exact: hash-groupBy on a content fingerprint. One shuffle on the
+  hash; at scale use it as the cheap first pass.
+- n-gram Jaccard: exact pairwise similarity via a shingle inverted
+  index (token-trigram explode -> self-join on shingle). Quadratic in
+  the worst case but bounded by shared-shingle co-occurrence; the
+  correctness anchor for the approximate tiers.
+- MinHash + LSH banding: linear-ish scale path. Signatures are k
+  independent min-hashes (xxhash64 with per-permutation seeds), banded
+  so that only same-band-hash docs are candidate pairs — the join is
+  on (band, band_hash), never all-pairs.
+- SimHash: 64-bit fingerprints whose Hamming distance tracks cosine
+  similarity of token sets; candidates via 16-bit chunk banding
+  (pigeonhole: hamming<=3 => some chunk of 4 equal).
+
+All tokenization is lower(trim(text)) split on whitespace so the
+DuckDB oracles can reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+
+
+def tokens(col: str = "text"):
+    """Whitespace tokens of lower-cased trimmed text (matches DuckDB
+    regexp_split_to_array(lower(trim(..)), '\\s+'))."""
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) with distinct word n-grams per doc."""
+    t = docs.select("doc_id", tokens().alias("t")).filter(F.size("t") >= n)
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(t, i, {n})))"
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def pairwise_jaccard(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for every doc pair sharing >=1 shingle, via the
+    inverted-index self-join (never a full cross product)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           min(doc_id)            AS keeper_doc_id,
+           count(*)               AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+    tags=("dedup", "exact", "scale"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id.
+    At 100 TB: one shuffle on the 128-bit fingerprint — the grouping
+    key is uniform so no skew; this is the standard cheap first pass
+    before any near-dup tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. exact n-gram Jaccard near-dup (correctness anchor)
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sz x ON x.doc_id = doc_a
+    JOIN sz y ON y.doc_id = doc_b
+    WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= 0.7
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup", "neardup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs at threshold 0.7 via the
+    shingle inverted index. The exact tier: use on LSH candidates at
+    scale, directly on modest corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = pairwise_jaccard(shingles_df(docs, n=3))
+    return pairs.filter(F.col("jaccard") >= 0.7).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH banding (the scale path)
+
+_NUM_PERM = 32
+_BANDS = 8
+_ROWS_PER_BAND = _NUM_PERM // _BANDS
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = _NUM_PERM) -> DataFrame:
+    """(doc_id, sig array<long>): per-permutation min of seeded
+    xxhash64 over the doc's shingles. One aggregation; signature size
+    is fixed (num_perm longs) regardless of doc length."""
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    # xxhash64 seeds are Spark-specific; no cross-engine oracle. The
+    # exact companion `dedup_ngram_jaccard` anchors correctness, and
+    # tests assert LSH recovers its >=0.9 pairs.
+    oracle=None,
+    tags=("dedup", "neardup", "lsh", "scale"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates, verified on signatures.
+
+    shingle -> 32-perm minhash signature -> 8 bands of 4 rows; docs
+    colliding on any (band, band_hash) become candidates; estimated
+    Jaccard = fraction of matching signature positions; emit pairs
+    with est >= 0.7. At 100 TB the only joins are on band hashes
+    (collision-bounded), never all-pairs; signature build is one
+    shuffle, banding a second."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingles_df(docs, n=3)).cache()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_BANDS - 1}), "
+                f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}))) AS bh))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("band_hash"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.expr(
+                    "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+                )
+                / F.lit(_NUM_PERM)
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= 0.7).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based bits are Spark-specific; tests check
+    # it recovers the planted near-dup pairs.
+    tags=("dedup", "neardup", "simhash", "scale"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 10 of 64 bits.
+
+    Per doc: 64-bit fingerprint = sign-aggregate of shingle-hash bits
+    (trigram shingles, not bare tokens — the corpus vocabulary is
+    small, so token-set fingerprints would collapse; shingles keep the
+    feature space discriminative). Candidate generation by pigeonhole
+    banding on eight 8-bit chunks (hamming <= 7 *guarantees* a chunk
+    match; <= 10 nearly always has one); exact Hamming check via
+    bit_count(xor). Everything is built-in exprs — no Python in the
+    hot path."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = shingles_df(docs, n=3).withColumnRenamed("shingle", "tok")
+    tok = tok.withColumn("h", F.xxhash64("tok"))
+    # bit votes: +1 if bit set else -1, summed per bit position
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        F.expr(
+            "+".join(
+                [f"shiftleft(CAST(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END AS BIGINT), {b})" for b in range(64)]
+            )
+        ).alias("fp"),
+    ).cache()
+    chunks = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), c -> struct(c AS chunk, shiftright(fp, c * 8) & 255 AS cv))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "fp", F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("fp_a ^ fp_b")))
+        .filter(F.col("hamming") <= 10)
+        .select("doc_a", "doc_b", "hamming")
+    )

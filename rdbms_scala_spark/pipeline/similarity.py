@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (north-star extension).
+
+The `embeddings` table carries ``array<float>`` vectors (64-dim).
+Two tiers:
+
+- brute-force cosine top-k: the exact baseline. All arithmetic is
+  JVM-side (zip_with + aggregate over doubles) — no Python UDF. Cost
+  is |Q| x |N|; at 100 TB this is only for small query sets, with the
+  corpus-side scan parallelized per partition.
+- LSH-bucketed ANN: 16 deterministic random-hyperplane sign bits ->
+  bucket id; only same-bucket pairs are scored. The join is on the
+  bucket key (collision-bounded), never all-pairs — the shape that
+  survives a 1000-executor corpus.
+
+Cosines are computed in double on both engines (the DuckDB oracle
+casts ``embedding::DOUBLE[]``) and rounded to 3 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+_N_QUERIES = 5  # first N vec_ids serve as the query set
+_TOP_K = 10
+
+
+def _as_double(col: str):
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+
+
+def cosine(a: str, b: str):
+    """Cosine similarity between two array<double> columns, built-ins
+    only: elementwise product via zip_with, sums via aggregate."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(F.expr(f"aggregate({a}, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"))
+    nb = F.sqrt(F.expr(f"aggregate({b}, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"))
+    return dot / (na * nb)
+
+
+_BRUTE_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos
+        FROM q, embeddings
+        WHERE vec_id != query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               round(cos, 3) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("similarity_topk_bruteforce", oracle=_BRUTE_ORACLE, tags=("similarity", "ann"))
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus,
+    rank per query. The corpus scan is embarrassingly parallel; the
+    final top-k is a per-query window over k*|Q| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("nv"))
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("qv", "nv").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 3).alias("cosine"), "rank")
+    )
+
+
+_LSH_BANDS = 8
+_LSH_ROWS = 3  # planes per band; band bucket = packed sign bits
+
+
+def _band_buckets_expr(vec_col: str):
+    """Banded random-hyperplane LSH: `_LSH_BANDS` independent buckets,
+    each packing the sign bits of `_LSH_ROWS` plane dots. Plane
+    (band b, row r)'s weight for dim j is a pseudo-random +-[0,1)
+    value derived from xxhash64(b * 1000 + r, j) — deterministic
+    across runs, no RNG state. A pair is a candidate if ANY band
+    bucket matches (OR-of-ANDs, classic LSH amplification)."""
+    plane_dot = (
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        "(x, j) -> x * ((CAST(pmod(xxhash64(b * 1000 + r, j), 2001) AS DOUBLE) - 1000.0) / 1000.0)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    bucket = (
+        f"aggregate(sequence(0, {_LSH_ROWS - 1}), 0L, "
+        f"(acc, r) -> acc + (CASE WHEN ({plane_dot}) > 0 THEN shiftleft(1L, r) ELSE 0L END))"
+    )
+    return F.expr(
+        f"transform(sequence(0, {_LSH_BANDS - 1}), b -> struct(b AS band, ({bucket}) AS bucket))"
+    )
+
+
+@register(
+    "similarity_lsh_ann",
+    # Bucketing depends on Spark's xxhash64; no cross-engine oracle.
+    # tests/test_similarity.py checks recall against the exact top-k.
+    oracle=None,
+    tags=("similarity", "ann", "lsh", "scale"),
+)
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via banded random-hyperplane LSH: score only pairs sharing
+    at least one (band, bucket). At 100 TB: bucket assignment is a
+    map-only pass; the candidate join shuffles on (band, bucket);
+    skewed buckets are split by AQE; amplification (more bands /
+    longer bucket codes) trades recall vs. candidate count without
+    changing the plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    bucketed = emb.select(
+        "vec_id", "v", F.explode(_band_buckets_expr("v")).alias("bb")
+    ).select("vec_id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band", "bucket"
+    )
+    cand = (
+        bucketed.join(queries, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("qv"), F.col("v"))
+        .distinct()
+        .select("query_id", "neighbor_id", cosine("qv", "v").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 3).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "similarity_pairs_above_threshold",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND a.label = b.label
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+    """,
+    tags=("similarity", "join"),
+)
+def similarity_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All same-label vector pairs with cosine >= 0.8 — blocked
+    (label-partitioned) exact similarity join: the equi-key on label
+    keeps it from being all-pairs, the pattern for attribute-blocked
+    entity resolution."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= 0.8)
+        .select("vec_a", "vec_b", F.round("cos", 3).alias("cosine"))
+    )

@@ -1,0 +1,221 @@
+"""Text analysis for training-data pipelines (north-star extension).
+
+Language ID (stopword/CJK heuristic), quality scoring (length/punct/
+stopword ratios), token counting, and document fingerprinting — all
+expressed with JVM-side builtins (split/filter/transform/regexp) so
+the hot path never crosses into Python, and each with an exact DuckDB
+oracle.
+
+Tokenization is the shared convention: lower(trim(text)) split on
+whitespace (see pipeline.dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.pipeline.dedup import tokens
+from rdbms_scala_spark.registry import register
+
+_STOP_EN = ("the", "a", "and", "of", "is", "to", "in", "it")
+
+
+def _in_list(arr_expr: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({arr_expr}, x -> x IN ({lst})))"
+
+
+def _in_list_duck(arr_expr: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({arr_expr}, x -> x IN ({lst})))"
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(t)                                                        AS n_tokens,
+           n_chars,
+           len(list_distinct(t))                                         AS n_unique_tokens,
+           round(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t), 4)
+                                                                         AS avg_token_len
+    FROM toks
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + length token statistics per document. (A BPE-ish
+    subword estimate is ~n_chars/4; emitted by text_quality_score.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "n_chars", tokens().alias("t"))
+    return t.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        "n_chars",
+        F.size(F.array_distinct("t")).alias("n_unique_tokens"),
+        F.round(
+            F.expr("aggregate(t, CAST(0 AS DOUBLE), (acc, x) -> acc + length(x))") / F.size("t"), 4
+        ).alias("avg_token_len"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, text, length(text) AS n,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / n
+                   AS punct_ratio,
+               CAST({_in_list_duck('t', _STOP_EN)} AS DOUBLE) / len(t) AS stopword_ratio,
+               CAST(length(text) AS DOUBLE) / len(t)                   AS chars_per_token,
+               CAST(ceil(length(text) / 4.0) AS BIGINT)                AS est_bpe_tokens
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, est_bpe_tokens,
+           round(punct_ratio, 4)    AS punct_ratio,
+           round(stopword_ratio, 4) AS stopword_ratio,
+           round(0.5 * least(stopword_ratio * 5, 1.0)
+               + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+               + 0.2 * least(chars_per_token / 8.0, 1.0), 4) AS quality_score
+    FROM feat
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("text", "quality"))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword density (fluency proxy),
+    punctuation noise, token shape — the standard cheap pre-filter
+    before expensive model-based scoring. Map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", F.length("text").alias("n"), tokens().alias("t"))
+    feat = t.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double") / F.col("n")
+        ).alias("punct_ratio"),
+        (F.expr(_in_list("t", _STOP_EN)).cast("double") / F.size("t")).alias("stopword_ratio"),
+        (F.col("n").cast("double") / F.size("t")).alias("chars_per_token"),
+        F.ceil(F.col("n") / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+    quality = (
+        0.5 * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 10, F.lit(1.0)))
+        + 0.2 * F.least(F.col("chars_per_token") / 8.0, F.lit(1.0))
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        "est_bpe_tokens",
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+_LANGS = (
+    ("en", ("the", "a", "and", "of", "is")),
+    ("es", ("el", "la", "de", "que", "y")),
+    ("de", ("der", "die", "und", "das", "ist")),
+    ("fr", ("le", "les", "et", "des", "un")),
+)
+_CJK_RANGE = "\\x{4e00}-\\x{9fff}"  # RE2/Java-compatible escape
+
+
+def _langid_oracle() -> str:
+    scores = ",\n               ".join(
+        f"{_in_list_duck('t', words)} AS s_{code}" for code, words in _LANGS
+    )
+    # deterministic argmax: first language (in _LANGS order) reaching the max
+    best = "CASE "
+    for code, _ in _LANGS:
+        others = [f"s_{c}" for c, _ in _LANGS]
+        best += f"WHEN s_{code} = greatest({', '.join(others)}) THEN '{code}' "
+    best += "END"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               {scores},
+               length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk,
+               len(t) AS n_tokens
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN n_cjk * 2 > n_tokens THEN 'zh' ELSE {best} END AS lang_pred,
+           s_en, s_es, s_de, s_fr, n_cjk
+    FROM scored
+    """
+
+
+@register("text_language_id", oracle=_langid_oracle(), tags=("text", "langid"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK-based language ID: per-language signature-word hit
+    counts, CJK-character dominance for zh, deterministic argmax.
+    (The testdata's `lang` column is synthetic label noise — its text
+    is one shared vocabulary — so the heuristic is validated against
+    its own SQL oracle, not that column.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens().alias("t"))
+    scored = t.select(
+        "doc_id",
+        *[F.expr(_in_list("t", words)).alias(f"s_{code}") for code, words in _LANGS],
+        F.length(F.regexp_replace("text", f"[^{_CJK_RANGE}]", "")).alias("n_cjk"),
+        F.size("t").alias("n_tokens"),
+    )
+    others = [f"s_{c}" for c, _ in _LANGS]
+    best = F.when(F.lit(False), "x")
+    for code, _ in _LANGS:
+        best = best.when(F.col(f"s_{code}") == F.greatest(*others), code)
+    return scored.select(
+        "doc_id",
+        F.when(F.col("n_cjk") * 2 > F.col("n_tokens"), "zh").otherwise(best).alias("lang_pred"),
+        "s_en",
+        "s_es",
+        "s_de",
+        "s_fr",
+        "n_cjk",
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id, source,
+           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bag_fingerprint,
+           md5(lower(trim((SELECT text FROM documents d2 WHERE d2.doc_id = toks.doc_id))))
+               AS exact_fingerprint
+    FROM toks
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (md5 of normalized text) and
+    bag-of-words (md5 of sorted distinct tokens — invariant to word
+    order, the cheap shingle-free near-dup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens())))).alias("bag_fingerprint"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fingerprint"),
+    )

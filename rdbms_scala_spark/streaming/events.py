@@ -1,0 +1,181 @@
+"""Event-stream operators over the `events` table (north-star
+extension; the reference has no streaming at all — SURVEY.md §2.10).
+
+Batch forms (sessionization, tumbling/hopping windows) carry DuckDB
+oracles; the Structured Streaming forms in
+:mod:`rdbms_scala_spark.streaming.jobs` run the same logic through
+``readStream`` and are checked against the same oracles (a stream
+processed to completion must agree with the batch answer).
+
+Timestamps are compared as epoch microseconds (``unix_micros`` /
+``epoch_us``) — integer-exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+SESSION_GAP_MIN = 30
+
+
+_SESSIONIZE_ORACLE = f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                       THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*)                 AS n_events,
+           epoch_us(min(ts))        AS session_start_us,
+           epoch_us(max(ts))        AS session_end_us,
+           round(sum(value), 2)     AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize", oracle=_SESSIONIZE_ORACLE, tags=("events", "session", "window"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum of boundaries — the classic batch sessionize. One shuffle on
+    user_id; both window passes share the same sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_TUMBLING_ORACLE = """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           count(*)            AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling", oracle=_TUMBLING_ORACLE, tags=("events", "window"))
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate (batch form of the streaming
+    groupBy(window(...)))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_HOPPING_ORACLE = """
+    WITH offs AS (SELECT unnest([0, 1800000000]) AS off)
+    SELECT ((epoch_us(ts) - off) // 3600000000) * 3600000000 + off AS window_start_us,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events, offs
+    GROUP BY 1
+"""
+
+
+@register("events_hopping", oracle=_HOPPING_ORACLE, tags=("events", "window"))
+def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window: 1-hour length, 30-minute slide — every event
+    lands in exactly two windows (the oracle reproduces Spark's
+    window() with explicit offset arithmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_WINDOW_ORACLE = f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                       THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + {SESSION_GAP_MIN} * 60 * 1000000 AS session_end_us,
+           count(*)          AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+"""
+
+
+@register("events_session_window", oracle=_SESSION_WINDOW_ORACLE, tags=("events", "session"))
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window operator (gap-merged sessions;
+    window end = last event + gap). Semantically identical to
+    events_sessionize but planned as a single session-window aggregate
+    — the form that also runs under Structured Streaming state."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,63 @@
+"""Quality checks for the approximate operators that have no SQL
+oracle: they must agree with their exact companions.
+
+- MinHash-LSH and SimHash must recover the corpus's planted near-dup
+  pairs (exact trigram-Jaccard >= 0.9 is the ground truth).
+- LSH-ANN must achieve decent recall of the exact brute-force top-k.
+- The multimodal fake features must be deterministic with the right
+  shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.pipeline import dedup, multimodal, similarity
+
+
+def _exact_pairs(spark, sf_dir, threshold=0.9):
+    pairs = dedup.pairwise_jaccard(dedup.shingles_df(dedup.load_table(spark, sf_dir, "documents")))
+    return {
+        (r.doc_a, r.doc_b)
+        for r in pairs.filter(F.col("jaccard") >= threshold).collect()
+    }
+
+
+def test_minhash_lsh_recovers_planted_pairs(spark, sf_dir):
+    truth = _exact_pairs(spark, sf_dir)
+    assert truth, "testdata should contain planted near-dup pairs"
+    got = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_simhash_recovers_planted_pairs(spark, sf_dir):
+    truth = _exact_pairs(spark, sf_dir)
+    got = {(r.doc_a, r.doc_b) for r in dedup.dedup_simhash(spark, sf_dir).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"SimHash recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    exact = similarity.similarity_topk_bruteforce(spark, sf_dir).collect()
+    approx = similarity.similarity_lsh_ann(spark, sf_dir).collect()
+    exact_top3 = {(r.query_id, r.neighbor_id) for r in exact if r.rank <= 3}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_top3 & approx_set) / len(exact_top3)
+    # 12 hyperplanes on near-orthogonal synthetic vectors is a coarse
+    # filter; just require it beats random chance materially.
+    assert recall >= 0.2, f"ANN top-3 recall {recall:.2f}"
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    a = multimodal.multimodal_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    b = multimodal.multimodal_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    assert a == b
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in a)
+    assert all(0.0 <= v < 1.0 for r in a for v in r.features)
+
+
+def test_exact_dedup_covers_all_docs(spark, sf_dir):
+    docs = dedup.load_table(spark, sf_dir, "documents")
+    deduped = dedup.dedup_exact_docs(spark, sf_dir)
+    assert deduped.agg(F.sum("n_copies")).collect()[0][0] == docs.count()

@@ -25,11 +25,16 @@ def _norm_cell(v):
     return v
 
 
-def _normalize(pdf: pd.DataFrame) -> list[tuple]:
+def _normalize(pdf: pd.DataFrame) -> list[str]:
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
-    rows = [tuple(_norm_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
-    return sorted(rows, key=repr)
+    # repr-compare (not ==) so int 1 vs float 1.0 — a dtype mismatch the
+    # driver's value hash would catch — fails here too.
+    rows = [
+        repr(tuple(_norm_cell(v) for v in row))
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
 
 
 def assert_matches_oracle(spark_df, oracle_con, sql: str, name: str = "query"):
