@@ -42,8 +42,16 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Memoized DataFrames: rebuilding the same scan re-reads Parquet
+#: footers and re-crosses the Py4J boundary (~100ms/table — dominates
+#: multi-table query build time). DataFrames are immutable plans, so
+#: sharing one per (session, dir, table) is safe; Spark's cache
+#: manager then also recognizes repeated plans for .cache() reuse.
+_df_memo: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy Parquet scan of one table.
+    """Lazy Parquet scan of one table (memoized per session+path).
 
     ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark
     reads as a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``,
@@ -53,9 +61,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _df_memo.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _df_memo[key] = df
     return df
 
 

@@ -40,8 +40,13 @@ def tokens(col: str = "text"):
     return F.split(F.lower(F.trim(F.col(col))), r"\s+")
 
 
-def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) with distinct word n-grams per doc."""
+def shingles_df(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word n-grams per doc.
+
+    ``distinct=False`` skips the dedup shuffle — correct for consumers
+    that are duplicate-insensitive (MinHash: min over repeated values
+    is unchanged; SimHash: vote weights become term-frequency weighted,
+    which is standard)."""
     t = docs.select("doc_id", tokens().alias("t")).filter(F.size("t") >= n)
     sh = t.select(
         "doc_id",
@@ -52,7 +57,7 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
 def pairwise_jaccard(sh: DataFrame) -> DataFrame:
@@ -186,7 +191,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collision-bounded), never all-pairs; signature build is one
     shuffle, banding a second."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(shingles_df(docs, n=3)).cache()
+    sig = minhash_signatures(shingles_df(docs, n=3, distinct=False)).cache()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -250,7 +255,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor). Everything is built-in exprs — no Python in the
     hot path."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = shingles_df(docs, n=3).withColumnRenamed("shingle", "tok")
+    tok = shingles_df(docs, n=3, distinct=True).withColumnRenamed("shingle", "tok")
     tok = tok.withColumn("h", F.xxhash64("tok"))
     # bit votes: +1 if bit set else -1, summed per bit position
     bit_sums = tok.groupBy("doc_id").agg(

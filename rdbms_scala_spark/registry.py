@@ -64,5 +64,6 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
     )
     from rdbms_scala_spark.streaming import events as _events  # noqa: F401
+    from rdbms_scala_spark.streaming import jobs as _jobs  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,95 @@
+"""File sources & sinks — SURVEY.md §2.1.
+
+The reference's only source is an eager pipe-delimited headerless CSV
+load with a declared 5-type schema (CREATE TABLE ... USING csv
+OPTIONS(path, delimiter), Microbase.scala:950-983) and its only sink
+is pipe-delimited stdout (:1070-1088). Here: lazy schema-declared
+readers for CSV/JSON/Parquet and real writers (partitioned /
+bucketed/ sorted), which at scale replace the reference's in-heap
+index builds with physical layout (partition pruning + bucketed
+co-located joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    delimiter: str = "|",
+    header: bool = False,
+    date_format: str = "yyyy-MM-dd",
+) -> DataFrame:
+    """Reference-compatible CSV scan: declared schema (never inferred
+    — inference is a full extra pass at 100 TB), pipe delimiter,
+    headerless, `yyyy-MM-dd` dates (Microbase.scala:937-940's epoch-day
+    parse). Lazy: no data is read until an action, unlike the
+    reference's eager CREATE TABLE load."""
+    return (
+        spark.read.schema(schema)
+        .option("sep", delimiter)
+        .option("header", str(header).lower())
+        .option("dateFormat", date_format)
+        .csv(path)
+    )
+
+
+def load_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    """Schema-declared JSON-lines scan (superset — the reference has no
+    JSON)."""
+    return spark.read.schema(schema).json(path)
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Columnar sink. `partition_by` produces the directory layout that
+    gives downstream scans partition pruning — the scale analog of the
+    reference's tree index (range predicates skip whole directories,
+    then row-groups)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table: joins/aggregations on the
+    bucket key skip the shuffle entirely (co-located partitions) —
+    the scale analog of the reference's hash index
+    (Microbase.scala:994-1006), but persistent and distributed."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(name)
+
+
+def write_csv(
+    df: DataFrame, path: str, delimiter: str = "|", header: bool = False, mode: str = "overwrite"
+) -> None:
+    """Pipe-delimited CSV sink mirroring the reference's stdout format
+    (Microbase.scala:1070-1088), as distributed files."""
+    (
+        df.write.mode(mode)
+        .option("sep", delimiter)
+        .option("header", str(header).lower())
+        .csv(path)
+    )

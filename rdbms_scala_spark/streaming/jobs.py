@@ -1,0 +1,183 @@
+"""Structured Streaming jobs over the events table.
+
+Each job reads the events parquet *as a stream* (``readStream`` file
+source), applies a watermark, runs a stateful operator, and drains to
+an in-memory sink with ``trigger(availableNow=True)`` — processing
+the whole table as a bounded stream. A drained stream must agree with
+the batch answer, so the registry entries carry the same DuckDB
+oracles as their batch twins (modulo watermark-droppable rows; with
+availableNow over a single file there are none).
+
+The reference has no streaming of any kind (SURVEY.md §2.10); this is
+the Structured-Streaming-native extension the driver mandates:
+watermarks for late data, windowed/stateful aggregation,
+drop-duplicates state, and an applyInPandasWithState custom operator.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rdbms_scala_spark.catalog import table_path
+from rdbms_scala_spark.registry import register
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream with a typed schema and
+    the nanos->micros conversion (streams cannot infer schemas)."""
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .load(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming query to completion (availableNow) into a memory
+    sink; return the sink contents as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate as a real streaming query:
+    watermarked event-time windows, drained with availableNow. Agrees
+    exactly with the batch `events_tumbling` oracle (single-batch
+    drain drops nothing). At scale this runs unchanged against Kafka
+    with per-trigger micro-batches and state in RocksDB."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return drain_to_table(agg, "complete")
+
+
+@register(
+    "streaming_dedup",
+    oracle="""
+    WITH dedup AS (
+        SELECT DISTINCT ON (user_id, event_type, date_trunc('minute', ts))
+               user_id, event_type, value
+        FROM events
+        ORDER BY user_id, event_type, date_trunc('minute', ts), ts, event_id
+    )
+    SELECT event_type, count(*) AS n_unique
+    FROM dedup
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicates on a business key
+    (user, type, minute) with watermarked state expiry — the
+    exactly-once ingestion pattern. Counted per type so the result is
+    order-insensitive (the oracle's DISTINCT ON picks the same key
+    set)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    dedup = ev.withColumn("minute", F.date_trunc("minute", "ts")).dropDuplicates(
+        ["user_id", "event_type", "minute"]
+    )
+    counts = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return drain_to_table(counts, "complete")
+
+
+@register(
+    "streaming_stateful_user_totals",
+    # applyInPandasWithState's per-batch emission contract is not
+    # SQL-expressible; with a single availableNow batch the totals
+    # equal the batch group-by, asserted in tests/test_streaming.py.
+    oracle=None,
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (n_events, total_value) maintained in GroupState across
+    micro-batches — the arbitrary-state API the built-in aggregates
+    don't cover (e.g. for per-key models or custom TTL logic)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    # Self-contained closure: Python workers don't have this repo on
+    # sys.path (see pipeline.multimodal note).
+    def update(key, batches, state: GroupState):
+        import pandas as _pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    totals = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return drain_to_table(totals, "update")

@@ -1,0 +1,50 @@
+"""Scale-audit regression tests: pin the physical-plan properties that
+make these queries viable at 100 TB — filter pushdown into the Parquet
+scan, column pruning, broadcast dim joins. A change that silently
+regresses one of these passes correctness but fails here."""
+
+from __future__ import annotations
+
+from rdbms_scala_spark.plans import scan_pushdown, uses_broadcast_join
+from rdbms_scala_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+def _scans(name, spark, sf_dir):
+    return [s for s in scan_pushdown(SPECS[name].fn(spark, sf_dir)) if s["location"]]
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    scans = _scans("tpch_q6", spark, sf_dir)
+    li = next(s for s in scans if "lineitem" in s["location"])
+    assert "l_shipdate" in li["pushed_filters"]
+    assert "l_discount" in li["pushed_filters"]
+    assert "l_quantity" in li["pushed_filters"]
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    li = next(s for s in _scans("tpch_q6", spark, sf_dir) if "lineitem" in s["location"])
+    # only the 4 referenced columns of lineitem's 11 are read
+    assert li["read_schema"].count(":") == 4
+    assert "l_returnflag" not in li["read_schema"]
+
+
+def test_q3_pushes_per_table_filters(spark, sf_dir):
+    scans = {s["location"].rsplit("/", 1)[-1]: s for s in _scans("tpch_q3", spark, sf_dir)}
+    assert "EqualTo(c_mktsegment,BUILDING)" in scans["customer.parquet"]["pushed_filters"]
+    assert "o_orderdate" in scans["orders.parquet"]["pushed_filters"]
+    assert "l_shipdate" in scans["lineitem.parquet"]["pushed_filters"]
+
+
+def test_q3_broadcasts_filtered_dims(spark, sf_dir):
+    assert uses_broadcast_join(SPECS["tpch_q3"].fn(spark, sf_dir))
+
+
+def test_broadcast_dim_join_is_broadcast(spark, sf_dir):
+    assert uses_broadcast_join(SPECS["join_broadcast_dim"].fn(spark, sf_dir))
+
+
+def test_scan_project_prunes(spark, sf_dir):
+    part = next(s for s in _scans("scan_project", spark, sf_dir) if "part" in s["location"])
+    assert part["read_schema"].count(":") == 4  # 4 of part's 6 columns

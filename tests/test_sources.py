@@ -1,0 +1,65 @@
+"""Source/sink roundtrips, including the reference's pipe-delimited
+headerless CSV format with date columns (Microbase.scala:950-983) and
+the toy R/S/T tables from its REPL examples (FIXTURES.md)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark import sources
+
+
+def test_csv_reference_format_roundtrip(spark, tmp_path):
+    """Pipe-delimited, headerless, int/double/date/string columns —
+    the exact shape of the reference's data/*.data files."""
+    raw = tmp_path / "s.data"
+    raw.write_text("1|b one|2020-01-02\n2|b two|1994-12-31\n")
+    df = sources.load_csv(spark, str(raw), "c int, b string, a date")
+    rows = df.orderBy("c").collect()
+    assert [r.c for r in rows] == [1, 2]
+    assert rows[0].a == datetime.date(2020, 1, 2)
+    assert rows[1].b == "b two"
+
+    out = str(tmp_path / "out_csv")
+    sources.write_csv(df, out)
+    back = sources.load_csv(spark, out, "c int, b string, a date")
+    assert sorted(r.c for r in back.collect()) == [1, 2]
+
+
+def test_csv_with_expression_query(spark, tmp_path):
+    """The reference REPL's own example: SELECT bar, bar * 15 as biz
+    FROM R ORDER BY ... LIMIT (Microbase.scala:943)."""
+    raw = tmp_path / "r.data"
+    raw.write_text("\n".join(f"{i}|{i * 2}" for i in range(50)) + "\n")
+    r = sources.load_csv(spark, str(raw), "bar int, baz int")
+    out = (
+        r.select("bar", (F.col("bar") * 15).alias("biz"), "baz")
+        .orderBy(F.col("bar").asc(), F.col("baz").asc())
+        .limit(10)
+        .collect()
+    )
+    assert len(out) == 10
+    assert out[3].biz == out[3].bar * 15
+
+
+def test_json_roundtrip(spark, tmp_path):
+    raw = tmp_path / "d.jsonl"
+    raw.write_text('{"id": 1, "v": 1.5}\n{"id": 2, "v": null}\n')
+    df = sources.load_json(spark, str(raw), "id long, v double")
+    rows = {r.id: r.v for r in df.collect()}
+    assert rows[1] == 1.5 and rows[2] is None
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    """Partitioned write -> reading one partition only lists that
+    directory (partition pruning)."""
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    out = str(tmp_path / "nation_part")
+    sources.write_parquet(nation, out, partition_by=["n_regionkey"])
+    pruned = sources.load_parquet(spark, out).filter(F.col("n_regionkey") == 2)
+    assert pruned.count() == nation.filter(F.col("n_regionkey") == 2).count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "n_regionkey" in plan
