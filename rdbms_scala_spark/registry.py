@@ -48,7 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and
     return the full registry."""
     # Imports are deferred so `import rdbms_scala_spark` stays cheap.
-    from rdbms_scala_spark.queries import tpch  # noqa: F401
+    from rdbms_scala_spark.queries import tpch, tpch_ext  # noqa: F401
     from rdbms_scala_spark.operators import (  # noqa: F401
         relational,
         joins,
