@@ -304,3 +304,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 10)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding-cosine near-dup
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS dup_id,
+           min(b.vec_id) AS keeper_id,
+           round(max(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[])), 3) AS max_cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND b.vec_id < a.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    GROUP BY a.vec_id
+    ORDER BY dup_id
+    """,
+    tags=("dedup", "neardup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: each vector with a lower-id same-label
+    neighbor above the cosine threshold is a dup; its keeper is the
+    lowest such neighbor (one-hop canonicalization — the iterative
+    connected-components closure is a separate driver loop at scale).
+
+    Blocking on ``label`` stands in for the coarse partitioner (cluster
+    id / LSH bucket) that keeps this from being all-pairs at 100 TB:
+    the join is label-equi, so each block is a bounded local cross.
+    Threshold 0.35 sits at the synthetic corpus's ~99.9th percentile
+    (vectors are near-random; real near-dup corpora use ~0.95+).
+    """
+    from rdbms_scala_spark.pipeline.similarity import _as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("dup_id"), F.col("label").alias("la"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("nb_id"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("nb_id") < F.col("dup_id")))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= 0.35)
+        .groupBy("dup_id")
+        .agg(
+            F.min("nb_id").alias("keeper_id"),
+            F.round(F.max("cos"), 3).alias("max_cosine"),
+        )
+        .orderBy("dup_id")
+    )

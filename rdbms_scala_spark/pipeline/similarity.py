@@ -180,3 +180,106 @@ def similarity_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("cos") >= 0.8)
         .select("vec_a", "vec_b", F.round("cos", 3).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+
+_IVF_K = 16  # coarse centroids = vectors with vec_id < _IVF_K
+_IVF_NPROBE = 4
+
+_IVF_ORACLE = f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+        SELECT vec_id, v, cent_id FROM (
+            SELECT c.vec_id, c.v, ct.cent_id,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id
+                   ) AS rn
+            FROM corpus c CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT query_id, qv, cent_id FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, ct.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cent_id
+                   ) AS rn
+            FROM corpus q CROSS JOIN cent ct WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qv, a.v) AS cos
+        FROM probe p JOIN assign a USING (cent_id)
+        WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, round(cos, 3) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("similarity_ivf", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf", "scale"))
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest of
+    K coarse centroids; queries probe only their `nprobe` nearest
+    centroid lists, then score exactly within those lists.
+
+    Centroids here are the first K corpus vectors — deterministic so
+    the DuckDB oracle can mirror the assignment exactly; at scale
+    they'd come from MLlib k-means or reservoir sampling, and the
+    structure is unchanged. 100 TB shape: assignment is a map-only
+    pass against broadcast centroids (one row out per vector); the
+    candidate join shuffles on cent_id — |corpus|/K rows per list,
+    nprobe lists per query — so cost scales with probed-list size,
+    not corpus size. AQE splits any hot centroid list.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def nearest_centroids(points: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
+        scored = points.crossJoin(F.broadcast(cent)).select(
+            id_col, vec_col, "cent_id", cosine(vec_col, "cv").alias("ccos")
+        )
+        w = W.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .drop("rn", "ccos")
+        )
+
+    assign = nearest_centroids(emb, "vec_id", "v", 1)
+    probe = nearest_centroids(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        "query_id",
+        "qv",
+        _IVF_NPROBE,
+    )
+    scored = (
+        probe.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine("qv", "v").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 3).alias("cosine"), "rank")
+    )

@@ -49,6 +49,17 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2, f"ANN top-3 recall {recall:.2f}"
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    exact = similarity.similarity_topk_bruteforce(spark, sf_dir).collect()
+    approx = similarity.similarity_ivf(spark, sf_dir).collect()
+    exact_top3 = {(r.query_id, r.neighbor_id) for r in exact if r.rank <= 3}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_top3 & approx_set) / len(exact_top3)
+    # nprobe=4 of 16 lists over near-random vectors: requires a
+    # material fraction of the true top-3, not exactness.
+    assert recall >= 0.2, f"IVF top-3 recall {recall:.2f}"
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     a = multimodal.multimodal_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
     b = multimodal.multimodal_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
