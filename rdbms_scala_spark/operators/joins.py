@@ -226,3 +226,54 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+_SALT_FACTOR = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "skew", "salting", "scale"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: identical results to the plain join (the
+    oracle is the unsalted SQL), with the hot-key shuffle defused.
+
+    Left (fact) rows get ``salt = pmod(xxhash64(row-discriminator),
+    S)``; the right side is replicated S ways with a literal salt; the
+    join key becomes ``(key, salt)`` so one hot key's rows spread over
+    S reducers instead of one. At 100 TB this is the manual fallback
+    when AQE's skew-join split can't apply — skewed keys feeding a
+    downstream stateful op, or a build side too big to split — at the
+    cost of an S× replication of the (small) right side. Spark's AQE
+    handles plain scan-join skew automatically (session.py enables
+    it); this operator keeps the pattern tested so the layout is
+    available where AQE isn't enough.
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(_SALT_FACTOR))
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_FACTOR)]))
+    )
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_salt") == F.col("o_salt").cast("long")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -63,3 +63,27 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert pruned.count() == nation.filter(F.col("n_regionkey") == 2).count()
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "n_regionkey" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Co-located bucketed layout: joining two tables bucketed on the
+    join key must not shuffle either side — the persistent-layout
+    analog of the reference's hash index (Microbase.scala:994-1006)."""
+    from rdbms_scala_spark.catalog import load_table
+    from rdbms_scala_spark.plans import physical_plan
+    from rdbms_scala_spark.sources import files as src
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    try:
+        src.write_bucketed_table(orders, "b_orders", bucket_by=["o_orderkey"], num_buckets=4)
+        src.write_bucketed_table(li, "b_lineitem", bucket_by=["l_orderkey"], num_buckets=4)
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        # force sort-merge so a broadcast doesn't trivially hide the shuffle
+        joined = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join should not shuffle:\n{plan}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
