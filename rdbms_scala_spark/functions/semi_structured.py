@@ -1,0 +1,108 @@
+"""Semi-structured & reshaping surface: JSON extraction, pivot,
+explode/lateral — Spark-superset operators (the reference's type
+system is 5 scalar types, SURVEY.md §1.2; no JSON/array/map exists
+there). All JVM-side builtins; no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "functions_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("functions", "json", "semi-structured"),
+)
+def functions_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events ``props`` column
+    (``get_json_object`` — codegen'd Jackson parse, no UDF), then a
+    grouped aggregate over the extracted value. At 100 TB, prefer
+    ``from_json`` with an explicit schema once per column over
+    repeated path extraction; both stay JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "pivot_event_type",
+    oracle="""
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    WHERE user_id <= 200
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("pivot", "reshape", "aggregate"),
+)
+def pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event-type counts. The value list
+    is passed explicitly — at scale an unlisted pivot forces an extra
+    distinct pass over the data to discover columns; listing keeps it
+    a single grouped conditional aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "explode_token_counts",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+    tags=("explode", "lateral", "array", "text"),
+)
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (lateral view): corpus-wide token frequencies, top 50.
+    The 1→N row expansion happens inside whole-stage codegen
+    (GenerateExec); the count is a standard two-phase hash aggregate.
+    The classic vocabulary-building pass of a text pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )

@@ -48,3 +48,22 @@ def test_broadcast_dim_join_is_broadcast(spark, sf_dir):
 def test_scan_project_prunes(spark, sf_dir):
     part = next(s for s in _scans("scan_project", spark, sf_dir) if "part" in s["location"])
     assert part["read_schema"].count(":") == 4  # 4 of part's 6 columns
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    assert uses_broadcast_join(SPECS["tpch_q5"].fn(spark, sf_dir))
+
+
+def test_q8_broadcasts_dims_and_prunes(spark, sf_dir):
+    df = SPECS["tpch_q8"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    li = next(s for s in scan_pushdown(df) if s["location"] and "lineitem" in s["location"])
+    # q8 touches 5 of lineitem's 11 columns; the scan must not read more
+    assert li["read_schema"].count(":") == 5
+
+
+def test_q22_prunes_orders_scan(spark, sf_dir):
+    scans = _scans("tpch_q22", spark, sf_dir)
+    o = next(s for s in scans if "orders" in s["location"])
+    # the 1999+ anti-join build side pushes its date filter into the scan
+    assert "o_orderdate" in o["pushed_filters"]
