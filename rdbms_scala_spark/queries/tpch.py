@@ -334,27 +334,28 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     here as the Spark superset) via a semi join against the
     re-aggregated lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
+    # One lineitem aggregation serves both the HAVING filter and the
+    # output sum — the naive form (semi join + re-join + re-aggregate)
+    # shuffles lineitem twice and re-groups; this shape shuffles it
+    # once and the filter (>150) shrinks it before touching orders.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .filter(F.col("_q") > 150)
-        .select("l_orderkey")
     )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy(
+        .select(
             "c_custkey",
             "c_name",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("_q", 2).alias("sum_qty"),
         )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
