@@ -130,10 +130,17 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_stateful_user_totals",
-    # applyInPandasWithState's per-batch emission contract is not
-    # SQL-expressible; with a single availableNow batch the totals
-    # equal the batch group-by, asserted in tests/test_streaming.py.
-    oracle=None,
+    # Update-mode emission is once per key per micro-batch; the events
+    # table is a single parquet file, so availableNow runs exactly one
+    # batch and the drained totals equal the batch group-by (also
+    # asserted in tests/test_streaming.py).
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
     tags=("streaming", "stateful", "pandas-udf"),
 )
 def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
