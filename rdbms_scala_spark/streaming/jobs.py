@@ -188,3 +188,35 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return drain_to_table(totals, "update")
+
+
+@register(
+    "streaming_hopping_counts",
+    # same window arithmetic as the batch events_hopping oracle
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 1800000000]) AS off)
+    SELECT ((epoch_us(ts) - off) // 3600000000) * 3600000000 + off AS window_start_us,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events, offs
+    GROUP BY 1
+    """,
+    tags=("streaming", "window", "sliding", "watermark"),
+)
+def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 1-hour/30-minute windowed aggregate as a
+    streaming query — every event lands in two windows; state holds
+    two open windows per key instead of one. Drained with availableNow
+    (single batch -> nothing watermark-dropped, so the batch oracle
+    holds exactly)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return drain_to_table(agg, "complete")

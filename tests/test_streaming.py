@@ -42,3 +42,69 @@ def test_streaming_tumbling_matches_batch_operator(spark, sf_dir):
         for r in events_tumbling(spark, sf_dir).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """End-to-end late-data policy: with an append-mode windowed count
+    and a 10-minute watermark, an event arriving in a later micro-batch
+    with ts already behind the watermark must be dropped — the window
+    it belonged to was finalized at its batch-A count."""
+    import time as _time
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "value": [1.0] * len(rows),
+            }
+        ).to_parquet(src / name, coerce_timestamps="us")  # session reads ns as long
+
+    # batch A: two events in the 10:00 window, one at 11:00 -> end of
+    # batch A the watermark becomes 10:50, passing the 10:00 window's end
+    write_file("a.parquet", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00"),
+                             (3, "2024-01-01 11:00:00")])
+    _time.sleep(1.1)  # file-source batch order follows mod time
+    # batch B: during this batch the 10:00 window is finalized (emits
+    # n=2) and its state evicted; watermark advances to 11:50
+    write_file("b.parquet", [(5, "2024-01-01 12:00:00")])
+    _time.sleep(1.1)
+    # batch C: a LATE event for the already-evicted 10:00 window — must
+    # be dropped (watermark is 11:50 > 10:03); 13:00 closes 11:00/12:00
+    write_file("c.parquet", [(4, "2024-01-01 10:03:00"), (6, "2024-01-01 13:00:00")])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("start"), "n")
+    )
+    name = "late_sink"
+    # default micro-batch trigger: availableNow can coalesce the files
+    # into one batch, which would defeat the late-arrival setup
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["start"], r["n"]) for r in spark.table(name).collect()}
+    # 10:00 finalized with 2 — the late event_id=4 was dropped, never
+    # re-emitted; 11:00 and 12:00 finalized with 1 each; 13:00 still
+    # open -> not emitted
+    assert got == {("10:00", 2), ("11:00", 1), ("12:00", 1)}, got
