@@ -164,3 +164,42 @@ def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w), 4).alias("price_share"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           CAST(count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING
+           ) AS BIGINT) AS n_similar_priced
+    FROM orders
+    WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_totalprice, o_orderkey
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs. the ROWS frames elsewhere): for
+    each order, how many of the same customer's orders are priced
+    within ±1000. Range frames bound by *values* need a sorted
+    per-partition scan with a sliding value window — Spark executes it
+    in the same single window exchange as a rows frame."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    # DataFrame-API rangeBetween only accepts long bounds; fractional
+    # value frames go through the SQL window expression.
+    frame = F.expr(
+        "count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)"
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            frame.alias("n_similar_priced"),
+        )
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+    )

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): algebraic invariants that must
+hold for ANY input, not just the testdata — the adversarial
+complement to the oracle comparisons (empty tables, all-duplicate
+keys, hot keys, negative values).
+
+Spark-backed properties keep max_examples small: each example pays a
+createDataFrame + job round trip.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_spark_settings = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small int tables with heavy key collisions (keys drawn from 0..3)
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-100, 100)), min_size=0, max_size=12
+)
+
+
+@given(left=rows_strategy, right=rows_strategy)
+@_spark_settings
+def test_salted_join_equals_plain_join(spark, left, right):
+    """Salting must never change join results — for any multiset of
+    rows, including empty sides and single hot keys (the case salting
+    exists for)."""
+    S = 4
+    ldf = spark.createDataFrame(left, "k int, lv int") if left else spark.range(0).selectExpr(
+        "CAST(id AS INT) k", "CAST(id AS INT) lv"
+    )
+    rdf = spark.createDataFrame(right, "k int, rv int") if right else spark.range(0).selectExpr(
+        "CAST(id AS INT) k", "CAST(id AS INT) rv"
+    )
+    plain = ldf.join(rdf.withColumnRenamed("k", "rk"), F.col("k") == F.col("rk"))
+    salted_l = ldf.withColumn("salt", F.pmod(F.xxhash64("lv"), F.lit(S)))
+    salted_r = rdf.withColumnRenamed("k", "rk").withColumn(
+        "rsalt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(S)]))
+    )
+    salted = salted_l.join(
+        salted_r, (F.col("k") == F.col("rk")) & (F.col("salt") == F.col("rsalt"))
+    ).drop("salt", "rsalt")
+    key = lambda r: (r["k"], r["lv"], r["rv"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+
+
+@given(rows=rows_strategy, rows2=rows_strategy)
+@_spark_settings
+def test_setop_algebra(spark, rows, rows2):
+    """UNION ALL cardinality is additive; INTERSECT ⊆ each side;
+    EXCEPT ∪ INTERSECT reassembles the distinct left side."""
+    a = spark.createDataFrame(rows, "k int, v int") if rows else spark.range(0).selectExpr(
+        "CAST(id AS INT) k", "CAST(id AS INT) v"
+    )
+    b = spark.createDataFrame(rows2, "k int, v int") if rows2 else spark.range(0).selectExpr(
+        "CAST(id AS INT) k", "CAST(id AS INT) v"
+    )
+    assert a.union(b).count() == a.count() + b.count()
+    inter = {tuple(r) for r in a.intersect(b).collect()}
+    sa = {tuple(r) for r in a.collect()}
+    sb = {tuple(r) for r in b.collect()}
+    assert inter == sa & sb  # Spark INTERSECT is distinct by definition
+    exc = {tuple(r) for r in a.exceptAll(b).collect()}
+    assert (exc | inter) >= sa - (sb - inter)
+    assert {tuple(r) for r in a.subtract(b).collect()} == sa - sb
+
+
+@given(rows=rows_strategy)
+@_spark_settings
+def test_exact_dedup_idempotent(spark, rows):
+    """dropDuplicates is idempotent and never increases cardinality."""
+    df = spark.createDataFrame(rows, "k int, v int") if rows else spark.range(0).selectExpr(
+        "CAST(id AS INT) k", "CAST(id AS INT) v"
+    )
+    once = df.dropDuplicates()
+    twice = once.dropDuplicates()
+    assert once.count() == twice.count() <= df.count()
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in df.collect()}
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(-(10**6), 10**6),
+            st.text(alphabet=st.characters(codec="ascii", exclude_characters="|\n"), max_size=8),
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_format_rows_pipe_contract(vals):
+    """The REPL sink renders any row as exactly n-1 pipes with NULL as
+    empty (Microbase.scala:1082-1087 contract)."""
+    from rdbms_scala_spark.engine import format_rows
+
+    [line] = list(format_rows([tuple(vals)])) if vals else [""]
+    if vals:
+        assert line.count("|") == len(vals) - 1
+        for v in vals:
+            if v is not None:
+                assert str(v) in line
