@@ -64,6 +64,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         multimodal,
     )
+    from rdbms_scala_spark.sources import files as _files  # noqa: F401
     from rdbms_scala_spark.streaming import events as _events  # noqa: F401
     from rdbms_scala_spark.streaming import jobs as _jobs  # noqa: F401
 

@@ -93,3 +93,36 @@ def write_csv(
         .option("header", str(header).lower())
         .csv(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# registered source queries (S1/S6 in the driver's correctness gate)
+
+from rdbms_scala_spark.registry import register  # noqa: E402
+
+
+@register(
+    "csv_source_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("source", "csv", "S1", "S6"),
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S6 through the driver gate: write `nation` as headerless
+    pipe-delimited CSV (the reference's interchange format,
+    Microbase.scala:966-982), read it back with a declared schema, and
+    return it — byte-identical to the Parquet original per the oracle.
+    Idempotent: the scratch dir is keyed on the sf dir and
+    overwritten."""
+    import os
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    scratch = os.path.join(
+        "/tmp", f"csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_csv(nation, scratch, delimiter="|", header=False)
+    df = load_csv(spark, scratch, schema=nation.schema, delimiter="|")
+    return df.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
