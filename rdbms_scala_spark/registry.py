@@ -49,7 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
     return the full registry."""
     # Imports are deferred so `import rdbms_scala_spark` stays cheap.
     from rdbms_scala_spark.queries import tpch, tpch_ext  # noqa: F401
-    from rdbms_scala_spark.functions import scalar, semi_structured  # noqa: F401
+    from rdbms_scala_spark.functions import scalar, semi_structured, udfs  # noqa: F401
     from rdbms_scala_spark.operators import (  # noqa: F401
         relational,
         joins,
