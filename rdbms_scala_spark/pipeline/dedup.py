@@ -355,3 +355,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dup_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. connected-components closure (iterative)
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS component_id
+    FROM reach
+    GROUP BY u
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE,
+    tags=("dedup", "neardup", "iterative", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup closure: near-dup pairs (trigram Jaccard >=
+    0.7) form a graph; every document in a connected component maps to
+    the component's minimum doc_id — the canonical keeper for
+    chain-duplicates (A~B, B~C, A!~C), which one-hop keeper rules get
+    wrong.
+
+    Implemented as iterative min-label propagation — a driver loop,
+    the class of algorithm no single SQL statement expresses (the
+    oracle uses DuckDB's recursive CTE to agree on the fixpoint). Each
+    round: one join edges->labels + one min-aggregate; converges in
+    O(component diameter) rounds. At 100 TB: labels are hash-
+    partitioned on doc_id so each round is one co-partitioned shuffle;
+    ``localCheckpoint`` truncates the growing plan lineage — without
+    it round N replays rounds 1..N-1; the convergence probe is the
+    label-sum (monotonically decreasing, so equality == fixpoint).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        pairwise_jaccard(shingles_df(docs, n=3))
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("u", "v").localCheckpoint()
+
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(20):  # cap >> any real component diameter here
+        neigh_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("component_id").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh_min, labels.doc_id == F.col("u"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("nmin"), F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.orderBy("doc_id")
