@@ -106,3 +106,35 @@ def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(50)
     )
+
+
+@register(
+    "unpivot_order_measures",
+    oracle="""
+    SELECT o_orderkey, measure, round(val, 4) AS val
+    FROM (
+        SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS val FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    )
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey, measure
+    """,
+    tags=("unpivot", "reshape"),
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the inverse of pivot_event_type) via the
+    native `unpivot`/stack operator — a map-only 1→N expansion, no
+    shuffle. The long form is what ML feature pipelines and metric
+    stores ingest."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "val")
+        .select("o_orderkey", "measure", F.round("val", 4).alias("val"))
+        .orderBy("o_orderkey", "measure")
+    )
