@@ -243,7 +243,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(array_agg(DISTINCT c_nationkey)) AS nations
+           array_to_string(list_sort(array_agg(DISTINCT c_nationkey)), ',') AS nations
     FROM customer
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -254,12 +254,16 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation (collect_set) with an explicit sort for
     determinism — collection order is partition-arrival order on any
     distributed engine, so an unsorted collect can never be
-    golden-compared. The array stays a first-class column (the
-    reference's type system had no arrays at all, SURVEY.md §1.2)."""
+    golden-compared. Arrays are first-class columns in the engine
+    (the reference had none, SURVEY.md §1.2); the final
+    concat-to-string is only for cross-engine value hashing, where
+    array physical representations (numpy vs list) differ."""
     cust = load_table(spark, sf_dir, "customer")
     return (
         cust.groupBy("c_mktsegment")
-        .agg(F.array_sort(F.collect_set("c_nationkey")).alias("nations"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("c_nationkey"))).alias("nations")
+        )
         .orderBy("c_mktsegment")
     )
 
