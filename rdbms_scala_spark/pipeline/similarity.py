@@ -256,6 +256,15 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = points.crossJoin(F.broadcast(cent)).select(
             id_col, vec_col, "cent_id", cosine(vec_col, "cv").alias("ccos")
         )
+        if n == 1:
+            # argmax as a single hash aggregate (max_by on (cos, -id)
+            # = highest cosine, lowest cent_id on ties) — one shuffle
+            # with map-side partials, vs. a full per-key sort for the
+            # window form. This is the corpus-sized path.
+            return scored.groupBy(id_col).agg(
+                F.max_by("cent_id", F.struct(F.col("ccos"), -F.col("cent_id"))).alias("cent_id"),
+                F.first(vec_col).alias(vec_col),
+            )
         w = W.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cent_id"))
         return (
             scored.withColumn("rn", F.row_number().over(w))
@@ -264,6 +273,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     assign = nearest_centroids(emb, "vec_id", "v", 1)
+    # probes: |queries| x nprobe rows — tiny; the window form is fine
     probe = nearest_centroids(
         emb.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
