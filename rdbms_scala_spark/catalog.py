@@ -50,17 +50,29 @@ def table_path(sf_dir: str, name: str) -> str:
 _df_memo: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """``events.ts`` is Parquet TIMESTAMP(NANOS), which Spark rejects
+    outright unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.
+    Our session factory sets it, but the driver hands us *its* session
+    — the conf is runtime-settable, so set it defensively here."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — best-effort on foreign sessions
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy Parquet scan of one table (memoized per session+path).
 
-    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark
-    reads as a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``,
-    set by the session factory); convert to a microsecond timestamp by
+    ``events.ts`` is read as a nanosecond long (see
+    ``ensure_nanos_conf``); convert to a microsecond timestamp by
     integer division so truncation matches DuckDB's ns->us cast.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name == "events":
+        ensure_nanos_conf(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _df_memo.get(key)
     if cached is not None:

@@ -41,6 +41,9 @@ _EVENTS_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream with a typed schema and
     the nanos->micros conversion (streams cannot infer schemas)."""
+    from rdbms_scala_spark.catalog import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)  # declared Long ts needs the legacy conf
     stream = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .format("parquet")
