@@ -47,7 +47,16 @@ def table_path(sf_dir: str, name: str) -> str:
 #: multi-table query build time). DataFrames are immutable plans, so
 #: sharing one per (session, dir, table) is safe; Spark's cache
 #: manager then also recognizes repeated plans for .cache() reuse.
+#: The memo pins the file listing taken at first read — the driver
+#: testdata is immutable, but call clear_table_memo() after rewriting
+#: a table in place (and note stopped sessions' entries linger until
+#: cleared).
 _df_memo: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_memo() -> None:
+    """Drop all memoized scans (after an in-place table rewrite)."""
+    _df_memo.clear()
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:

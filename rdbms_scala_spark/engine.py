@@ -120,7 +120,7 @@ class Engine:
             stmt = line.strip()
             if not stmt or stmt.startswith("--"):
                 continue
-            if stmt.lower() in ("exit", "quit"):
+            if stmt.rstrip(";").strip().lower() in ("exit", "quit"):
                 break
             try:
                 for rendered in self.run_and_format(stmt):

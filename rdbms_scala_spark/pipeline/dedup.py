@@ -418,7 +418,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = None
-    for _ in range(20):  # cap >> any real component diameter here
+    for it in range(200):  # runaway guard only; convergence is checked
         neigh_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")
@@ -438,4 +438,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            "connected-components did not converge in 200 rounds — "
+            "component diameter exceeds the guard; raise the cap"
+        )
     return labels.orderBy("doc_id")

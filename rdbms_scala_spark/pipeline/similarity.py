@@ -137,11 +137,25 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band", "bucket"
     )
-    cand = (
-        bucketed.join(queries, ["band", "bucket"])
+    # dedup multi-band collisions on the two ids ONLY (a ~16-byte
+    # shuffle key), then re-attach vectors: shipping the 64-dim arrays
+    # through the distinct() exchange would move ~1KB per duplicate
+    cand_ids = (
+        bucketed.select("vec_id", "band", "bucket")
+        .join(
+            queries.select("query_id", "band", "bucket"), ["band", "bucket"]
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("qv"), F.col("v"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
+    )
+    qvecs = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nvecs = emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+    cand = (
+        cand_ids.join(F.broadcast(qvecs), "query_id")
+        .join(nvecs, "neighbor_id")
         .select("query_id", "neighbor_id", cosine("qv", "v").alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

@@ -120,8 +120,12 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    # keyed on session + sf dir: concurrent sessions (driver gate +
+    # local pytest) must not overwrite each other's scratch mid-scan
     scratch = os.path.join(
-        "/tmp", f"csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+        "/tmp",
+        f"csv_roundtrip_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
     )
     write_csv(nation, scratch, delimiter="|", header=False)
     df = load_csv(spark, scratch, schema=nation.schema, delimiter="|")

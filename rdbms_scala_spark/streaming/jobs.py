@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 from rdbms_scala_spark.catalog import table_path
 from rdbms_scala_spark.registry import register
+from rdbms_scala_spark.streaming.events import _HOPPING_ORACLE, _TUMBLING_ORACLE
 
 _EVENTS_SCHEMA = T.StructType(
     [
@@ -55,7 +56,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def drain_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming query to completion (availableNow) into a memory
-    sink; return the sink contents as a batch DataFrame."""
+    sink; return the sink contents as a batch DataFrame.
+
+    The sink table is materialized and dropped before returning —
+    memory sinks are driver-held, and repeated drains (driver gate,
+    bench warm+timed passes) would otherwise accumulate one sink table
+    per call for the life of the session."""
+    spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         q = (
@@ -67,19 +74,15 @@ def drain_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataF
             .start()
         )
         q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
     "streaming_tumbling_counts",
-    oracle="""
-    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
-           event_type,
-           count(*)             AS n_events,
-           round(sum(value), 2) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
+    oracle=_TUMBLING_ORACLE,  # shared with the batch twin events_tumbling
     tags=("streaming", "window", "watermark"),
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,15 +198,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "streaming_hopping_counts",
-    # same window arithmetic as the batch events_hopping oracle
-    oracle="""
-    WITH offs AS (SELECT unnest([0, 1800000000]) AS off)
-    SELECT ((epoch_us(ts) - off) // 3600000000) * 3600000000 + off AS window_start_us,
-           count(*)             AS n_events,
-           round(sum(value), 2) AS total_value
-    FROM events, offs
-    GROUP BY 1
-    """,
+    oracle=_HOPPING_ORACLE,  # shared with the batch twin events_hopping
     tags=("streaming", "window", "sliding", "watermark"),
 )
 def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4,6 +4,7 @@ import sys, io
 import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rdbms_scala_spark.session import get_spark
+from rdbms_scala_spark.plans import physical_plan
 from rdbms_scala_spark.registry import all_queries
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
@@ -21,8 +22,7 @@ spans; AQE further re-plans at runtime).
 """)
 for n in names:
     df = specs[n].fn(spark, sf)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan = physical_plan(df, "formatted")
     # trim the node-detail section to keep the file reviewable
     head = plan.split("\n\n")[0]
     details = plan.split("\n\n", 1)[1] if "\n\n" in plan else ""

@@ -17,8 +17,9 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
     if spec.oracle is None:
-        # Weaker rows-only check, like the driver's.
-        assert df.count() >= 0
+        # Weaker rows-only check, like the driver's — but non-empty:
+        # every rows-only query must produce output on the testdata.
+        assert df.count() > 0
         assert len(df.schema.fields) > 0
     else:
         assert_matches_oracle(df, oracle, spec.oracle, name)
