@@ -277,3 +277,115 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts < p.ts
+    ORDER BY p.event_id
+    """,
+    tags=("join", "asof", "time-series", "scale"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one; DuckDB's ASOF JOIN is the
+    oracle): each purchase matched to the same user's latest strictly
+    earlier click.
+
+    Implemented as the union-then-window formulation — the shape that
+    scales: tag both streams, union, one window per user ordered by
+    (ts, kind) carrying the last non-null click ts forward. Exactly
+    ONE shuffle on user_id regardless of how skewed the per-user event
+    ratio is, versus the naive per-pair join + max-filter which is
+    quadratic in events-per-user. kind sorts purchases before clicks
+    at equal ts so the 'strictly earlier' bound holds.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("kind"), F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("kind"), "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = clicks.union(purchases).withColumn(
+        "matched_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("kind") == 0) & F.col("matched_click_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_ts_us"),
+            F.unix_micros("matched_click_ts").alias("click_ts_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    SELECT p.event_id, count(c.event_id) AS n_clicks_within_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+    tags=("join", "range", "binned", "scale"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks falling in [purchase, purchase+1h),
+    counted per purchase. A bare range predicate has no equi-key, so
+    Spark would plan a nested-loop cross product — quadratic.
+
+    Binned formulation: bucket time into interval-sized bins; each
+    probe row explodes to the (two) bins its window overlaps, the
+    build side keeps its single bin, the join becomes an EQUI join on
+    the bin with the exact range check as a residual filter. Cost is
+    |rows| x bins-per-window, never |left| x |right| — the standard
+    range-join optimization (DuckDB's IEJoin serves as the oracle).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.unix_micros("ts").alias("p_us"))
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    (F.col("p_us") / hour_us).cast("long"),
+                    (F.col("p_us") / hour_us).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.unix_micros("ts").alias("c_us"),
+        (F.unix_micros("ts") / hour_us).cast("long").alias("bin"),
+    )
+    joined = purchases.join(clicks, "bin", "left").withColumn(
+        "hit",
+        (F.col("c_us") >= F.col("p_us")) & (F.col("c_us") < F.col("p_us") + hour_us),
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count(F.when(F.col("hit"), 1)).alias("n_clicks_within_1h"))
+        .orderBy("event_id")
+    )
