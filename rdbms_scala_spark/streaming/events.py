@@ -179,3 +179,49 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "events_rollup_multires",
+    oracle="""
+    SELECT epoch_us(date_trunc('day', ts)) AS day_start_us,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("events", "rollup", "multires", "scale"),
+)
+def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (the hypertable/continuous-aggregate
+    pattern): the DAILY aggregate is computed by re-aggregating HOURLY
+    partials, not by rescanning raw events — the oracle aggregates the
+    raw table directly, proving the two routes agree.
+
+    At 100 TB this is the materialized-rollup design: persist the
+    hourly layer (24x smaller than raw), serve every coarser
+    resolution (day/week/month) from it; count/sum re-aggregate
+    losslessly (avg = sum/count at read time; min/max likewise —
+    exact quantiles do NOT compose, use mergeable sketches there).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros("day").alias("day_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("day_start_us", "event_type")
+    )
