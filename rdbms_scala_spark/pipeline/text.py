@@ -219,3 +219,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens())))).alias("bag_fingerprint"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fingerprint"),
     )
+
+
+@register(
+    "text_regex_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_subword_units,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT)  AS n_word_units,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT)  AS n_number_units,
+           CAST(len(list_filter(t, x -> NOT regexp_matches(x, '^[a-z0-9]'))) AS BIGINT) AS n_punct_units
+    FROM toks
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokens", "bpe", "regex"),
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts: the GPT-2-ish pre-tokenizer
+    regex (letter runs | digit runs | single punctuation) applied per
+    document — the unit count that upstream BPE merge tables operate
+    on, and the standard per-doc token budget estimate for training
+    pipelines. Pure `regexp_extract_all` + higher-order filters: one
+    map-only pass, JVM-side, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)").alias("t"),
+    )
+    return t.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_subword_units"),
+        F.size(F.expr("filter(t, x -> x rlike '^[a-z]+$')")).cast("long").alias("n_word_units"),
+        F.size(F.expr("filter(t, x -> x rlike '^[0-9]+$')")).cast("long").alias("n_number_units"),
+        F.size(F.expr("filter(t, x -> NOT (x rlike '^[a-z0-9]'))")).cast("long").alias("n_punct_units"),
+    ).orderBy("doc_id")
