@@ -25,7 +25,11 @@ from pyspark.sql import types as T
 
 from rdbms_scala_spark.catalog import table_path
 from rdbms_scala_spark.registry import register
-from rdbms_scala_spark.streaming.events import _HOPPING_ORACLE, _TUMBLING_ORACLE
+from rdbms_scala_spark.streaming.events import (  # noqa: F401
+    _HOPPING_ORACLE,
+    _SESSION_WINDOW_ORACLE,
+    _TUMBLING_ORACLE,
+)
 
 _EVENTS_SCHEMA = T.StructType(
     [
@@ -215,6 +219,35 @@ def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "n_events",
             "total_value",
+        )
+    )
+    return drain_to_table(agg, "complete")
+
+
+@register(
+    "streaming_session_window",
+    oracle=_SESSION_WINDOW_ORACLE,  # shared with batch twin events_session_window
+    tags=("streaming", "session", "watermark", "stateful"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows under Structured Streaming: gap-merged
+    (30-min) per-user sessions as streaming state — sessions extend/
+    merge as events arrive and finalize when the watermark passes
+    their end. Drained with availableNow (single batch -> identical
+    to the batch twin events_session_window, same oracle)."""
+    from rdbms_scala_spark.streaming.events import SESSION_GAP_MIN
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
         )
     )
     return drain_to_table(agg, "complete")
