@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rdbms_scala_spark.catalog import table_path
 from rdbms_scala_spark.registry import register
 from rdbms_scala_spark.streaming.events import (  # noqa: F401
     _HOPPING_ORACLE,
