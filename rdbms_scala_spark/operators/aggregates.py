@@ -323,3 +323,37 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_hll_mergeable",
+    # sketch binaries are engine-specific; no cross-engine oracle.
+    # tests assert the estimate is within HLL error of the exact count.
+    oracle=None,
+    tags=("aggregate", "sketch", "hll", "approx", "scale"),
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL):
+    build one sketch per nation, then union the sketches to a global
+    estimate WITHOUT touching the raw data again — the property that
+    makes sketches the 100 TB answer for distinct counts: per-
+    partition/per-day sketches persist alongside rollups and compose
+    to any coarser grouping (contrast exact COUNT DISTINCT, which
+    cannot re-aggregate). Output: per-nation estimates plus the
+    merged ALL row."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk")
+    )
+    per_nation.createOrReplaceTempView("hll_per_nation_v")
+    return spark.sql(
+        """
+        SELECT CAST(c_nationkey AS STRING) AS scope,
+               hll_sketch_estimate(sk) AS est_distinct
+        FROM hll_per_nation_v
+        UNION ALL
+        SELECT 'ALL', hll_sketch_estimate(hll_union_agg(sk))
+        FROM hll_per_nation_v
+        ORDER BY scope
+        """
+    )

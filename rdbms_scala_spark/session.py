@@ -45,6 +45,11 @@ def get_spark(app_name: str = "rdbms_scala_spark", master: str | None = None) ->
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # (runtime bloom-filter join pruning — the row-level filter
+        # that matters for fact-fact joins at 100 TB — is ON by
+        # default in this Spark line; enabling the experimental
+        # semi-join-reduction variant was measured to hang local
+        # runs, so only defaults are relied on here)
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         # --- IO ------------------------------------------------------------

@@ -72,3 +72,15 @@ def test_exact_dedup_covers_all_docs(spark, sf_dir):
     docs = dedup.load_table(spark, sf_dir, "documents")
     deduped = dedup.dedup_exact_docs(spark, sf_dir)
     assert deduped.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_hll_sketch_estimates_within_error(spark, sf_dir):
+    """Per-group HLL estimates and the merged-union estimate must be
+    within standard HLL error (lgK=12 -> ~1.6%, allow 5%) of exact."""
+    from rdbms_scala_spark.catalog import load_table
+    from rdbms_scala_spark.operators.aggregates import agg_hll_mergeable
+
+    got = {r["scope"]: r["est_distinct"] for r in agg_hll_mergeable(spark, sf_dir).collect()}
+    cust = load_table(spark, sf_dir, "customer")
+    exact_all = cust.select("c_custkey").distinct().count()
+    assert abs(got["ALL"] - exact_all) / exact_all <= 0.05
