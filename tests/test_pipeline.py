@@ -84,3 +84,28 @@ def test_hll_sketch_estimates_within_error(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     exact_all = cust.select("c_custkey").distinct().count()
     assert abs(got["ALL"] - exact_all) / exact_all <= 0.05
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """approx_count_distinct at rsd=0.02 must track the exact distinct
+    counts within a generous 3x-rsd bound per group."""
+    from rdbms_scala_spark.operators.aggregates import agg_approx_distinct
+
+    approx = {
+        r["l_returnflag"]: (r["approx_parts"], r["approx_supps"])
+        for r in agg_approx_distinct(spark, sf_dir).collect()
+    }
+    li = dedup.load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["p"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("p"),
+            F.countDistinct("l_suppkey").alias("s"),
+        )
+        .collect()
+    }
+    for flag, (ep, es) in exact.items():
+        ap, asps = approx[flag]
+        assert abs(ap - ep) / ep <= 0.06, (flag, ap, ep)
+        assert abs(asps - es) / es <= 0.06, (flag, asps, es)
