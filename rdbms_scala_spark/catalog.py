@@ -63,9 +63,15 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
     """``events.ts`` is Parquet TIMESTAMP(NANOS), which Spark rejects
     outright unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.
     Our session factory sets it, but the driver hands us *its* session
-    — the conf is runtime-settable, so set it defensively here."""
+    — the conf is runtime-settable, so set it defensively here.
+
+    The session timezone is pinned to UTC for the same reason: the
+    table's timestamps are naive instants and the DuckDB oracle
+    truncates/windows them in UTC — a non-UTC driver session would
+    shift every date_trunc/window boundary."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # noqa: BLE001 — best-effort on foreign sessions
         pass
 
