@@ -44,9 +44,40 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def _family(name: str) -> str:
+    """Family key for interleaving: the name prefix before the first
+    underscore (``dedup_minhash_lsh`` -> ``dedup``)."""
+    return name.split("_", 1)[0]
+
+
+def _interleaved(registry: dict[str, "QuerySpec"]) -> dict[str, "QuerySpec"]:
+    """Round-robin the registry across families.
+
+    The driver's correctness gate checks a prefix of the registry (50
+    entries in round 1); plain registration order front-loaded TPC-H
+    and left whole families (dedup/similarity/text/window/streaming)
+    without a driver-issued row. Interleaving one entry per family per
+    round guarantees any prefix >= the family count covers every
+    family, and longer prefixes stay balanced across them.
+    """
+    buckets: dict[str, list[QuerySpec]] = {}
+    for spec in registry.values():
+        buckets.setdefault(_family(spec.name), []).append(spec)
+    ordered: list[QuerySpec] = []
+    queues = list(buckets.values())
+    while queues:
+        next_queues = []
+        for q in queues:
+            ordered.append(q.pop(0))
+            if q:
+                next_queues.append(q)
+        queues = next_queues
+    return {spec.name: spec for spec in ordered}
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and
-    return the full registry."""
+    return the full registry, interleaved across query families."""
     # Imports are deferred so `import rdbms_scala_spark` stays cheap.
     from rdbms_scala_spark.queries import tpch, tpch_ext  # noqa: F401
     from rdbms_scala_spark.functions import scalar, semi_structured, udfs  # noqa: F401
@@ -68,4 +99,4 @@ def all_queries() -> dict[str, QuerySpec]:
     from rdbms_scala_spark.streaming import events as _events  # noqa: F401
     from rdbms_scala_spark.streaming import jobs as _jobs  # noqa: F401
 
-    return dict(_REGISTRY)
+    return _interleaved(_REGISTRY)
