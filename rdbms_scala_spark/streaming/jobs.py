@@ -42,18 +42,35 @@ _EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """events.parquet as a file-source stream with a typed schema and
-    the nanos->micros conversion (streams cannot infer schemas)."""
+    the nanos->micros conversion (streams cannot infer schemas).
+
+    Handles both physical layouts of the table: a single parquet file
+    (driver testdata) via ``pathGlobFilter`` over ``sf_dir``, and a
+    standard directory of part-files by loading the directory itself
+    (the glob approach would silently match nothing there and stream
+    zero rows). ``max_files_per_trigger`` caps files per micro-batch —
+    honored by availableNow, so tests can force multi-batch runs."""
+    import os
+
     from rdbms_scala_spark.catalog import ensure_nanos_conf
 
     ensure_nanos_conf(spark)  # declared Long ts needs the legacy conf
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .load(sf_dir)
-    )
+    reader = spark.readStream.schema(_EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(events_path):
+        stream = reader.load(events_path)
+    else:
+        # FileStreamSource requires a directory path; filter to the one
+        # file inside it.
+        stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -80,6 +97,10 @@ def drain_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataF
     sink = spark.table(name)
     rows, schema = sink.collect(), sink.schema
     spark.catalog.dropTempView(name)
+    if not rows:
+        # A mis-globbed source reads zero files and "succeeds"; fail
+        # loudly instead of letting a rows-only gate pass vacuously.
+        raise RuntimeError("streaming drain produced 0 rows — source matched no files?")
     return spark.createDataFrame(rows, schema)
 
 
@@ -88,13 +109,20 @@ def drain_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataF
     oracle=_TUMBLING_ORACLE,  # shared with the batch twin events_tumbling
     tags=("streaming", "window", "watermark"),
 )
-def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Tumbling 1-hour windowed aggregate as a real streaming query:
-    watermarked event-time windows, drained with availableNow. Agrees
-    exactly with the batch `events_tumbling` oracle (single-batch
-    drain drops nothing). At scale this runs unchanged against Kafka
-    with per-trigger micro-batches and state in RocksDB."""
-    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    watermarked event-time windows, drained with availableNow in
+    complete mode (re-emits the full result each batch, so any batch
+    split agrees with the batch `events_tumbling` oracle). At scale
+    this runs unchanged against Kafka with per-trigger micro-batches
+    and state in RocksDB."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger).withWatermark(
+        "ts", "1 hour"
+    )
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
@@ -123,26 +151,36 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("streaming", "dedup", "watermark"),
 )
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Stateful streaming dedup: dropDuplicates on a business key
     (user, type, minute) with watermarked state expiry — the
-    exactly-once ingestion pattern. Counted per type so the result is
-    order-insensitive (the oracle's DISTINCT ON picks the same key
-    set)."""
-    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    dedup = ev.withColumn("minute", F.date_trunc("minute", "ts")).dropDuplicates(
-        ["user_id", "event_type", "minute"]
+    exactly-once ingestion pattern. The watermark is declared on the
+    truncated ``minute`` column itself, so the event-time column is
+    *inside* the dedup subset and per-key state is actually evicted
+    once the watermark passes (a watermark on the excluded raw ``ts``
+    would leave dropDuplicates state unbounded in a continuous run).
+    Counted per type so the result is order-insensitive (the oracle's
+    DISTINCT ON picks the same key set)."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    keyed = ev.withColumn("minute", F.date_trunc("minute", "ts")).withWatermark(
+        "minute", "1 hour"
     )
+    dedup = keyed.dropDuplicates(["user_id", "event_type", "minute"])
     counts = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
     return drain_to_table(counts, "complete")
 
 
 @register(
     "streaming_stateful_user_totals",
-    # Update-mode emission is once per key per micro-batch; the events
-    # table is a single parquet file, so availableNow runs exactly one
-    # batch and the drained totals equal the batch group-by (also
-    # asserted in tests/test_streaming.py).
+    # Update mode emits once per key per micro-batch; the drained sink
+    # is collapsed to the LAST emission per key (running totals are
+    # monotone in n_events), so the oracle holds under any batch split
+    # (single file, multi-file, or maxFilesPerTrigger — asserted in
+    # tests/test_streaming.py).
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
@@ -152,14 +190,18 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("streaming", "stateful", "pandas-udf"),
 )
-def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_stateful_user_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (n_events, total_value) maintained in GroupState across
     micro-batches — the arbitrary-state API the built-in aggregates
     don't cover (e.g. for per-key models or custom TTL logic)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
 
     out_schema = T.StructType(
         [
@@ -196,7 +238,14 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return drain_to_table(totals, "update")
+    drained = drain_to_table(totals, "update")
+    # Update mode appends one row per key per micro-batch to the sink;
+    # keep only each key's final emission (n_events is a running count,
+    # so the max row is the last) -> batch-count independent.
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
 
 
 @register(

@@ -44,6 +44,73 @@ def test_streaming_tumbling_matches_batch_operator(spark, sf_dir):
     assert stream_rows == batch_rows
 
 
+def test_multibatch_split_matches_batch(spark, tmp_path):
+    """The stateful jobs' oracles must be batch-count independent:
+    split events into 3 time-ordered part-files, force one file per
+    micro-batch, and the drained results must still equal the batch
+    answers (update-mode sink collapsed to last-emit-per-key; dedup
+    state keyed on the watermarked minute column)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.001/events.parquet").sort_by("ts")
+    outdir = tmp_path / "events.parquet"
+    outdir.mkdir()
+    n = tbl.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        part_path = outdir / f"part-{i}.parquet"
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), part_path)
+        os.utime(part_path, (1_700_000_000 + i * 60,) * 2)  # listing order = mtime
+    sfd = str(tmp_path)
+
+    # Prove the rate limit actually yields 3 micro-batches.
+    batch_ids = []
+    q = (
+        jobs.read_events_stream(spark, sfd, max_files_per_trigger=1)
+        .writeStream.foreachBatch(lambda df, bid: batch_ids.append(bid))
+        .option("checkpointLocation", str(tmp_path / "ckpt_probe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batch_ids) == 3, batch_ids
+
+    events = load_table(spark, sfd, "events")
+
+    got_totals = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in jobs.streaming_stateful_user_totals(
+            spark, sfd, max_files_per_trigger=1
+        ).collect()
+    }
+    batch_totals = {
+        r.user_id: (r.n, r.tv)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert set(got_totals) == set(batch_totals)
+    for uid, (num, tv) in batch_totals.items():
+        assert got_totals[uid][0] == num, f"user {uid}"
+        assert abs(got_totals[uid][1] - tv) < 0.02, f"user {uid}"
+
+    got_dedup = {
+        (r.event_type, r.n_unique)
+        for r in jobs.streaming_dedup(spark, sfd, max_files_per_trigger=1).collect()
+    }
+    batch_dedup = {
+        (r.event_type, r.n_unique)
+        for r in events.withColumn("minute", F.date_trunc("minute", "ts"))
+        .dropDuplicates(["user_id", "event_type", "minute"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .collect()
+    }
+    assert got_dedup == batch_dedup
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """End-to-end late-data policy: with an append-mode windowed count
     and a 10-minute watermark, an event arriving in a later micro-batch
