@@ -60,9 +60,41 @@ def shingles_df(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame
     return sh.distinct() if distinct else sh
 
 
-def pairwise_jaccard(sh: DataFrame) -> DataFrame:
+# Default document-frequency cap for the inverted-index join. A
+# "stop-shingle" appearing in df documents contributes df^2/2 rows to
+# the posting-list self-join — one boilerplate phrase shared by 1M docs
+# is a 500-billion-row join. Dropping shingles with df above the cap
+# bounds every posting list (worst-case join fan-out <= cap * n_shingles)
+# and barely moves recall: a phrase shared by thousands of documents
+# carries no near-dup signal. Testdata's max df is 25 at sf0.1, so the
+# default never fires there (oracles stay exact); production tunes it
+# to corpus size (e.g. 1e-4 of corpus count).
+MAX_SHINGLE_DF = 5000
+
+
+def cap_shingle_df(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The df aggregation is map-side combinable (one cheap shuffle on the
+    shingle); the surviving hot-set complement is applied as a
+    broadcast anti-join — the hot list is tiny by construction (only
+    shingles in > max_df docs)."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def pairwise_jaccard(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """Exact Jaccard for every doc pair sharing >=1 shingle, via the
-    inverted-index self-join (never a full cross product)."""
+    inverted-index self-join (never a full cross product). Shingles
+    with document frequency > ``max_df`` are dropped from BOTH the
+    index and the per-doc sizes (Jaccard stays consistent over the
+    capped shingle space) — see ``cap_shingle_df``."""
+    sh = cap_shingle_df(sh, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

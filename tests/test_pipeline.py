@@ -31,6 +31,22 @@ def test_minhash_lsh_recovers_planted_pairs(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
 
 
+def test_shingle_df_cap_bounds_stop_shingle_blowup(spark):
+    """A corpus-wide boilerplate phrase must not turn the inverted-index
+    join quadratic: 60 otherwise-distinct docs sharing one phrase give
+    ~1770 candidate pairs uncapped; with the df cap the stop-shingle's
+    posting list is dropped and no spurious pair survives."""
+    docs = spark.createDataFrame(
+        [(i, f"unique{i}a unique{i}b unique{i}c all rights reserved") for i in range(60)],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles_df(docs, n=3)
+    uncapped = dedup.pairwise_jaccard(sh, max_df=10**9).count()
+    capped = dedup.pairwise_jaccard(sh, max_df=10).count()
+    assert uncapped == 60 * 59 // 2, uncapped  # every pair shares the phrase
+    assert capped == 0, capped
+
+
 def test_simhash_recovers_planted_pairs(spark, sf_dir):
     truth = _exact_pairs(spark, sf_dir)
     got = {(r.doc_a, r.doc_b) for r in dedup.dedup_simhash(spark, sf_dir).collect()}
