@@ -44,7 +44,9 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q18",
 ]
-# One representative of each extension family.
+# One representative of each extension family, plus the manual
+# scale-path joins (skew salting, range binning) so their overhead
+# shows up as a bench delta, not just a correctness row.
 EXTENSION = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
@@ -53,6 +55,8 @@ EXTENSION = [
     "text_quality_score",
     "events_sessionize",
     "window_running_revenue",
+    "join_skew_salted",
+    "join_range_binned",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -231,6 +231,68 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALT_FACTOR = 8
 
 
+def hot_keys(df: DataFrame, key: str, threshold: int) -> DataFrame:
+    """Single-column DataFrame of ``key`` values appearing more than
+    ``threshold`` times in ``df``.
+
+    The count is map-side combinable (partial aggregation reduces each
+    partition to its distinct keys before the shuffle), and only the
+    over-threshold survivors — a tiny set by definition — flow to the
+    driver side of a broadcast."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > threshold)
+        .select(key)
+    )
+
+
+def two_phase_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_factor: int = _SALT_FACTOR,
+    hot_threshold: int = 100_000,
+) -> DataFrame:
+    """Equi-join with hot-key-only salting; result identical to
+    ``left.join(right, left[left_key] == right[right_key])``.
+
+    Phase split: keys whose left-side count exceeds ``hot_threshold``
+    are "hot". Cold rows (the overwhelming majority) take a plain
+    shuffle join — zero overhead. Hot left rows get a per-row salt
+    ``pmod(xxhash64(all columns), S)``, and ONLY the right rows
+    matching a hot key are replicated S ways; the hot join runs on
+    ``(key, salt)`` so each hot key spreads over S reducers. The
+    replicated volume is S x |right rows with hot keys| — bounded by
+    the (few) heavy hitters, not S x |right| as naive full-table
+    salting costs. The hot-key set rides a broadcast into both the
+    semi/anti splits and needs no extra shuffle. This is the manual
+    fallback for skew that AQE's runtime split can't fix (skewed keys
+    feeding a stateful op, or a build side too big to split)."""
+    hot = F.broadcast(hot_keys(left, left_key, hot_threshold))
+    hot_r = hot.withColumnRenamed(left_key, right_key)
+
+    left_cold = left.join(hot, left_key, "left_anti")
+    right_cold = right.join(hot_r, right_key, "left_anti")
+    cold = left_cold.join(right_cold, left_cold[left_key] == right_cold[right_key])
+
+    left_hot = left.join(hot, left_key, "left_semi").withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor)),
+    )
+    right_hot = right.join(hot_r, right_key, "left_semi").withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    )
+    hot_join = left_hot.join(
+        right_hot,
+        (left_hot[left_key] == right_hot[right_key])
+        & (left_hot["__salt"] == right_hot["__salt"].cast("long")),
+    ).drop("__salt")
+
+    return cold.unionByName(hot_join)
+
+
 @register(
     "join_skew_salted",
     oracle="""
@@ -244,33 +306,22 @@ _SALT_FACTOR = 8
     tags=("join", "skew", "salting", "scale"),
 )
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted equi-join: identical results to the plain join (the
-    oracle is the unsalted SQL), with the hot-key shuffle defused.
+    """Two-phase skew-salted equi-join: identical results to the plain
+    join (the oracle is the unsalted SQL) via ``two_phase_skew_join``.
 
-    Left (fact) rows get ``salt = pmod(xxhash64(row-discriminator),
-    S)``; the right side is replicated S ways with a literal salt; the
-    join key becomes ``(key, salt)`` so one hot key's rows spread over
-    S reducers instead of one. At 100 TB this is the manual fallback
-    when AQE's skew-join split can't apply — skewed keys feeding a
-    downstream stateful op, or a build side too big to split — at the
-    cost of an S× replication of the (small) right side. Spark's AQE
-    handles plain scan-join skew automatically (session.py enables
-    it); this operator keeps the pattern tested so the layout is
-    available where AQE isn't enough.
-    """
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "l_salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(_SALT_FACTOR))
-    )
-    orders = load_table(spark, sf_dir, "orders").withColumn(
-        "o_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_FACTOR)]))
+    The threshold here (4 lines per order; testdata max is 7) is set
+    artificially low so the driver gate exercises BOTH phases — cold
+    plain join and salted hot join — with the oracle proving the union
+    is exact. Production thresholds sit around the per-reducer row
+    budget (~1e5+), where the hot set is a handful of pathological
+    keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = two_phase_skew_join(
+        li, orders, "l_orderkey", "o_orderkey", hot_threshold=4
     )
     return (
-        li.join(
-            orders,
-            (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (F.col("l_salt") == F.col("o_salt").cast("long")),
-        )
-        .groupBy("o_orderpriority")
+        joined.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),

@@ -62,6 +62,48 @@ def test_q8_broadcasts_dims_and_prunes(spark, sf_dir):
     assert li["read_schema"].count(":") == 5
 
 
+def test_two_phase_skew_join_replicates_only_hot_keys(spark):
+    """The salted phase must replicate S x |right rows with hot keys|,
+    not S x |right|: plant one heavy-hitter key among 100 cold keys
+    and check (a) the hot-key detector finds exactly it, (b) the
+    replicated volume is salt_factor x 1, (c) the two-phase result
+    equals the plain join."""
+    from pyspark.sql import functions as F
+
+    from rdbms_scala_spark.operators.joins import (
+        _SALT_FACTOR,
+        hot_keys,
+        two_phase_skew_join,
+    )
+
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1000, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 100).select(F.col("id").alias("rk"), (F.col("id") * 10).alias("rv"))
+
+    hot = hot_keys(left, "k", threshold=500)
+    assert [r.k for r in hot.collect()] == [7]
+
+    replicated = (
+        right.join(hot.withColumnRenamed("k", "rk"), "rk", "left_semi").count()
+        * _SALT_FACTOR
+    )
+    assert replicated == _SALT_FACTOR  # 8 x 1 hot key, vs 800 for full-table salting
+
+    got = (
+        two_phase_skew_join(left, right, "k", "rk", hot_threshold=500)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rv").alias("s"))
+    )
+    want = (
+        left.join(right, left.k == right.rk)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rv").alias("s"))
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
 def test_q22_prunes_orders_scan(spark, sf_dir):
     scans = _scans("tpch_q22", spark, sf_dir)
     o = next(s for s in scans if "orders" in s["location"])
