@@ -1,17 +1,26 @@
 """Multimodal columns: opaque binary payloads + typed metadata
 (north-star extension).
 
-The container has no image/audio libraries, so the *decode* step is
-stubbed (deterministic fake features; real decoders gated behind an
-import-try raising NotImplementedError) — but the Spark-side plumbing
-is real and tested: binary columns, metadata structs, Arrow-batched
-``mapInPandas`` with an explicit output schema, and partition-sized
-batches. Swapping the fake for PIL/ffmpeg changes one function.
+The decode step is REAL, stdlib-only: payloads are synthesized as
+valid PNG (zlib-compressed IDAT, CRC'd chunks), WAV (RIFF/fmt/data)
+and MP4 (ftyp + moov/mvhd boxes) containers whose parameters derive
+deterministically from doc_id, and ``parse_media_header`` reads the
+dimensions / sample rate / duration back out of the bytes — so the
+decode oracle can predict every parsed field arithmetically. Only the
+*embedding* half of feature extraction remains a deterministic
+sha256 fake (a stand-in for an image/audio model, which no stdlib
+provides); swap ``_fake_features`` for a model call to productionize.
+The Spark-side plumbing is the 100 TB shape throughout: binary
+columns, metadata structs, Arrow-batched ``mapInPandas`` with
+explicit output schemas and partition-sized batches.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,6 +32,130 @@ from rdbms_scala_spark.catalog import load_table
 from rdbms_scala_spark.registry import register
 
 FEATURE_DIM = 8
+
+# Repo root, captured driver-side as a plain string: UDF closures ship
+# it to Python workers (whose sys.path lacks this repo when the driver
+# imported us from a file path) so they can import the codec helpers.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------------------
+# stdlib media codecs: synthesize valid containers, parse them back
+
+
+def synth_payload(doc_id: int) -> bytes:
+    """Deterministic, *valid* media container for a doc_id.
+
+    - doc_id % 3 == 0 -> PNG, grayscale, width/height from doc_id
+    - doc_id % 3 == 1 -> WAV, PCM16, rate/channels/samples from doc_id
+    - else            -> MP4, ftyp(isom) + moov/mvhd with ms duration
+    """
+    m = doc_id % 3
+    if m == 0:
+        width = 8 + doc_id % 24
+        height = 8 + doc_id % 16
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + bytes((doc_id + row) % 256 for _ in range(width))
+            for row in range(height)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+    if m == 1:
+        rate = (8000, 16000, 22050, 44100)[doc_id % 4]
+        channels = 1 + doc_id % 2
+        n_samples = 100 + doc_id % 400
+        data = b"\x00\x00" * (n_samples * channels)
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+    duration_ms = 1000 + doc_id % 5000
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"mp41")
+    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, 1000, duration_ms) + b"\x00" * 80)
+    return ftyp + box(b"moov", mvhd)
+
+
+def parse_media_header(payload: bytes) -> dict:
+    """Parse container metadata out of raw bytes — stdlib only.
+
+    Returns mime plus (-1 / '' where not applicable): width, height,
+    sample_rate, duration_us for audio, duration_ms for video, brand.
+    """
+    out = {
+        "mime": "application/octet-stream",
+        "width": -1,
+        "height": -1,
+        "sample_rate": -1,
+        "duration_us": -1,
+        "brand": "",
+    }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # chunk layout: len(4) tag(4) body; IHDR is first
+        if payload[12:16] == b"IHDR":
+            width, height = struct.unpack(">II", payload[16:24])
+            out.update(mime="image/png", width=width, height=height)
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, rate, block_align, data_len = 12, -1, -1, -1
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if tag == b"fmt ":
+                _, _, rate, _, block_align, _ = struct.unpack(
+                    "<HHIIHH", payload[pos + 8 : pos + 24]
+                )
+            elif tag == b"data":
+                data_len = size
+            pos += 8 + size + (size & 1)
+        if rate > 0 and block_align > 0 and data_len >= 0:
+            n_samples = data_len // block_align
+            out.update(
+                mime="audio/wav",
+                sample_rate=rate,
+                duration_us=n_samples * 1_000_000 // rate,
+            )
+        return out
+    # ISO-BMFF: walk top-level boxes, then moov's children for mvhd
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            if size < 8:
+                return
+            yield buf[pos + 4 : pos + 8], pos + 8, pos + size
+            pos += size
+
+    if payload[4:8] == b"ftyp":
+        out["mime"] = "video/mp4"
+        out["brand"] = payload[8:12].decode("ascii", "replace")
+        for tag, body_start, body_end in walk(payload, 0, len(payload)):
+            if tag == b"moov":
+                for t2, s2, _e2 in walk(payload, body_start, body_end):
+                    if t2 == b"mvhd":
+                        timescale, duration = struct.unpack(
+                            ">II", payload[s2 + 12 : s2 + 20]
+                        )
+                        if timescale:
+                            out["duration_us"] = duration * 1_000_000 // timescale
+    return out
 
 
 @register(
@@ -68,62 +201,132 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_real(payload: bytes, mime: str):
-    """Real decoder — requires media libraries absent from this
-    container. Clearly-marked stub per the build contract."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "media decode requires pillow/ffmpeg, not present in this environment"
-        ) from exc
-    raise NotImplementedError("real decode path not wired yet")
-
-
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic fake feature extractor: sha256-seeded values in
-    [0, 1). Stands in for an image/audio embedding model."""
+    """Deterministic fake embedding: sha256-seeded values in [0, 1).
+    Stands in for an image/audio embedding *model* (the only part of
+    the pipeline with no stdlib implementation); the container decode
+    around it is real (see parse_media_header)."""
     h = hashlib.sha256(payload).digest()
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
 @register(
+    "multimodal_decode",
+    # Every parsed field is a deterministic function of doc_id, so the
+    # oracle re-derives them arithmetically — proving the synthesized
+    # containers round-trip through the real stdlib parsers.
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 24 ELSE -1 END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16 ELSE -1 END AS height,
+           CASE WHEN doc_id % 3 = 1
+                THEN [8000, 16000, 22050, 44100][(doc_id % 4) + 1]
+                ELSE -1 END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1
+                THEN (100 + doc_id % 400) * 1000000
+                     // [8000, 16000, 22050, 44100][(doc_id % 4) + 1]
+                WHEN doc_id % 3 = 2 THEN (1000 + doc_id % 5000) * 1000
+                ELSE -1 END AS duration_us,
+           CASE WHEN doc_id % 3 = 2 THEN 'isom' ELSE '' END AS brand
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "pandas-udf"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media decode over binary payloads: synthesize a valid
+    PNG/WAV/MP4 container per document (parameters derived from
+    doc_id), then parse dimensions / sample rate / duration back out
+    of the *bytes* with the stdlib header parsers — all inside one
+    Arrow-batched ``mapInPandas`` pass, the shape a 100 TB decode job
+    takes (fixed-memory batches, per-payload decode, declared output
+    schema). The reference has no binary/media types at all (its five
+    scalar types: Microbase.scala:28-35); this is the north-star
+    multimodal extension."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id")
+    pkg_root = _PKG_ROOT
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from rdbms_scala_spark.pipeline.multimodal import (
+            parse_media_header,
+            synth_payload,
+        )
+
+        for pdf in batches:
+            metas = [parse_media_header(synth_payload(int(d))) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "duration_us": [m["duration_us"] for m in metas],
+                    "brand": [m["brand"] for m in metas],
+                }
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema="doc_id long, mime string, width long, height long, "
+        "sample_rate long, duration_us long, brand string",
+    )
+
+
+@register(
     "multimodal_features",
-    oracle=None,  # fake-decoder output; tests assert shape/determinism
+    oracle=None,  # embedding half is the deterministic sha256 fake;
+    # tests assert shape/determinism and that decode metadata is real
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via Arrow-batched
-    ``mapInPandas`` — the real 100 TB shape: batches stream through
-    Python with fixed memory, the decode call is per-payload, and the
-    output schema is declared up front. Uses the deterministic fake
-    decoder (see _decode_real for the gated real path)."""
+    ``mapInPandas``: real stdlib container decode (mime + parsed
+    metadata ride along with the vector) plus the deterministic fake
+    embedding standing in for a model call."""
     docs = load_table(spark, sf_dir, "documents")
-    src = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    src = docs.select("doc_id")
     dim = FEATURE_DIM
+    pkg_root = _PKG_ROOT
 
-    # NB: the UDF body must be self-contained (no references to this
-    # module's globals) — Spark's Python workers unpickle it without
-    # rdbms_scala_spark on their sys.path when the driver imports us
-    # from a file path.
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from rdbms_scala_spark.pipeline.multimodal import (
+            parse_media_header,
+            synth_payload,
+        )
 
         def fake_features(payload: bytes) -> list[float]:
             h = _hashlib.sha256(payload).digest()
             return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
         for pdf in batches:
-            feats = [fake_features(p) for p in pdf["payload"]]
+            payloads = [synth_payload(int(d)) for d in pdf["doc_id"]]
+            metas = [parse_media_header(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "features": feats,
+                    "mime": [m["mime"] for m in metas],
+                    "n_bytes": [len(p) for p in payloads],
+                    "features": [fake_features(p) for p in payloads],
                 }
             )
 
-    return src.mapInPandas(extract, schema="doc_id long, n_bytes long, features array<double>")
+    return src.mapInPandas(
+        extract,
+        schema="doc_id long, mime string, n_bytes long, features array<double>",
+    )
 
 
 @register(

@@ -76,6 +76,51 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2, f"IVF top-3 recall {recall:.2f}"
 
 
+def test_media_codecs_roundtrip():
+    """The stdlib containers must be parseable by their own header
+    parsers with the doc_id-derived parameters intact — pure Python,
+    the same code the mapInPandas workers run."""
+    for doc_id in range(0, 60):
+        meta = multimodal.parse_media_header(multimodal.synth_payload(doc_id))
+        m = doc_id % 3
+        if m == 0:
+            assert meta["mime"] == "image/png"
+            assert meta["width"] == 8 + doc_id % 24
+            assert meta["height"] == 8 + doc_id % 16
+        elif m == 1:
+            rate = (8000, 16000, 22050, 44100)[doc_id % 4]
+            assert meta["mime"] == "audio/wav"
+            assert meta["sample_rate"] == rate
+            assert meta["duration_us"] == (100 + doc_id % 400) * 1_000_000 // rate
+        else:
+            assert meta["mime"] == "video/mp4"
+            assert meta["brand"] == "isom"
+            assert meta["duration_us"] == (1000 + doc_id % 5000) * 1000
+
+
+def test_png_payload_is_standard_decodable():
+    """The synthesized PNG must be a genuinely valid file, not just
+    self-consistent: CRCs check out and the IDAT inflates to exactly
+    height x (1 + width) filter-prefixed scanline bytes."""
+    import struct
+    import zlib
+
+    payload = multimodal.synth_payload(12)  # 12 % 3 == 0 -> PNG
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, {}
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        assert crc == zlib.crc32(tag + body), tag
+        chunks[tag] = body
+        pos += 12 + length
+    width, height = struct.unpack(">II", chunks[b"IHDR"][:8])
+    assert len(zlib.decompress(chunks[b"IDAT"])) == height * (1 + width)
+    assert chunks[b"IEND"] == b""
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     a = multimodal.multimodal_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
     b = multimodal.multimodal_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
