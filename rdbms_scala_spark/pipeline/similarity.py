@@ -244,27 +244,17 @@ _IVF_ORACLE = f"""
 """
 
 
-@register("similarity_ivf", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf", "scale"))
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: assign every vector to its nearest of
-    K coarse centroids; queries probe only their `nprobe` nearest
-    centroid lists, then score exactly within those lists.
+def _ivf_topk(emb: DataFrame, cent: DataFrame, nprobe: int = _IVF_NPROBE) -> DataFrame:
+    """Shared IVF machinery over any centroid set: assign every corpus
+    vector to its nearest centroid (cosine argmax as one max_by hash
+    aggregate), probe each query's ``nprobe`` nearest centroid lists,
+    score exactly within them, and return per-query top-k.
 
-    Centroids here are the first K corpus vectors — deterministic so
-    the DuckDB oracle can mirror the assignment exactly; at scale
-    they'd come from MLlib k-means or reservoir sampling, and the
-    structure is unchanged. 100 TB shape: assignment is a map-only
-    pass against broadcast centroids (one row out per vector); the
-    candidate join shuffles on cent_id — |corpus|/K rows per list,
-    nprobe lists per query — so cost scales with probed-list size,
-    not corpus size. AQE splits any hot centroid list.
-    """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
+    100 TB shape: assignment is a map-only pass against broadcast
+    centroids (one row out per vector); the candidate join shuffles on
+    cent_id — |corpus|/K rows per list, nprobe lists per query — so
+    cost scales with probed-list size, not corpus size. AQE splits any
+    hot centroid list."""
 
     def nearest_centroids(points: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
         scored = points.crossJoin(F.broadcast(cent)).select(
@@ -294,7 +284,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "query_id",
         "qv",
-        _IVF_NPROBE,
+        nprobe,
     )
     scored = (
         probe.join(assign, "cent_id")
@@ -307,3 +297,56 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 3).alias("cosine"), "rank")
     )
+
+
+def _load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+
+
+@register("similarity_ivf", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf", "scale"))
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic coarse centroids (the first K corpus
+    vectors) so the DuckDB oracle can mirror the assignment exactly —
+    the cross-engine correctness anchor for the IVF machinery. The
+    recall-bearing variant with real clustering is
+    ``similarity_ivf_kmeans``; both share ``_ivf_topk``."""
+    emb = _load_vectors(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    return _ivf_topk(emb, cent)
+
+
+def kmeans_centroids(emb: DataFrame, k: int = _IVF_K, seed: int = 42) -> DataFrame:
+    """Coarse centroids from seeded MLlib KMeans over the ``v`` column.
+    The model is tiny (k x dim doubles) and comes back to the driver as
+    a literal DataFrame that broadcasts into the assignment pass — at
+    scale, fit on a sample (KMeans cost is per-iteration linear in
+    rows) and the downstream structure is unchanged."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(array_to_vector(F.col("v")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return emb.sparkSession.createDataFrame(centers, "cent_id long, cv array<double>")
+
+
+@register(
+    "similarity_ivf_kmeans",
+    # Centroids come from MLlib's optimizer — not reproducible in SQL,
+    # so no cross-engine oracle; tests/test_pipeline.py gates recall
+    # (>= 0.9 on a planted clustered corpus, where the IVF premise —
+    # neighbors share clusters — actually holds).
+    oracle=None,
+    tags=("similarity", "ann", "ivf", "kmeans", "scale"),
+)
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over seeded-KMeans coarse centroids — the production
+    variant: real clustering concentrates each query's true neighbors
+    into few lists, so ``nprobe`` of K lists retains high recall at a
+    ~nprobe/K fraction of brute-force cost."""
+    emb = _load_vectors(spark, sf_dir)
+    return _ivf_topk(emb, kmeans_centroids(emb))

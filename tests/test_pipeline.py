@@ -76,6 +76,59 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2, f"IVF top-3 recall {recall:.2f}"
 
 
+def test_ivf_kmeans_recall_on_clustered_corpus(spark, tmp_path):
+    """On a corpus where the IVF premise holds (neighbors share
+    clusters), seeded-KMeans IVF must reach recall@10 >= 0.9 of the
+    exact brute-force top-k while probing only nprobe/K of the lists.
+    Plant 16 well-separated clusters x 20 members and compare."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in range(16):
+        pts = centers[c] + 0.15 * rng.normal(size=(20, 64))
+        vecs.extend(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    order = rng.permutation(len(vecs))  # queries 0..4 land in varied clusters
+    vecs = [vecs[i] for i in order]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "label": pa.array([int(i) % 10 for i in range(len(vecs))], pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    sfd = str(tmp_path)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(spark, sfd).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_ivf_kmeans(spark, sfd).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"KMeans-IVF recall@10 {recall:.2f} over {len(exact)} pairs"
+
+
+def test_ivf_kmeans_runs_on_testdata(spark, sf_dir):
+    """Regression floor on the (clusterless) synthetic testdata: the
+    variant must run end-to-end and beat random-probe chance."""
+    exact = similarity.similarity_topk_bruteforce(spark, sf_dir).collect()
+    approx = similarity.similarity_ivf_kmeans(spark, sf_dir).collect()
+    exact_top3 = {(r.query_id, r.neighbor_id) for r in exact if r.rank <= 3}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(exact_top3 & approx_set) / len(exact_top3) >= 0.2
+
+
 def test_media_codecs_roundtrip():
     """The stdlib containers must be parseable by their own header
     parsers with the doc_id-derived parameters intact — pure Python,
