@@ -411,6 +411,93 @@ _CC_ORACLE = f"""
 """
 
 
+def connected_components_edges(
+    pairs: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """Connected components over an undirected edge list via the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm): each round rewires edges toward local minima
+    (large-star hangs every larger neighbor under the neighborhood
+    min, small-star re-points the smaller ones), roughly halving path
+    lengths, so it converges in O(log n) rounds where plain min-label
+    propagation needs O(component diameter) — the difference between
+    ~6 and ~1000 shuffles on a chain-shaped duplicate cluster.
+
+    Per round: two groupBy-min aggregations and two joins, all keyed
+    on node ids (hash-partitioned, map-side combinable);
+    ``localCheckpoint`` truncates lineage so round N doesn't replay
+    rounds 1..N-1. Convergence probe is two scalars (edge count +
+    order-insensitive xxhash64 sum) — the edge set is stable exactly
+    at the star-forest fixpoint, where every edge is (node,
+    component_min).
+
+    Returns (labels DataFrame (doc_id, component_id), rounds used).
+    ``pairs`` is any (doc_a, doc_b) near-dup pair set, either
+    orientation."""
+    E = (
+        pairs.toDF("a", "b")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def probe(df: DataFrame):
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)), F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0))
+            ).collect()[0]
+        )
+
+    prev = probe(E)
+    rounds = 0
+    for _ in range(max_rounds):
+        # large-star: for every node, hang each LARGER neighbor under
+        # the minimum of its neighborhood (including itself)
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: re-point all smaller neighbors (and the node) at
+        # the minimum of the smaller neighborhood
+        canon = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins2 = canon.groupBy("u").agg(F.min("v").alias("m"))
+        star = canon.join(mins2, "u")
+        E = (
+            star.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(star.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        cur = probe(E)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected-components did not converge in {max_rounds} rounds"
+        )
+    # fixpoint is a star forest: every edge is (member, root); roots
+    # label themselves
+    labels = (
+        E.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
+        .union(E.select(F.col("v").alias("doc_id"), F.col("v").alias("component_id")))
+        .distinct()
+    )
+    return labels, rounds
+
+
 @register(
     "dedup_connected_components",
     oracle=_CC_ORACLE,
@@ -421,58 +508,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.7) form a graph; every document in a connected component maps to
     the component's minimum doc_id — the canonical keeper for
     chain-duplicates (A~B, B~C, A!~C), which one-hop keeper rules get
-    wrong.
-
-    Implemented as iterative min-label propagation — a driver loop,
-    the class of algorithm no single SQL statement expresses (the
-    oracle uses DuckDB's recursive CTE to agree on the fixpoint). Each
-    round: one join edges->labels + one min-aggregate; converges in
-    O(component diameter) rounds. At 100 TB: labels are hash-
-    partitioned on doc_id so each round is one co-partitioned shuffle;
-    ``localCheckpoint`` truncates the growing plan lineage — without
-    it round N replays rounds 1..N-1; the convergence probe is the
-    label-sum (monotonically decreasing, so equality == fixpoint).
-    """
+    wrong. Driver-loop iterative algorithm (no single SQL statement
+    expresses it; the oracle uses DuckDB's recursive CTE to agree on
+    the fixpoint) — see ``connected_components_edges`` for the
+    alternating-star algorithm and its scale properties."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
         pairwise_jaccard(shingles_df(docs, n=3))
         .filter(F.col("jaccard") >= 0.7)
         .select("doc_a", "doc_b")
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("u", "v").localCheckpoint()
-
-    labels = (
-        edges.select(F.col("u").alias("doc_id"))
-        .distinct()
-        .withColumn("component_id", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    prev_sum = None
-    for it in range(200):  # runaway guard only; convergence is checked
-        neigh_min = (
-            edges.join(labels, edges.v == labels.doc_id)
-            .groupBy("u")
-            .agg(F.min("component_id").alias("nmin"))
-        )
-        labels = (
-            labels.join(neigh_min, labels.doc_id == F.col("u"), "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce(F.col("nmin"), F.col("component_id"))
-                ).alias("component_id"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(
-            "connected-components did not converge in 200 rounds — "
-            "component diameter exceeds the guard; raise the cap"
-        )
+    labels, _rounds = connected_components_edges(pairs)
     return labels.orderBy("doc_id")

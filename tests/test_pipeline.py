@@ -76,6 +76,31 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2, f"IVF top-3 recall {recall:.2f}"
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 64-node chain has diameter 63: min-label propagation would
+    need ~63 rounds, the alternating large/small-star algorithm must
+    collapse it to one component in O(log n) rounds."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    labels, rounds = dedup.connected_components_edges(chain)
+    got = {(r.doc_id, r.component_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(64)}
+    assert rounds <= 12, f"expected O(log n) rounds on a chain, got {rounds}"
+
+
+def test_connected_components_mixed_shapes(spark):
+    """Two components of different shapes (a triangle-with-tail and a
+    disjoint pair) must each collapse to their minimum id."""
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 10), (12, 13), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    labels, _ = dedup.connected_components_edges(edges)
+    got = {(r.doc_id, r.component_id) for r in labels.collect()}
+    assert got == {(10, 10), (11, 10), (12, 10), (13, 10), (20, 20), (21, 20)}
+
+
 def test_ivf_kmeans_recall_on_clustered_corpus(spark, tmp_path):
     """On a corpus where the IVF premise holds (neighbors share
     clusters), seeded-KMeans IVF must reach recall@10 >= 0.9 of the
