@@ -42,6 +42,19 @@ def test_reference_ddl_and_query_verbatim(engine, csv_dir):
     engine.execute("DROP TABLE R")
 
 
+def test_tree_index_ddl_option_tolerated(engine, csv_dir):
+    # the reference's OTHER index kind (Microbase.scala:1009-1024
+    # accepts both hash_index and tree_index options); Parquet min/max
+    # stats + pushdown are the Spark analog, the DDL must parse
+    engine.execute(
+        f"CREATE TABLE RT (bar int, baz int) USING csv "
+        f"OPTIONS(path '{csv_dir}/R.data', delimiter '|', tree_index 'baz')"
+    )
+    df = engine.execute("SELECT bar, baz FROM RT WHERE baz >= 20 ORDER BY bar")
+    assert [tuple(r) for r in df.collect()] == [(2, 20), (3, 30), (4, 40)]
+    engine.execute("DROP TABLE RT")
+
+
 def test_date_typed_csv_and_pipe_sink(engine, csv_dir):
     engine.execute(
         f"CREATE TABLE S (id int, name string, d date) USING csv "
