@@ -1,0 +1,95 @@
+"""Deterministic sampling and dataset-split assignment for
+training-data pipelines (north-star extension; the reference has no
+sampling surface at all).
+
+Both operators key off ``md5(text-of-key)`` *hex-string prefixes*
+rather than numeric hash conversions: md5 produces identical lowercase
+hex in Spark (over UTF-8 bytes) and DuckDB (over the varchar), so the
+oracles reproduce the exact row sets — and the sample is stable across
+runs, engines, partitionings, and cluster sizes, which is the property
+that matters for reproducible training sets (a ``TABLESAMPLE`` or
+``rand()`` sample is none of those things).
+
+Scale shape: both are map-only passes — a filter or a projected CASE
+on a per-row hash — with aggregation only where the query itself
+reports distribution stats. No shuffle is introduced by the sampling
+itself; at 100 TB this runs at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+
+def _doc_hash():
+    """Lowercase md5 hex of the doc_id rendered as text — the
+    deterministic per-row coin, identical in both engines."""
+    return F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+
+
+@register(
+    "sample_deterministic_hash",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+    """,
+    tags=("sample", "deterministic", "scale"),
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~3/16 deterministic sample of the corpus: keep rows whose md5
+    hex starts with 0/1/2. Adding data never reshuffles membership of
+    existing rows (unlike rand() or TABLESAMPLE), so downstream
+    training sets are append-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(_doc_hash(), 1, 1).isin("0", "1", "2")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "sample_train_val_test",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+                    THEN 'val'
+                    ELSE 'test' END AS split,
+               n_chars
+        FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM assigned
+    GROUP BY lang, split
+    """,
+    tags=("sample", "split", "scale"),
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 12/2/2-sixteenths train/val/test assignment from
+    the md5 hex prefix, reported as per-language split sizes — the
+    leakage-proof split: a document's split is a pure function of its
+    id, so no near-dup pair can straddle splits after dedup keyed on
+    the same id space, and re-runs can never migrate rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = F.substring(_doc_hash(), 1, 1)
+    split = (
+        F.when(first.isin(*"0123456789ab"), "train")
+        .when(first.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )

@@ -258,3 +258,120 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("filter(t, x -> x rlike '^[0-9]+$')")).cast("long").alias("n_number_units"),
         F.size(F.expr("filter(t, x -> NOT (x rlike '^[a-z0-9]'))")).cast("long").alias("n_punct_units"),
     ).orderBy("doc_id")
+
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+
+
+@register(
+    "text_pii_scrub",
+    # The corpus has no natural PII, so the query plants deterministic
+    # email/URL strings per doc_id and the redaction must remove
+    # exactly those — both engines build and scrub the same string.
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or https://host/page/'
+                    || CAST(doc_id AS VARCHAR) AS raw
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, raw,
+               regexp_replace(
+                   regexp_replace(raw, '{_PII_URL}', '<URL>', 'g'),
+                   '{_PII_EMAIL}', '<EMAIL>', 'g') AS clean
+        FROM planted
+    )
+    SELECT doc_id,
+           CAST(length(raw) - length(clean) AS BIGINT) AS n_chars_removed,
+           CAST((length(clean) - length(replace(clean, '<EMAIL>', ''))) / 7
+                AS BIGINT) AS n_emails,
+           CAST((length(clean) - length(replace(clean, '<URL>', ''))) / 5
+                AS BIGINT) AS n_urls
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+    tags=("text", "pii", "scrub"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: replace emails and URLs with typed
+    placeholder tokens and report per-doc removal counts — the
+    pre-training scrub every web-scale corpus runs. Pure
+    ``regexp_replace`` (same RE2-compatible patterns in both
+    engines): map-only, JVM-side, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://host/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    planted = docs.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _PII_URL, "<URL>"), _PII_EMAIL, "<EMAIL>"
+    )
+    scrubbed = planted.withColumn("clean", clean)
+    n_emails = (
+        (F.length("clean") - F.length(F.regexp_replace("clean", "<EMAIL>", ""))) / 7
+    )
+    n_urls = (
+        (F.length("clean") - F.length(F.regexp_replace("clean", "<URL>", ""))) / 5
+    )
+    return scrubbed.select(
+        "doc_id",
+        (F.length("raw") - F.length("clean")).cast("long").alias("n_chars_removed"),
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_length_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT lang, n_tokens,
+               CASE WHEN n_tokens < 16 THEN '<16'
+                    WHEN n_tokens < 32 THEN '16-31'
+                    WHEN n_tokens < 64 THEN '32-63'
+                    WHEN n_tokens < 128 THEN '64-127'
+                    ELSE '>=128' END AS bucket
+        FROM toks
+    )
+    SELECT lang, bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM bucketed
+    GROUP BY lang, bucket
+    """,
+    tags=("text", "tokens", "batching"),
+)
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per language in power-of-two-ish buckets
+    — the statistic batch planners use to pack sequences (bucketed
+    batching / sequence-length binning). One map pass + one grouped
+    aggregate on a tiny key space."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", F.size(tokens()).alias("n_tokens"))
+    bucket = (
+        F.when(F.col("n_tokens") < 16, "<16")
+        .when(F.col("n_tokens") < 32, "16-31")
+        .when(F.col("n_tokens") < 64, "32-63")
+        .when(F.col("n_tokens") < 128, "64-127")
+        .otherwise(">=128")
+    )
+    return (
+        t.select("lang", "n_tokens", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

@@ -94,6 +94,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         text,
         multimodal,
+        sampling,
     )
     from rdbms_scala_spark.sources import files as _files  # noqa: F401
     from rdbms_scala_spark.streaming import events as _events  # noqa: F401
