@@ -225,3 +225,69 @@ def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_start_us", "event_type")
     )
+
+
+_FUNNEL_ORACLE = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 's1_view' AS stage, count(*) AS n_users FROM v
+    UNION ALL
+    SELECT 's2_click_after_view', count(*) FROM c
+    UNION ALL
+    SELECT 's3_purchase_after_click', count(*) FROM p
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_ORACLE, tags=("events", "funnel"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view -> click -> purchase): a user
+    advances a stage only with a strictly-later event of the next
+    type — the standard product-analytics conversion count.
+
+    Each stage is one filtered groupBy-min on user_id plus one equi-
+    join back to the events table. Stage tables shrink monotonically
+    (funnels only lose users), and Spark exploits that: the plan
+    broadcasts each aggregated stage into the next stage's join
+    (BroadcastExchange of v into c, c into p — verified in the
+    physical plan), so the big events table is never shuffled for the
+    joins; only the per-stage groupBy-min exchanges on user_id
+    remain. Per-stage event-type filters are pushed to the scans."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def next_stage(prev: DataFrame, etype: str, tcol: str, prev_tcol: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = next_stage(v, "click", "t2", "t1")
+    p = next_stage(c, "purchase", "t3", "t2")
+    counts = [
+        v.agg(F.lit("s1_view").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit("s2_click_after_view").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        p.agg(F.lit("s3_purchase_after_click").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.unionByName(df)
+    return out
