@@ -57,6 +57,8 @@ EXTENSION = [
     "window_running_revenue",
     "join_skew_salted",
     "join_range_binned",
+    "events_funnel",
+    "sample_train_val_test",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

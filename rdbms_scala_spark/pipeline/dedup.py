@@ -446,9 +446,13 @@ def connected_components_edges(
     )
 
     def probe(df: DataFrame):
+        # summands bounded to [0, 1e9) via pmod so the sum can't hit
+        # long overflow under ANSI mode (raw xxhash64 sums would after
+        # ~2 rows); count + order-insensitive hash-sum identify the set
+        edge_hash = F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))
         return tuple(
             df.agg(
-                F.count(F.lit(1)), F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0))
+                F.count(F.lit(1)), F.coalesce(F.sum(edge_hash), F.lit(0))
             ).collect()[0]
         )
 
