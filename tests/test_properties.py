@@ -106,3 +106,59 @@ def test_format_rows_pipe_contract(vals):
         for v in vals:
             if v is not None:
                 assert str(v) in line
+
+
+# undirected edges over a tiny id space: forces multi-edge components,
+# chains, cycles, self-loops and disconnected singletons
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=14
+)
+
+
+@given(edges=edges_strategy)
+@_spark_settings
+def test_connected_components_match_union_find(spark, edges):
+    """The alternating-star fixpoint must equal a reference union-find
+    for ANY edge multiset (cycles, self-loops, duplicate edges,
+    parallel chains)."""
+    from rdbms_scala_spark.pipeline.dedup import connected_components_edges
+
+    real_edges = [(a, b) for a, b in edges if a != b]
+    if not real_edges:
+        return  # query contract: pairs of distinct docs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+
+    df = spark.createDataFrame(real_edges, "doc_a long, doc_b long")
+    labels, _ = connected_components_edges(df)
+    got = {(r.doc_id, r.component_id) for r in labels.collect()}
+    assert got == want
+
+
+@given(left=rows_strategy, right=rows_strategy, threshold=st.integers(0, 5))
+@_spark_settings
+def test_two_phase_skew_join_equals_plain_join(spark, left, right, threshold):
+    """Hot-key splitting must never change join results, whatever the
+    threshold puts on either side of the hot/cold boundary."""
+    from rdbms_scala_spark.operators.joins import two_phase_skew_join
+
+    if not left or not right:
+        return  # empty-side joins are covered by the plain-salt property
+    ldf = spark.createDataFrame(left, "k int, lv int")
+    rdf = spark.createDataFrame(right, "rk int, rv int")
+    plain = ldf.join(rdf, F.col("k") == F.col("rk"))
+    two = two_phase_skew_join(ldf, rdf, "k", "rk", hot_threshold=threshold)
+    key = lambda r: (r["k"], r["lv"], r["rv"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, two.collect()))
