@@ -130,3 +130,62 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_csv(nation, scratch, delimiter="|", header=False)
     df = load_csv(spark, scratch, schema=nation.schema, delimiter="|")
     return df.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+
+
+@register(
+    "json_source_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name
+    FROM region
+    ORDER BY r_regionkey
+    """,
+    tags=("source", "json", "S1", "S6"),
+)
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink roundtrip (a format surface the
+    reference lacks entirely — its only source is delimited CSV,
+    Microbase.scala:966-982): write `region` as JSONL, read it back
+    with a declared schema (never inferred: schema inference is a
+    second full scan at 100 TB), and return it — identical to the
+    Parquet original per the oracle."""
+    import os
+
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    scratch = os.path.join(
+        "/tmp",
+        f"json_roundtrip_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    region.write.mode("overwrite").json(scratch)
+    df = load_json(spark, scratch, schema=region.schema)
+    return df.select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    of ~``target_file_bytes`` and return the output file count.
+
+    The 100 TB housekeeping operator: streaming ingests and
+    fine-grained partitions accumulate kilobyte-scale files whose
+    per-file open/footer cost dominates scans. Sizing uses the actual
+    on-disk bytes (not a row-count guess) and `coalesce` — a
+    shuffle-free repartitioning that only merges (never splits)
+    existing partitions, so compaction reads each source file once
+    and writes sequentially."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, fnames in os.walk(src_dir)
+        for f in fnames
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_dir).coalesce(n_files).write.mode("overwrite").parquet(dest_dir)
+    return sum(f.endswith(".parquet") for f in os.listdir(dest_dir))

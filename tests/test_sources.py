@@ -65,6 +65,25 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan or "n_regionkey" in plan
 
 
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """64 tiny files must compact to the byte-target count with
+    content preserved."""
+    from rdbms_scala_spark.sources.files import compact_small_files
+
+    src = str(tmp_path / "frag")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(64).write.parquet(src)
+    import glob
+    import os
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    total = sum(os.path.getsize(p) for p in glob.glob(f"{src}/*.parquet"))
+    dest = str(tmp_path / "compact")
+    n = compact_small_files(spark, src, dest, target_file_bytes=total // 3)
+    assert n <= 4  # ceil(total / (total/3)) = 3 (+1 slack for fs overhead)
+    assert spark.read.parquet(dest).count() == orders.count()
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     """Co-located bucketed layout: joining two tables bucketed on the
     join key must not shuffle either side — the persistent-layout
