@@ -309,16 +309,16 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase skew-salted equi-join: identical results to the plain
     join (the oracle is the unsalted SQL) via ``two_phase_skew_join``.
 
-    The threshold here (4 lines per order; testdata max is 7) is set
-    artificially low so the driver gate exercises BOTH phases — cold
-    plain join and salted hot join — with the oracle proving the union
-    is exact. Production thresholds sit around the per-reducer row
-    budget (~1e5+), where the hot set is a handful of pathological
-    keys."""
+    The threshold here (6 lines per order; testdata max is 7, so the
+    ~1/7 of orders at the max count go hot) is set artificially low so
+    the driver gate exercises BOTH phases — cold plain join and salted
+    hot join — with the oracle proving the union is exact. Production
+    thresholds sit around the per-reducer row budget (~1e5+), where
+    the hot set is a handful of pathological keys."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     joined = two_phase_skew_join(
-        li, orders, "l_orderkey", "o_orderkey", hot_threshold=4
+        li, orders, "l_orderkey", "o_orderkey", hot_threshold=6
     )
     return (
         joined.groupBy("o_orderpriority")
