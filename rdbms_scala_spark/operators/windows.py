@@ -203,3 +203,36 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_totalprice", "o_orderkey")
     )
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(c_acctbal, 2) AS c_acctbal,
+           ntile(4) OVER w AS balance_quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist per market segment — the statistical ranking family
+    (quantile bucketing for stratified sampling, percentile features).
+    All three share ONE window spec, so Spark evaluates them in a
+    single sort+exchange; the tie-break on c_custkey makes every rank
+    deterministic cross-engine."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    ).orderBy("c_custkey")
