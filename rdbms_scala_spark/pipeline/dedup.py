@@ -524,3 +524,51 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels, _rounds = connected_components_edges(pairs)
     return labels.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# 7. edit-distance (Levenshtein) near-dup
+
+
+@register(
+    "dedup_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(lower(trim(a.text)), 1, 32),
+                       substr(lower(trim(b.text)), 1, 32)) AS edit_distance
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(lower(trim(a.text)), 1, 32),
+                      substr(lower(trim(b.text)), 1, 32)) <= 12
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "neardup", "editdistance"),
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup tier: same-source doc pairs whose
+    32-char lowercase prefixes are within Levenshtein distance 12 —
+    the fuzzy-match complement to token-level Jaccard (catches
+    character-level noise: OCR errors, encoding damage, small edits
+    that shred token trigrams).
+
+    Scale shape: ``source`` blocking keeps the pair space a bounded
+    per-block local cross (stand-in for an LSH/cluster partitioner,
+    as in dedup_embedding_cosine); the distance runs on fixed-length
+    prefixes so each comparison is O(32^2) regardless of document
+    length, JVM-side via the built-in levenshtein expression."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring(F.lower(F.trim(F.col("text"))), 1, 32).alias("p")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"), F.col("p").alias("pa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"), F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("doc_a") < F.col("doc_b")))
+        .withColumn("edit_distance", F.levenshtein("pa", "pb"))
+        .filter(F.col("edit_distance") <= 12)
+        .select("doc_a", "doc_b", "edit_distance")
+        .orderBy("doc_a", "doc_b")
+    )
