@@ -291,3 +291,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in counts[1:]:
         out = out.unionByName(df)
     return out
+
+
+_RETENTION_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+           count(*) AS n_active_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_day, a.day - f.cohort_day
+"""
+
+
+@register("events_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("events", "cohort"))
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    on each later active day as an offset from their cohort — the
+    standard retention triangle. Two aggregations and one join, all
+    keyed on user_id (the firsts aggregate broadcasts back into the
+    activity join since cohorts ≪ events); day arithmetic is
+    integer-exact and the cohort day is emitted as a formatted string
+    so both engines hash identically."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
