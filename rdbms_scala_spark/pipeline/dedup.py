@@ -369,16 +369,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold 0.35 sits at the synthetic corpus's ~99.9th percentile
     (vectors are near-random; real near-dup corpora use ~0.95+).
     """
-    from rdbms_scala_spark.pipeline.similarity import _as_double, cosine
+    from rdbms_scala_spark.pipeline.similarity import _as_double, cosine_pre, norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("dup_id"), F.col("label").alias("la"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("nb_id"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    a = emb.select(
+        F.col("vec_id").alias("dup_id"), F.col("label").alias("la"), F.col("v").alias("va")
+    ).withColumn("nva", norm("va"))
+    b = emb.select(
+        F.col("vec_id").alias("nb_id"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    ).withColumn("nvb", norm("vb"))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("nb_id") < F.col("dup_id")))
-        .withColumn("cos", cosine("va", "vb"))
+        .withColumn("cos", cosine_pre("va", "vb", "nva", "nvb"))
         .filter(F.col("cos") >= 0.35)
         .groupBy("dup_id")
         .agg(

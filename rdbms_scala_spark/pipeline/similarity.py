@@ -32,15 +32,33 @@ def _as_double(col: str):
     return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
 
 
+def norm(col: str):
+    """L2 norm of an array<double> column — same expression the
+    inline cosine used, so precomputed norms are bit-identical."""
+    return F.sqrt(F.expr(f"aggregate({col}, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"))
+
+
+def dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def cosine(a: str, b: str):
     """Cosine similarity between two array<double> columns, built-ins
     only: elementwise product via zip_with, sums via aggregate."""
-    dot = F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    na = F.sqrt(F.expr(f"aggregate({a}, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"))
-    nb = F.sqrt(F.expr(f"aggregate({b}, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"))
-    return dot / (na * nb)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pre(a: str, b: str, na: str, nb: str):
+    """Cosine with PRE-COMPUTED norm columns: in pairwise joins the
+    inline form recomputes each side's norm once per *pair* (16x per
+    corpus vector in IVF assignment, |block| times in blocked joins);
+    hoisting the norms into per-row columns removes ~2/3 of the
+    per-pair arithmetic and — because ``norm`` is the identical
+    expression over the identical data — produces the exact same
+    doubles, keeping the cross-engine oracles stable."""
+    return dot(a, b) / (F.col(na) * F.col(nb))
 
 
 _BRUTE_ORACLE = f"""
@@ -71,15 +89,18 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank per query. The corpus scan is embarrassingly parallel; the
     final top-k is a per-query window over k*|Q| rows."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("nv"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("nv")
+    ).withColumn("nn", norm("nv"))
     queries = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv"))
+        .withColumn("qn", norm("qv"))
     )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine("qv", "nv").alias("cos"))
+        .select("query_id", "neighbor_id", cosine_pre("qv", "nv", "qn", "nn").alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -149,14 +170,18 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qvecs = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    qvecs = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("qn", norm("qv"))
     )
-    nvecs = emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+    nvecs = emb.select(F.col("vec_id").alias("neighbor_id"), "v").withColumn(
+        "vn", norm("v")
+    )
     cand = (
         cand_ids.join(F.broadcast(qvecs), "query_id")
         .join(nvecs, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine("qv", "v").alias("cos"))
+        .select("query_id", "neighbor_id", cosine_pre("qv", "v", "qn", "vn").alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -186,11 +211,15 @@ def similarity_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFr
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("v").alias("va")
+    ).withColumn("na", norm("va"))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    ).withColumn("nb", norm("vb"))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos", cosine("va", "vb"))
+        .withColumn("cos", cosine_pre("va", "vb", "na", "nb"))
         .filter(F.col("cos") >= 0.8)
         .select("vec_a", "vec_b", F.round("cos", 3).alias("cosine"))
     )
@@ -254,11 +283,20 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame, nprobe: int = _IVF_NPROBE) -> Dat
     centroids (one row out per vector); the candidate join shuffles on
     cent_id — |corpus|/K rows per list, nprobe lists per query — so
     cost scales with probed-list size, not corpus size. AQE splits any
-    hot centroid list."""
+    hot centroid list. Norms are hoisted into per-row columns once
+    (``cosine_pre``) instead of being recomputed per centroid pair."""
+    emb_n = emb.withColumn("vn", norm("v"))
+    cent_n = cent.withColumn("cn", norm("cv"))
 
-    def nearest_centroids(points: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
-        scored = points.crossJoin(F.broadcast(cent)).select(
-            id_col, vec_col, "cent_id", cosine(vec_col, "cv").alias("ccos")
+    def nearest_centroids(
+        points: DataFrame, id_col: str, vec_col: str, norm_col: str, n: int
+    ) -> DataFrame:
+        scored = points.crossJoin(F.broadcast(cent_n)).select(
+            id_col,
+            vec_col,
+            norm_col,
+            "cent_id",
+            cosine_pre(vec_col, "cv", norm_col, "cn").alias("ccos"),
         )
         if n == 1:
             # argmax as a single hash aggregate (max_by on (cos, -id)
@@ -268,6 +306,7 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame, nprobe: int = _IVF_NPROBE) -> Dat
             return scored.groupBy(id_col).agg(
                 F.max_by("cent_id", F.struct(F.col("ccos"), -F.col("cent_id"))).alias("cent_id"),
                 F.first(vec_col).alias(vec_col),
+                F.first(norm_col).alias(norm_col),
             )
         w = W.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cent_id"))
         return (
@@ -276,20 +315,27 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame, nprobe: int = _IVF_NPROBE) -> Dat
             .drop("rn", "ccos")
         )
 
-    assign = nearest_centroids(emb, "vec_id", "v", 1)
+    assign = nearest_centroids(emb_n, "vec_id", "v", "vn", 1)
     # probes: |queries| x nprobe rows — tiny; the window form is fine
     probe = nearest_centroids(
-        emb.filter(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        emb_n.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("vn").alias("qn"),
         ),
         "query_id",
         "qv",
+        "qn",
         nprobe,
     )
     scored = (
         probe.join(assign, "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine("qv", "v").alias("cos"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_pre("qv", "v", "qn", "vn").alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
