@@ -93,3 +93,41 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "sample_per_group_cap",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 5
+    ORDER BY lang, doc_id
+    """,
+    tags=("sample", "balance", "scale"),
+)
+def sample_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class cap: keep at most 5 documents per language, chosen by
+    md5-hash order — the class-balancing sampler (caps over-represented
+    languages/sources without biasing toward low ids). Deterministic
+    and append-stable *within* the kept set ordering; one window over
+    the group key. At 100 TB with few groups the window key is low-
+    cardinality, so this is the place to pre-repartition by (lang,
+    hash-bucket) and take per-bucket caps if a single language
+    dominates a reducer."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(_doc_hash(), "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

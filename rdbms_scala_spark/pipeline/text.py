@@ -375,3 +375,47 @@ def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "text_ngram_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS trigram
+        FROM idx
+    ),
+    counted AS (
+        SELECT trigram, count(*) AS freq FROM sh GROUP BY trigram
+    )
+    SELECT trigram, freq
+    FROM counted
+    ORDER BY freq DESC, trigram
+    LIMIT 20
+    """,
+    tags=("text", "ngram", "vocab"),
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token trigrams with counts — the vocabulary/
+    phrase-statistics builder (feeds BPE merge selection, boilerplate
+    detection, and the shingle df-cap threshold choice). Explode +
+    one map-side-combinable count + TakeOrdered top-k: no global sort,
+    the k rows collapse at the driver. Deterministic tie-break on the
+    trigram text keeps the cross-engine hash stable."""
+    from rdbms_scala_spark.pipeline.dedup import shingles_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs, n=3, distinct=False)
+    return (
+        sh.groupBy(F.col("shingle").alias("trigram"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "trigram")
+        .limit(20)
+    )
