@@ -115,18 +115,31 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class cap: keep at most 5 documents per language, chosen by
     md5-hash order — the class-balancing sampler (caps over-represented
-    languages/sources without biasing toward low ids). Deterministic
-    and append-stable *within* the kept set ordering; one window over
-    the group key. At 100 TB with few groups the window key is low-
-    cardinality, so this is the place to pre-repartition by (lang,
-    hash-bucket) and take per-bucket caps if a single language
-    dominates a reducer."""
+    languages/sources without biasing toward low ids; deterministic).
+
+    Two-level evaluation because the group key is LOW-cardinality: a
+    single window over `lang` would funnel an entire language through
+    one reducer at 100 TB. Level 1 pre-caps within (lang, hash-bucket)
+    — 32 parallel reducers per language, each keeping its local top-5
+    by hash order; level 2 re-windows over the <= 5x32 survivors per
+    language. The global top-5-by-hash is contained in the union of
+    per-bucket top-5s, so the result is identical to the single-window
+    form (which is what the oracle expresses)."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(_doc_hash(), "doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _doc_hash().alias("h")
+    )
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(32))
+    w_local = W.partitionBy("lang", bucket).orderBy("h", "doc_id")
+    survivors = (
+        docs.withColumn("rn_local", F.row_number().over(w_local))
+        .filter(F.col("rn_local") <= 5)
+        .drop("rn_local")
+    )
+    w_final = W.partitionBy("lang").orderBy("h", "doc_id")
     return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        survivors.withColumn("rn", F.row_number().over(w_final))
         .filter(F.col("rn") <= 5)
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
