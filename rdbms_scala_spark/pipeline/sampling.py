@@ -10,10 +10,13 @@ runs, engines, partitionings, and cluster sizes, which is the property
 that matters for reproducible training sets (a ``TABLESAMPLE`` or
 ``rand()`` sample is none of those things).
 
-Scale shape: both are map-only passes — a filter or a projected CASE
-on a per-row hash — with aggregation only where the query itself
-reports distribution stats. No shuffle is introduced by the sampling
-itself; at 100 TB this runs at scan speed.
+Scale shape: hash sampling and split assignment are map-only passes —
+a filter or a projected CASE on a per-row hash — with aggregation only
+where the query itself reports distribution stats; no shuffle is
+introduced by the sampling itself, so at 100 TB they run at scan
+speed. The per-class cap sampler is the exception (it needs a
+per-group ranking) and is evaluated as a two-level window to keep
+low-cardinality group keys off single reducers.
 """
 
 from __future__ import annotations
