@@ -51,6 +51,7 @@ EXTENSION = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "similarity_lsh_ann",
     "similarity_ivf",
     "text_quality_score",
     "events_sessionize",
@@ -81,25 +82,28 @@ def main() -> None:
             tables[name].cache().count()
 
     # 2./3. per family: untimed warm pass (codegen compile + JIT),
-    # then TWO timed passes keeping the per-query minimum — the host
-    # shares cores with the build harness, so min-of-2 measures the
-    # engine rather than transient machine load. Families are
-    # sequenced so the extension queries' internal caches (LSH
-    # signatures etc.) don't sit on the heap while the TPC-H pack is
-    # being timed.
-    timings: dict[str, float] = {}
+    # then THREE timed passes keeping the per-query minimum — the host
+    # shares cores with the build harness, so min-of-N measures the
+    # engine rather than transient machine load; the full pass list is
+    # recorded so a uniform host-load shift is self-diagnosing from
+    # the JSON (spread across passes >> spread across queries = noise,
+    # not regression). Families are sequenced so the extension
+    # queries' internal caches (LSH signatures etc.) don't sit on the
+    # heap while the TPC-H pack is being timed.
+    passes: dict[str, list[float]] = {}
     for family in (HEADLINE, EXTENSION):
         fam = [n for n in family if n in specs]
         for name in fam:
             specs[name].fn(spark, sf_dir).count()
-        for _rep in range(2):
+        for _rep in range(3):
             for name in fam:
                 t0 = time.perf_counter()
                 df = specs[name].fn(spark, sf_dir)
                 n = df.count() if df.isStreaming is False else -1
                 dt = round(time.perf_counter() - t0, 4)
-                timings[name] = min(timings.get(name, dt), dt)
+                passes.setdefault(name, []).append(dt)
                 _ = n
+    timings = {name: min(ts) for name, ts in passes.items()}
     tpch_total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
     print(
         json.dumps(
@@ -108,6 +112,7 @@ def main() -> None:
                 "value": tpch_total,
                 "unit": "sec",
                 "queries": timings,
+                "passes": passes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

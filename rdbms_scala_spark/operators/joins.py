@@ -255,40 +255,61 @@ def two_phase_skew_join(
     salt_factor: int = _SALT_FACTOR,
     hot_threshold: int = 100_000,
 ) -> DataFrame:
-    """Equi-join with hot-key-only salting; result identical to
+    """Equi-join with hot-key-only grid salting; result identical to
     ``left.join(right, left[left_key] == right[right_key])``.
 
-    Phase split: keys whose left-side count exceeds ``hot_threshold``
-    are "hot". Cold rows (the overwhelming majority) take a plain
-    shuffle join — zero overhead. Hot left rows get a per-row salt
-    ``pmod(xxhash64(all columns), S)``, and ONLY the right rows
-    matching a hot key are replicated S ways; the hot join runs on
-    ``(key, salt)`` so each hot key spreads over S reducers. The
-    replicated volume is S x |right rows with hot keys| — bounded by
-    the (few) heavy hitters, not S x |right| as naive full-table
-    salting costs. The hot-key set rides a broadcast into both the
-    semi/anti splits and needs no extra shuffle. This is the manual
-    fallback for skew that AQE's runtime split can't fix (skewed keys
-    feeding a stateful op, or a build side too big to split)."""
-    hot = F.broadcast(hot_keys(left, left_key, hot_threshold))
+    Phase split: keys whose count exceeds ``hot_threshold`` on EITHER
+    side are "hot" (a key heavy only on the right would otherwise
+    still funnel one reducer). Cold rows (the overwhelming majority)
+    take a plain shuffle join — zero overhead. Hot rows take a 2-D
+    grid salt: each hot left row draws a random row-salt ``i`` and is
+    replicated across all ``j``; each hot right row draws ``j`` and is
+    replicated across all ``i``; joining on ``(key, i, j)`` lands
+    every output pair on exactly one of S*S reducers, each seeing
+    ~|left_k|/S + |right_k|/S rows — bounded regardless of WHICH side
+    is heavy. Replicated volume is S x |hot rows of each side| —
+    bounded by the (few) heavy hitters, not S x |table| as naive
+    full-table salting costs. The hot-key set rides a broadcast into
+    both the semi/anti splits and needs no extra shuffle. This is the
+    manual fallback for skew that AQE's runtime split can't fix
+    (skewed keys feeding a stateful op, or a build side too big to
+    split)."""
+    hot = F.broadcast(
+        hot_keys(left, left_key, hot_threshold).union(
+            hot_keys(right, right_key, hot_threshold).withColumnRenamed(
+                right_key, left_key
+            )
+        ).distinct()
+    )
     hot_r = hot.withColumnRenamed(left_key, right_key)
 
     left_cold = left.join(hot, left_key, "left_anti")
     right_cold = right.join(hot_r, right_key, "left_anti")
     cold = left_cold.join(right_cold, left_cold[left_key] == right_cold[right_key])
 
-    left_hot = left.join(hot, left_key, "left_semi").withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor)),
+    all_salts = F.array(*[F.lit(i) for i in range(salt_factor)])
+    left_hot = (
+        left.join(hot, left_key, "left_semi")
+        .withColumn(
+            "__si",
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor)),
+        )
+        .withColumn("__sj", F.explode(all_salts))
     )
-    right_hot = right.join(hot_r, right_key, "left_semi").withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    right_hot = (
+        right.join(hot_r, right_key, "left_semi")
+        .withColumn(
+            "__sj",
+            F.pmod(F.xxhash64(*[F.col(c) for c in right.columns]), F.lit(salt_factor)),
+        )
+        .withColumn("__si", F.explode(all_salts))
     )
     hot_join = left_hot.join(
         right_hot,
         (left_hot[left_key] == right_hot[right_key])
-        & (left_hot["__salt"] == right_hot["__salt"].cast("long")),
-    ).drop("__salt")
+        & (left_hot["__si"] == right_hot["__si"].cast("long"))
+        & (left_hot["__sj"].cast("long") == right_hot["__sj"]),
+    ).drop("__si", "__sj")
 
     return cold.unionByName(hot_join)
 

@@ -11,9 +11,10 @@ Four tiers, by cost/recall tradeoff at 100 TB:
   the worst case but bounded by shared-shingle co-occurrence; the
   correctness anchor for the approximate tiers.
 - MinHash + LSH banding: linear-ish scale path. Signatures are k
-  independent min-hashes (xxhash64 with per-permutation seeds), banded
-  so that only same-band-hash docs are candidate pairs — the join is
-  on (band, band_hash), never all-pairs.
+  independent min-hashes (seed-prefixed md5, string-min — identical
+  hex in DuckDB, so the whole tier is oracle-checked), banded so that
+  only same-band-hash docs are candidate pairs — the join is on
+  (band, band_hash), never all-pairs.
 - SimHash: 64-bit fingerprints whose Hamming distance tracks cosine
   similarity of token sets; candidates via 16-bit chunk banding
   (pigeonhole: hamming<=3 => some chunk of 4 equal).
@@ -26,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from rdbms_scala_spark.catalog import load_table
 from rdbms_scala_spark.registry import register
@@ -195,22 +197,74 @@ _ROWS_PER_BAND = _NUM_PERM // _BANDS
 
 
 def minhash_signatures(sh: DataFrame, num_perm: int = _NUM_PERM) -> DataFrame:
-    """(doc_id, sig array<long>): per-permutation min of seeded
-    xxhash64 over the doc's shingles. One aggregation; signature size
-    is fixed (num_perm longs) regardless of doc length."""
+    """(doc_id, sig array<string>): per-permutation min of seeded md5
+    hex over the doc's shingles. One aggregation; signature size is
+    fixed (num_perm values) regardless of doc length.
+
+    The "permutation" hash is ``md5('<i>:' || shingle)`` compared as a
+    *string*: lexicographic order over uniform hex IS a uniform random
+    order of the shingle space, so the min-hash collision property
+    (P[min_a = min_b] = Jaccard) holds unchanged — and md5 hex is
+    byte-identical in DuckDB, which makes the whole pipeline (mins,
+    band hashes, candidate set, estimates) cross-engine checkable,
+    where the previous xxhash64 form was Spark-only."""
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_perm)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def _minhash_oracle() -> str:
+    """DuckDB mirror of dedup_minhash_lsh: same md5 permutation mins,
+    same banded candidate join, same matching-position estimate."""
+    h = [f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_NUM_PERM)]
+    bands = []
+    for b in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"h{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM sig")
+    matches = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_PERM)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    sig AS (
+        SELECT doc_id, {', '.join(h)}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {' UNION ALL '.join(bands)}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ({matches}) / {_NUM_PERM}.0 AS est_jaccard
+    FROM cand
+    JOIN sig x ON x.doc_id = doc_a
+    JOIN sig y ON y.doc_id = doc_b
+    WHERE ({matches}) / {_NUM_PERM}.0 >= 0.7
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    # xxhash64 seeds are Spark-specific; no cross-engine oracle. The
-    # exact companion `dedup_ngram_jaccard` anchors correctness, and
-    # tests assert LSH recovers its >=0.9 pairs.
-    oracle=None,
+    oracle=_minhash_oracle(),
     tags=("dedup", "neardup", "lsh", "scale"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,7 +283,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 f"transform(sequence(0, {_BANDS - 1}), "
-                f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}))) AS bh))"
+                f"b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}))) AS bh))"
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("band_hash"))
@@ -260,8 +314,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_jaccard"),
         )
     )
+    # No rounding: k/32 is exactly representable in binary on both
+    # engines (power-of-two denominator), and rounding would land on
+    # half-way cases (e.g. 23/32 = 0.71875) where Spark (half-up) and
+    # DuckDB (half-even) disagree.
     return est.filter(F.col("est_jaccard") >= 0.7).select(
-        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+        "doc_a", "doc_b", "est_jaccard"
     )
 
 
@@ -269,10 +327,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4. SimHash
 
 
+_HEX_HI = "('8','9','a','b','c','d','e','f')"  # hex chars w/ high nibble bit
+
+
+def _simhash_oracle() -> str:
+    """DuckDB mirror of dedup_simhash: the same md5-nibble bit votes,
+    fingerprint halves, chunk banding and Hamming check."""
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(h{b // 32}, {b % 32 + 1}, 1) IN {_HEX_HI} "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    fp_lo = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(32)
+    )
+    fp_hi = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << (b - 32)}::BIGINT ELSE 0 END)"
+        for b in range(32, 64)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, fp_lo, fp_hi, {c} AS chunk, "
+        f"(({'fp_lo' if c < 4 else 'fp_hi'} >> {(c % 4) * 8}) & 255) AS cv FROM fp"
+        for c in range(8)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    hashes AS (
+        SELECT doc_id, md5('0:' || shingle) AS h0, md5('1:' || shingle) AS h1
+        FROM sh
+    ),
+    bits AS (SELECT doc_id, {votes} FROM hashes GROUP BY doc_id),
+    fp AS (SELECT doc_id, ({fp_lo}) AS fp_lo, ({fp_hi}) AS fp_hi FROM bits),
+    chunks AS ({chunk_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.fp_lo AS fla, a.fp_hi AS fha, b.fp_lo AS flb, b.fp_hi AS fhb
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+               bit_count(xor(fla, flb)) + bit_count(xor(fha, fhb)) AS hamming
+        FROM cand
+    ) WHERE hamming <= 10
+    """
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based bits are Spark-specific; tests check
-    # it recovers the planted near-dup pairs.
+    oracle=_simhash_oracle(),
     tags=("dedup", "neardup", "simhash", "scale"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,40 +395,64 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per doc: 64-bit fingerprint = sign-aggregate of shingle-hash bits
     (trigram shingles, not bare tokens — the corpus vocabulary is
     small, so token-set fingerprints would collapse; shingles keep the
-    feature space discriminative). Candidate generation by pigeonhole
+    feature space discriminative). The 64 per-shingle bits are the
+    high bits of the 32 hex nibbles of md5('0:'||shingle) and
+    md5('1:'||shingle) — byte-identical in DuckDB, so (unlike the
+    earlier xxhash64 form) the full pipeline is oracle-checked. The
+    fingerprint is carried as two 32-bit halves (fp_lo, fp_hi): DuckDB
+    can't shift into bit 63, and two-halves keeps every literal
+    positive in both engines. Candidate generation by pigeonhole
     banding on eight 8-bit chunks (hamming <= 7 *guarantees* a chunk
     match; <= 10 nearly always has one); exact Hamming check via
-    bit_count(xor). Everything is built-in exprs — no Python in the
-    hot path."""
+    bit_count(xor) summed over halves. Everything is built-in exprs —
+    no Python in the hot path."""
     docs = load_table(spark, sf_dir, "documents")
     tok = shingles_df(docs, n=3, distinct=True).withColumnRenamed("shingle", "tok")
-    tok = tok.withColumn("h", F.xxhash64("tok"))
-    # bit votes: +1 if bit set else -1, summed per bit position
+    tok = tok.withColumn("h0", F.md5(F.concat(F.lit("0:"), F.col("tok")))).withColumn(
+        "h1", F.md5(F.concat(F.lit("1:"), F.col("tok")))
+    )
+    # bit votes: +1 if the bit's hex nibble has its high bit set else
+    # -1, summed per position; bit b comes from char b%32 of h{b//32}
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+                F.expr(
+                    f"CASE WHEN substring(h{b // 32}, {b % 32 + 1}, 1) "
+                    f"IN {_HEX_HI} THEN 1 ELSE -1 END"
+                )
+            ).alias(f"s{b}")
             for b in range(64)
         ]
     )
     fp = bit_sums.select(
         "doc_id",
         F.expr(
-            "+".join(
-                [f"shiftleft(CAST(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END AS BIGINT), {b})" for b in range(64)]
+            " + ".join(
+                f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(32)
             )
-        ).alias("fp"),
+        ).alias("fp_lo"),
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN s{b} > 0 THEN {1 << (b - 32)}L ELSE 0L END)"
+                for b in range(32, 64)
+            )
+        ).alias("fp_hi"),
     ).cache()
     chunks = fp.select(
         "doc_id",
-        "fp",
+        "fp_lo",
+        "fp_hi",
         F.explode(
             F.expr(
-                "transform(sequence(0, 7), c -> struct(c AS chunk, shiftright(fp, c * 8) & 255 AS cv))"
+                "transform(sequence(0, 7), c -> struct(c AS chunk, "
+                "CASE WHEN c < 4 THEN shiftright(fp_lo, c * 8) & 255 "
+                "ELSE shiftright(fp_hi, (c - 4) * 8) & 255 END AS cv))"
             )
         ).alias("e"),
-    ).select("doc_id", "fp", F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv"))
+    ).select(
+        "doc_id", "fp_lo", "fp_hi",
+        F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv"),
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -326,13 +464,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
+            F.col("a.fp_lo").alias("fla"),
+            F.col("a.fp_hi").alias("fha"),
+            F.col("b.fp_lo").alias("flb"),
+            F.col("b.fp_hi").alias("fhb"),
         )
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.expr("fp_a ^ fp_b")))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.expr("fla ^ flb")) + F.bit_count(F.expr("fha ^ fhb")),
+        )
         .filter(F.col("hamming") <= 10)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -534,14 +677,67 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 7. edit-distance (Levenshtein) near-dup
 
 
+_LEV_LEN_BUCKET = 64  # n_chars bucket width for the composite block key
+
+
+def lev_blocked_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, edit_distance) over the composite-blocked pair
+    space: candidates share (source, 4-char prefix band, n_chars//64
+    length bucket). ``docs`` needs (doc_id, source, n_chars, text).
+
+    The composite key is what bounds the block: blocking on ``source``
+    alone degenerates toward all-pairs when one source dominates the
+    corpus (block size grows with corpus size); the prefix band and
+    length bucket cut each source's rows into blocks whose size tracks
+    text diversity, not source cardinality — the standard multi-key
+    blocking shape for entity resolution. Every key is a plain column
+    expression, so the DuckDB oracle reproduces the exact pair space.
+    """
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 32).alias("p"),
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 4).alias("band"),
+        F.expr(f"n_chars div {_LEV_LEN_BUCKET}").alias("lb"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("sa"),
+        F.col("p").alias("pa"),
+        F.col("band").alias("ba"),
+        F.col("lb").alias("la"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("sb"),
+        F.col("p").alias("pb"),
+        F.col("band").alias("bb"),
+        F.col("lb").alias("lbb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("sa") == F.col("sb"))
+            & (F.col("ba") == F.col("bb"))
+            & (F.col("la") == F.col("lbb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("edit_distance", F.levenshtein("pa", "pb"))
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
 @register(
     "dedup_levenshtein",
-    oracle="""
+    oracle=f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(substr(lower(trim(a.text)), 1, 32),
                        substr(lower(trim(b.text)), 1, 32)) AS edit_distance
     FROM documents a JOIN documents b
-      ON a.source = b.source AND a.doc_id < b.doc_id
+      ON a.source = b.source
+     AND substr(lower(trim(a.text)), 1, 4) = substr(lower(trim(b.text)), 1, 4)
+     AND a.n_chars // {_LEV_LEN_BUCKET} = b.n_chars // {_LEV_LEN_BUCKET}
+     AND a.doc_id < b.doc_id
     WHERE levenshtein(substr(lower(trim(a.text)), 1, 32),
                       substr(lower(trim(b.text)), 1, 32)) <= 12
     ORDER BY doc_a, doc_b
@@ -549,31 +745,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "neardup", "editdistance"),
 )
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup tier: same-source doc pairs whose
-    32-char lowercase prefixes are within Levenshtein distance 12 —
-    the fuzzy-match complement to token-level Jaccard (catches
+    """Edit-distance near-dup tier: blocked doc pairs whose 32-char
+    lowercase prefixes are within Levenshtein distance 12 — the
+    fuzzy-match complement to token-level Jaccard (catches
     character-level noise: OCR errors, encoding damage, small edits
     that shred token trigrams).
 
-    Scale shape: ``source`` blocking keeps the pair space a bounded
-    per-block local cross (stand-in for an LSH/cluster partitioner,
-    as in dedup_embedding_cosine); the distance runs on fixed-length
-    prefixes so each comparison is O(32^2) regardless of document
-    length, JVM-side via the built-in levenshtein expression."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.substring(F.lower(F.trim(F.col("text"))), 1, 32).alias("p")
-    )
-    a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"), F.col("p").alias("pa")
-    )
-    b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"), F.col("p").alias("pb")
-    )
+    Scale shape: candidates come from ``lev_blocked_pairs`` — a
+    composite (source, prefix band, length bucket) block key whose
+    block sizes are bounded independent of source cardinality; the
+    distance runs on fixed-length prefixes so each comparison is
+    O(32^2) regardless of document length, JVM-side via the built-in
+    levenshtein expression."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("doc_a") < F.col("doc_b")))
-        .withColumn("edit_distance", F.levenshtein("pa", "pb"))
+        lev_blocked_pairs(docs.select("doc_id", "source", "n_chars", "text"))
         .filter(F.col("edit_distance") <= 12)
-        .select("doc_a", "doc_b", "edit_distance")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -586,7 +773,7 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental",
     oracle="""
     WITH split AS (
-        SELECT CAST(max(doc_id) / 2 AS BIGINT) AS split_at FROM documents
+        SELECT max(doc_id) // 2 AS split_at FROM documents
     ),
     existing AS (
         SELECT doc_id, md5(lower(trim(text))) AS fp
@@ -597,8 +784,9 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents, split WHERE doc_id >= split_at
     )
     SELECT i.doc_id AS new_doc_id,
-           min(e.doc_id) AS existing_dup_id
-    FROM incoming i JOIN existing e USING (fp)
+           min(e.doc_id) AS existing_dup_id,
+           count(e.doc_id) AS n_existing_copies
+    FROM incoming i LEFT JOIN existing e USING (fp)
     GROUP BY i.doc_id
     ORDER BY new_doc_id
     """,
@@ -613,20 +801,120 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand in for existing-vs-new; in production the existing side is a
     persisted (bucketed-by-fp) fingerprint table, so this join is
     co-partitioned and the new batch is the only thing shuffled.
-    Returns each incoming doc that collides with the store and its
-    canonical existing keeper."""
+    Returns every incoming doc with its canonical existing keeper
+    (NULL when the batch doc is novel) and existing-copy count.
+
+    The pivot is ``max(doc_id) div 2`` — *integer* division on both
+    engines (Spark ``div``, DuckDB ``//``), so the two splits are
+    provably identical (a float ``/2`` + cast diverges: Spark's long
+    cast truncates, DuckDB's rounds half-to-even). It rides into the
+    plan as a broadcast 1-row cross join, not a driver-side
+    ``collect()`` — the query function stays a pure plan builder with
+    no eager action (real ingestion is handed the batch boundary)."""
     docs = load_table(spark, sf_dir, "documents")
-    pivot = docs.agg((F.max("doc_id") / 2).cast("long")).collect()[0][0]
+    split = docs.agg(F.expr("max(doc_id) div 2").alias("split_at"))
     fp = F.md5(F.lower(F.trim(F.col("text"))))
-    existing = docs.filter(F.col("doc_id") < pivot).select(
+    keyed = docs.crossJoin(F.broadcast(split))
+    existing = keyed.filter(F.col("doc_id") < F.col("split_at")).select(
         F.col("doc_id").alias("existing_id"), fp.alias("fp")
     )
-    incoming = docs.filter(F.col("doc_id") >= pivot).select(
+    incoming = keyed.filter(F.col("doc_id") >= F.col("split_at")).select(
         F.col("doc_id").alias("new_doc_id"), fp.alias("fp")
     )
+    # LEFT join: every incoming doc reports its dup status (keeper id
+    # or NULL) — an inner join can legitimately return zero rows on a
+    # dup-free batch, which would make the correctness gate vacuous.
     return (
-        incoming.join(existing, "fp")
+        incoming.join(existing, "fp", "left")
         .groupBy("new_doc_id")
-        .agg(F.min("existing_id").alias("existing_dup_id"))
+        .agg(
+            F.min("existing_id").alias("existing_dup_id"),
+            F.count("existing_id").alias("n_existing_copies"),
+        )
         .orderBy("new_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9. benchmark decontamination
+
+
+@register(
+    "dedup_contamination_check",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM train GROUP BY doc_id),
+    overlap AS (
+        SELECT t.doc_id, b.doc_id AS bench_doc_id, count(*) AS n_shared
+        FROM train t JOIN bench b ON t.shingle = b.shingle
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT doc_id, bench_doc_id, n_shared,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n_shared DESC, bench_doc_id) AS rn
+        FROM overlap
+    )
+    SELECT r.doc_id, r.bench_doc_id, r.n_shared,
+           round(r.n_shared * 1.0 / s.n_sh, 4) AS contamination_ratio
+    FROM ranked r JOIN sz s ON s.doc_id = r.doc_id
+    WHERE r.rn = 1 AND r.n_shared >= 3
+    ORDER BY r.doc_id
+    """,
+    tags=("dedup", "contamination", "scale"),
+)
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing >= 3
+    distinct token trigrams with any benchmark document, reporting the
+    worst-overlapping benchmark doc and the contaminated fraction of
+    the training doc's trigram set. (The held-out "benchmark" here is
+    the deterministic doc_id % 29 == 0 slice — in production it's the
+    actual eval suites.)
+
+    Scale shape: the benchmark n-gram index is TINY relative to the
+    corpus (eval suites are megabytes against 100 TB), so it rides a
+    BROADCAST into the probe — the corpus side streams map-only through
+    the broadcast-hash join, the per-(doc, bench) counts are map-side
+    combinable, and the final per-doc argmax windows over the handful
+    of matched benchmark docs, never the corpus. No all-pairs, no
+    corpus-sized shuffle; the one wide shuffle is the per-doc distinct
+    shingle set it shares with every other tier in this module."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs, n=3, distinct=True)
+    is_bench = F.col("doc_id") % 29 == 0
+    bench = sh.filter(is_bench).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    train = sh.filter(~is_bench)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    overlap = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("n_shared").desc(), "bench_doc_id")
+    return (
+        overlap.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_shared") >= 3))
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "bench_doc_id",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_sh"), 4).alias("contamination_ratio"),
+        )
+        .orderBy("doc_id")
     )

@@ -98,6 +98,12 @@ def parse_media_header(payload: bytes) -> dict:
 
     Returns mime plus (-1 / '' where not applicable): width, height,
     sample_rate, duration_us for audio, duration_ms for video, brand.
+
+    Corrupt/truncated payloads (PNG shorter than its IHDR, WAV with a
+    short fmt chunk, …) degrade to the octet-stream default instead of
+    raising: at 100 TB one bad file must not fail the whole
+    ``mapInPandas`` task, so each per-format parser is wrapped and any
+    struct/bounds error falls through to the generic answer.
     """
     out = {
         "mime": "application/octet-stream",
@@ -107,6 +113,13 @@ def parse_media_header(payload: bytes) -> dict:
         "duration_us": -1,
         "brand": "",
     }
+    try:
+        return _parse_media_header_strict(payload, out)
+    except (struct.error, IndexError, ValueError):
+        return out
+
+
+def _parse_media_header_strict(payload: bytes, out: dict) -> dict:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         # chunk layout: len(4) tag(4) body; IHDR is first
         if payload[12:16] == b"IHDR":

@@ -7,10 +7,11 @@ Two tiers:
   JVM-side (zip_with + aggregate over doubles) — no Python UDF. Cost
   is |Q| x |N|; at 100 TB this is only for small query sets, with the
   corpus-side scan parallelized per partition.
-- LSH-bucketed ANN: 16 deterministic random-hyperplane sign bits ->
-  bucket id; only same-bucket pairs are scored. The join is on the
-  bucket key (collision-bounded), never all-pairs — the shape that
-  survives a 1000-executor corpus.
+- LSH-bucketed ANN: banded random-hyperplane sign-bit buckets (md5-
+  derived constant planes, reproducible in any engine); only
+  same-bucket pairs are scored. The join is on the bucket key
+  (collision-bounded), never all-pairs — the shape that survives a
+  1000-executor corpus.
 
 Cosines are computed in double on both engines (the DuckDB oracle
 casts ``embedding::DOUBLE[]``) and rounded to 3 decimals.
@@ -85,9 +86,20 @@ _BRUTE_ORACLE = f"""
 
 @register("similarity_topk_bruteforce", oracle=_BRUTE_ORACLE, tags=("similarity", "ann"))
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: broadcast the query set against the corpus,
-    rank per query. The corpus scan is embarrassingly parallel; the
-    final top-k is a per-query window over k*|Q| rows."""
+    """Exact cosine top-k via TWO-LEVEL selection: broadcast the query
+    set against the corpus (scoring is map-side, embarrassingly
+    parallel), keep each *partition's* local top-k per query with an
+    Arrow-batched ``mapInPandas`` pass — no shuffle, the partition is
+    already resident — then rank the surviving k x P rows per query
+    with a window. The window input is k x P x |Q| rows (k=10, P =
+    scan partitions), NOT the corpus: at 100x data the per-reducer
+    sort stays constant-size while the corpus-sized work remains
+    map-only. (A single corpus-wide ``Window.partitionBy(query_id)``
+    would put every query's |corpus| candidates through one reducer.)
+
+    Local pruning is exact: the global top-k under the total order
+    (cos DESC, neighbor_id ASC) is a subset of every partition's
+    top-k under the same order, so no qualifying row is dropped."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("nv")
@@ -102,9 +114,30 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine_pre("qv", "nv", "qn", "nn").alias("cos"))
     )
+
+    k = _TOP_K
+
+    # Nested so cloudpickle ships it by value (workers don't have this
+    # repo on sys.path). Cosines arrive pre-computed from the JVM; the
+    # pass only selects rows, so float64 values survive bit-exact
+    # through Arrow and the oracle comparison is unaffected.
+    def local_topk(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(
+                ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    local = scored.mapInPandas(local_topk, "query_id long, neighbor_id long, cos double")
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 3).alias("cosine"), "rank")
     )
@@ -112,34 +145,97 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_BANDS = 8
 _LSH_ROWS = 3  # planes per band; band bucket = packed sign bits
+_LSH_DIM = 64  # embedding dimensionality (TESTDATA.md)
 
 
-def _band_buckets_expr(vec_col: str):
-    """Banded random-hyperplane LSH: `_LSH_BANDS` independent buckets,
-    each packing the sign bits of `_LSH_ROWS` plane dots. Plane
-    (band b, row r)'s weight for dim j is a pseudo-random +-[0,1)
-    value derived from xxhash64(b * 1000 + r, j) — deterministic
-    across runs, no RNG state. A pair is a candidate if ANY band
-    bucket matches (OR-of-ANDs, classic LSH amplification)."""
-    plane_dot = (
-        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-        "(x, j) -> x * ((CAST(pmod(xxhash64(b * 1000 + r, j), 2001) AS DOUBLE) - 1000.0) / 1000.0)), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+def _plane_weights(band: int, row: int, dim: int = _LSH_DIM) -> list[int]:
+    """Integer hyperplane weights in [-1000, 1000] for (band, row),
+    derived from hashlib.md5 of "band:row:dim" — deterministic with no
+    RNG state, and (being plain literals) reproducible by ANY engine.
+    Integer weights keep each product x*w exactly representable
+    (float32 mantissa x 11 bits fits double), minimizing the chance a
+    near-zero plane dot's sign differs across summation orders."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{band}:{row}:{j}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for j in range(dim)
+    ]
+
+
+def _band_bucket_cols(vec_col: str):
+    """One (band, bucket) struct per band: the bucket packs the sign
+    bits of `_LSH_ROWS` hyperplane dot products. The plane matrix is a
+    data-independent CONSTANT inlined into the expression (the
+    degenerate broadcast — at 100 TB it ships once inside the plan,
+    and per-row work is _LSH_BANDS*_LSH_ROWS fused JVM dot products,
+    no hash calls). A pair is a candidate if ANY band bucket matches
+    (OR-of-ANDs, classic LSH amplification)."""
+    structs = []
+    for b in range(_LSH_BANDS):
+        bucket = F.lit(0)
+        for r in range(_LSH_ROWS):
+            arr = "array(" + ", ".join(f"{w}D" for w in _plane_weights(b, r)) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr}, (x, w) -> x * w), "
+                "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+            )
+            bucket = bucket + F.when(F.expr(dot) > 0, F.lit(1 << r)).otherwise(F.lit(0))
+        structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.cast("long").alias("bucket"))
+        )
+    return F.array(*structs)
+
+
+def _lsh_oracle() -> str:
+    """DuckDB oracle mirroring similarity_lsh_ann exactly: the same
+    literal plane weights, the same sign-bit buckets (via
+    list_dot_product), the same candidate join and per-query top-k."""
+    band_selects = []
+    for b in range(_LSH_BANDS):
+        terms = []
+        for r in range(_LSH_ROWS):
+            wlist = "[" + ", ".join(f"{float(w)}" for w in _plane_weights(b, r)) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {wlist}) > 0 THEN {1 << r} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, ({' + '.join(terms)}) AS bucket FROM vecs"
+        )
+    buckets = "\n        UNION ALL ".join(band_selects)
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+        {buckets}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets c ON q.band = c.band AND q.bucket = c.bucket
+        WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_cosine_similarity(qv.v, nv.v) AS cos
+        FROM cand
+        JOIN vecs qv ON qv.vec_id = cand.query_id
+        JOIN vecs nv ON nv.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, round(cos, 3) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
     )
-    bucket = (
-        f"aggregate(sequence(0, {_LSH_ROWS - 1}), 0L, "
-        f"(acc, r) -> acc + (CASE WHEN ({plane_dot}) > 0 THEN shiftleft(1L, r) ELSE 0L END))"
-    )
-    return F.expr(
-        f"transform(sequence(0, {_LSH_BANDS - 1}), b -> struct(b AS band, ({bucket}) AS bucket))"
-    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
+    """
 
 
 @register(
     "similarity_lsh_ann",
-    # Bucketing depends on Spark's xxhash64; no cross-engine oracle.
-    # tests/test_similarity.py checks recall against the exact top-k.
-    oracle=None,
+    # Cross-engine oracle: the hyperplanes are md5-derived integer
+    # literals embedded in BOTH engines' expressions, so the candidate
+    # set (not just the scores) is engine-independent.
+    oracle=_lsh_oracle(),
     tags=("similarity", "ann", "lsh", "scale"),
 )
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,7 +249,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double("embedding").alias("v")
     )
     bucketed = emb.select(
-        "vec_id", "v", F.explode(_band_buckets_expr("v")).alias("bb")
+        "vec_id", "v", F.explode(_band_bucket_cols("v")).alias("bb")
     ).select("vec_id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band", "bucket"

@@ -378,6 +378,59 @@ def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           len(g)                                        AS n_trigrams,
+           len(list_distinct(g))                         AS n_unique_trigrams,
+           round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4)
+                                                         AS dup_trigram_ratio,
+           CASE WHEN 1.0 - len(list_distinct(g)) * 1.0 / len(g) > 0.2
+                THEN 1 ELSE 0 END                        AS is_repetitive
+    FROM tri
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (the Gopher/C4-style quality
+    filter): fraction of duplicate token trigrams per doc — looping or
+    boilerplate-stuffed documents score high and get flagged.
+
+    Scale shape: ZERO shuffles — tokenize, build the trigram list, and
+    count total vs distinct entirely with array expressions inside one
+    projection, so at 100 TB this is a map-only pass at scan speed.
+    (Contrast the corpus-wide shingle index ops, which must shuffle;
+    a per-doc signal never needs to.) Docs with < 3 tokens have no
+    trigram and drop out, mirrored by the oracle's len(t) >= 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens().alias("t")).filter(F.size("t") >= 3)
+    g = t.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"
+        ).alias("g"),
+    )
+    ratio = F.lit(1.0) - F.size(F.array_distinct("g")) / F.size("g")
+    return g.select(
+        "doc_id",
+        F.size("g").alias("n_trigrams"),
+        F.size(F.array_distinct("g")).alias("n_unique_trigrams"),
+        F.round(ratio, 4).alias("dup_trigram_ratio"),
+        F.when(ratio > 0.2, F.lit(1)).otherwise(F.lit(0)).alias("is_repetitive"),
+    )
+
+
+@register(
     "text_ngram_topk",
     oracle="""
     WITH toks AS (

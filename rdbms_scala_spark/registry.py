@@ -50,19 +50,46 @@ def _family(name: str) -> str:
     return name.split("_", 1)[0]
 
 
+# Within-family ordering for the interleave: each family's
+# highest-signal queries lead (the scale-path / most-complex member,
+# not whatever happened to register first), so the driver's ~50-row
+# prefix — which takes roughly the first two of every family —
+# maximizes information. Unlisted members keep registration order.
+_FLAGSHIPS: dict[str, list[str]] = {
+    "dedup": ["dedup_minhash_lsh", "dedup_simhash", "dedup_levenshtein"],
+    "similarity": ["similarity_lsh_ann", "similarity_topk_bruteforce"],
+    "streaming": ["streaming_stateful_user_totals", "streaming_tumbling_counts"],
+    "multimodal": ["multimodal_decode", "multimodal_ingest"],
+    "join": ["join_skew_salted", "join_asof"],
+    "agg": ["agg_grouped", "agg_rollup"],
+    "window": ["window_running_revenue", "window_distribution_ranks"],
+    "text": ["text_quality_score", "text_language_id"],
+    "events": ["events_sessionize", "events_funnel"],
+    "sample": ["sample_per_group_cap", "sample_train_val_test"],
+    "subquery": ["subquery_exists_correlated", "subquery_not_in"],
+    "pandas": ["pandas_udf_grouped_map", "pandas_udf_scalar"],
+}
+
+
 def _interleaved(registry: dict[str, "QuerySpec"]) -> dict[str, "QuerySpec"]:
-    """Round-robin the registry across families.
+    """Round-robin the registry across families, flagships first.
 
     The driver's correctness gate checks a prefix of the registry (50
     entries in round 1); plain registration order front-loaded TPC-H
     and left whole families (dedup/similarity/text/window/streaming)
     without a driver-issued row. Interleaving one entry per family per
     round guarantees any prefix >= the family count covers every
-    family, and longer prefixes stay balanced across them.
+    family, and longer prefixes stay balanced across them; the
+    ``_FLAGSHIPS`` sort puts each family's scale-path query in the
+    round-1 slot.
     """
     buckets: dict[str, list[QuerySpec]] = {}
     for spec in registry.values():
         buckets.setdefault(_family(spec.name), []).append(spec)
+    for fam, names in _FLAGSHIPS.items():
+        if fam in buckets:
+            pri = {n: i for i, n in enumerate(names)}
+            buckets[fam].sort(key=lambda s: pri.get(s.name, len(names)))
     ordered: list[QuerySpec] = []
     queues = list(buckets.values())
     while queues:

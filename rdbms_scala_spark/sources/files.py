@@ -82,6 +82,37 @@ def write_bucketed_table(
     w.saveAsTable(name)
 
 
+def write_sorted_table(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str],
+    num_files: int = 8,
+    row_group_bytes: int = 1 << 20,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, globally sorted Parquet layout — the
+    persistent analog of the reference's TREE index
+    (Microbase.scala:1009-1024): where the reference builds an
+    in-heap sorted array per indexed column for range scans, at 100 TB
+    the same property lives in the physical layout. repartitionByRange
+    gives each output file a disjoint sort-key range; sortWithinParti-
+    tions orders rows inside it, so every row group's min/max spans a
+    narrow slice; a range predicate then prunes whole files (via
+    footer min/max) and row groups/pages inside the survivors —
+    demonstrated in tests/test_sources.py by the scan emitting a small
+    fraction of the table. ``row_group_bytes`` bounds row-group size
+    so pruning granularity stays fine even in large files (the analog
+    of the tree index's node fan-out). Completes the S2/S3 pair:
+    hash index -> ``write_bucketed_table``, tree index -> this."""
+    (
+        df.repartitionByRange(num_files, *sort_by)
+        .sortWithinPartitions(*sort_by)
+        .write.mode(mode)
+        .option("parquet.block.size", row_group_bytes)
+        .parquet(path)
+    )
+
+
 def write_csv(
     df: DataFrame, path: str, delimiter: str = "|", header: bool = False, mode: str = "overwrite"
 ) -> None:

@@ -66,8 +66,18 @@ def read_events_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     events_path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(events_path):
+        if not any(not f.startswith((".", "_")) for f in os.listdir(events_path)):
+            raise FileNotFoundError(
+                f"streaming source directory has no data files: {events_path}"
+            )
         stream = reader.load(events_path)
     else:
+        if not os.path.isfile(events_path):
+            # Guard here, at the source, so a mis-pointed sf_dir fails
+            # loudly — a downstream 0-row *result* stays a legitimate
+            # outcome (filtered/watermarked queries can correctly emit
+            # nothing; see drain_to_table).
+            raise FileNotFoundError(f"streaming source matched no files: {events_path}")
         # FileStreamSource requires a directory path; filter to the one
         # file inside it.
         stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
@@ -81,7 +91,12 @@ def drain_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataF
     The sink table is materialized and dropped before returning —
     memory sinks are driver-held, and repeated drains (driver gate,
     bench warm+timed passes) would otherwise accumulate one sink table
-    per call for the life of the session."""
+    per call for the life of the session.
+
+    The memory sink round-trips results through the driver — right for
+    the correctness gate (aggregate outputs, bounded), wrong for
+    100 TB output: use ``drain_to_files`` there, which lands the
+    stream distributed as Parquet and never collects."""
     spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
@@ -97,11 +112,51 @@ def drain_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataF
     sink = spark.table(name)
     rows, schema = sink.collect(), sink.schema
     spark.catalog.dropTempView(name)
-    if not rows:
-        # A mis-globbed source reads zero files and "succeeds"; fail
-        # loudly instead of letting a rows-only gate pass vacuously.
-        raise RuntimeError("streaming drain produced 0 rows — source matched no files?")
+    # No 0-row guard here: an empty *result* is a legitimate outcome
+    # (e.g. a filtered or watermark-dropping query); the mis-configured-
+    # source case fails loudly in read_events_stream instead.
     return spark.createDataFrame(rows, schema)
+
+
+def drain_to_files(stream_df: DataFrame, out_dir: str) -> DataFrame:
+    """Run a streaming query to completion (availableNow) into a
+    Parquet FILE sink and return a batch reader over the output — the
+    at-scale drain: executors write their partitions directly, nothing
+    is collected to the driver, and the sink directory is immediately
+    a queryable table for downstream batch jobs (the streaming->lake
+    handoff). File sinks are append-mode, so stateful aggregations
+    emit only watermark-FINALIZED groups: the trailing window (still
+    within the watermark delay of the stream's max event time when
+    availableNow exhausts the input) is withheld, exactly as it would
+    be on an unbounded stream — asserted against the memory-sink drain
+    in tests/test_streaming.py."""
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return stream_df.sparkSession.read.parquet(out_dir)
+
+
+def tumbling_agg(ev: DataFrame) -> DataFrame:
+    """Shared tumbling-window aggregation (1-hour windows, per
+    event_type counts and value sums) used by streaming_tumbling_counts
+    and the file-sink drain test."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
 
 
 @register(
@@ -123,17 +178,7 @@ def streaming_tumbling_counts(
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger).withWatermark(
         "ts", "1 hour"
     )
-    agg = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(
-            F.unix_micros(F.col("w.start")).alias("window_start_us"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
-    return drain_to_table(agg, "complete")
+    return drain_to_table(tumbling_agg(ev), "complete")
 
 
 @register(

@@ -47,6 +47,37 @@ def test_shingle_df_cap_bounds_stop_shingle_blowup(spark):
     assert capped == 0, capped
 
 
+def test_lev_blocking_bounds_dominant_source(spark):
+    """One source dominating the corpus must not make the Levenshtein
+    pair space quadratic: 300 same-source docs whose texts spread over
+    30 prefix bands x a few length buckets yield blocks of ~10, so the
+    candidate count stays O(block_cap x n) — here <= n x 10 = 3000 vs
+    all-pairs 44850 under source-only blocking."""
+    n, bands = 300, 30
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                "common-crawl",  # every doc from ONE source
+                f"pre{i % bands:02d} document body {'x' * (i % 5 * 64)}",
+            )
+            for i in range(n)
+        ],
+        "doc_id long, source string, text string",
+    ).withColumn("n_chars", F.length("text"))
+    pairs = dedup.lev_blocked_pairs(docs)
+    got = pairs.count()
+    assert got <= n * 10, f"{got} candidate pairs — blocking degenerated"
+    # and the blocks still pair what they should: same band + length
+    same_block = docs.alias("a").join(
+        docs.alias("b"),
+        (F.expr("substring(lower(trim(a.text)), 1, 4) = substring(lower(trim(b.text)), 1, 4)"))
+        & (F.expr("a.n_chars div 64 = b.n_chars div 64"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    assert got == same_block
+
+
 def test_simhash_recovers_planted_pairs(spark, sf_dir):
     truth = _exact_pairs(spark, sf_dir)
     got = {(r.doc_a, r.doc_b) for r in dedup.dedup_simhash(spark, sf_dir).collect()}

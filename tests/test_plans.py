@@ -104,6 +104,23 @@ def test_two_phase_skew_join_replicates_only_hot_keys(spark):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
 
+def test_bruteforce_topk_window_reads_local_topk_not_corpus(spark, sf_dir):
+    """The exact top-k's final per-query window must consume the
+    mapInPandas LOCAL top-k output (k x P rows), never the raw scored
+    corpus — the single-reducer-per-query shape flagged in round 2.
+    The physical tree prints top-down, so Window must sit above
+    MapInPandas, and the only query_id exchange must sit between them
+    (i.e., it shuffles the pruned rows, not the corpus)."""
+    df = SPECS["similarity_topk_bruteforce"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wi = plan.find("Window")
+    mi = plan.find("MapInPandas")
+    assert wi != -1 and mi != -1, plan
+    assert wi < mi, "window does not consume the local top-k output"
+    ex = plan.find("Exchange hashpartitioning(query_id")
+    assert wi < ex < mi, "query_id shuffle must carry k x P rows, not the corpus"
+
+
 def test_q22_prunes_orders_scan(spark, sf_dir):
     scans = _scans("tpch_q22", spark, sf_dir)
     o = next(s for s in scans if "orders" in s["location"])

@@ -84,6 +84,51 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dest).count() == orders.count()
 
 
+def _scan_rows_read(df) -> int:
+    """Execute ``df`` and return the Parquet scan's numOutputRows —
+    the rows the reader actually emitted AFTER row-group/page min-max
+    skipping (the post-scan Filter re-evaluates the predicate, so this
+    is strictly the I/O-side count)."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    for i in range(leaves.length()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numOutputRows"):
+            return m.apply("numOutputRows").value()
+    raise AssertionError("no scan leaf with numOutputRows metric")
+
+
+def test_sorted_table_rowgroup_skipping(spark, sf_dir, tmp_path):
+    """Tree-index analog (Microbase.scala:1009-1024): a range
+    predicate over the sort column of a write_sorted_table layout must
+    prune files/row-groups via min-max stats — the scan emits a small
+    fraction of the table — while the same predicate over an unsorted
+    layout reads everything."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    total = li.count()
+    # narrow slice (~1/20 of the key range) regardless of scale factor
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    pred = f"l_orderkey BETWEEN {lo} AND {lo + max(1, (hi - lo) // 20)}"
+    expected = li.filter(pred).count()
+
+    sorted_path = str(tmp_path / "li_sorted")
+    sources.write_sorted_table(
+        li, sorted_path, ["l_orderkey"], num_files=8, row_group_bytes=256 * 1024
+    )
+    unsorted_path = str(tmp_path / "li_unsorted")
+    li.write.option("parquet.block.size", 256 * 1024).parquet(unsorted_path)
+
+    sorted_df = spark.read.parquet(sorted_path).filter(pred)
+    unsorted_df = spark.read.parquet(unsorted_path).filter(pred)
+    assert sorted_df.count() == expected  # layout never changes results
+    read_sorted = _scan_rows_read(sorted_df)
+    read_unsorted = _scan_rows_read(unsorted_df)
+    # unsorted: every row group spans the full key range -> no skipping
+    assert read_unsorted == total
+    # sorted: only the row groups overlapping [1, 500] survive
+    assert expected <= read_sorted < total / 4, (expected, read_sorted, total)
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     """Co-located bucketed layout: joining two tables bucketed on the
     join key must not shuffle either side — the persistent-layout

@@ -44,7 +44,7 @@ def test_streaming_tumbling_matches_batch_operator(spark, sf_dir):
     assert stream_rows == batch_rows
 
 
-def test_multibatch_split_matches_batch(spark, tmp_path):
+def test_multibatch_split_matches_batch(spark, sf_dir, tmp_path):
     """The stateful jobs' oracles must be batch-count independent:
     split events into 3 time-ordered part-files, force one file per
     micro-batch, and the drained results must still equal the batch
@@ -54,7 +54,7 @@ def test_multibatch_split_matches_batch(spark, tmp_path):
 
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table("/root/testdata/sf0.001/events.parquet").sort_by("ts")
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by("ts")
     outdir = tmp_path / "events.parquet"
     outdir.mkdir()
     n = tbl.num_rows
@@ -109,6 +109,37 @@ def test_multibatch_split_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got_dedup == batch_dedup
+
+
+def test_drain_to_files_agrees_with_memory_drain(spark, sf_dir, tmp_path):
+    """The file-sink drain (the at-scale path: executors write
+    Parquet, nothing is collected) must agree with the memory-sink
+    drain on the tumbling aggregate, modulo append-mode semantics:
+    append emits only watermark-finalized windows, so the file sink
+    may withhold trailing windows still inside the watermark delay —
+    every emitted row must match, and everything missing must sit at
+    the stream's tail."""
+    mem = jobs.drain_to_table(
+        jobs.tumbling_agg(
+            jobs.read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+        ),
+        "complete",
+    )
+    filed = jobs.drain_to_files(
+        jobs.tumbling_agg(
+            jobs.read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+        ),
+        str(tmp_path / "file_sink"),
+    )
+    key = lambda r: (r.window_start_us, r.event_type, r.n_events, r.total_value)  # noqa: E731
+    mem_rows, file_rows = {key(r) for r in mem.collect()}, {key(r) for r in filed.collect()}
+    assert file_rows, "file sink drained nothing"
+    assert file_rows <= mem_rows
+    # withheld rows: only windows within (watermark delay + window
+    # size) = 2h of the stream's max event time can be unfinalized
+    max_start = max(r[0] for r in mem_rows)
+    missing = mem_rows - file_rows
+    assert all(start >= max_start - 2 * 3600 * 1_000_000 for (start, *_rest) in missing), missing
 
 
 def test_watermark_drops_late_data(spark, tmp_path):
