@@ -260,58 +260,82 @@ def two_phase_skew_join(
 
     Phase split: keys whose count exceeds ``hot_threshold`` on EITHER
     side are "hot" (a key heavy only on the right would otherwise
-    still funnel one reducer). Cold rows (the overwhelming majority)
-    take a plain shuffle join — zero overhead. Hot rows take a 2-D
-    grid salt: each hot left row draws a random row-salt ``i`` and is
-    replicated across all ``j``; each hot right row draws ``j`` and is
-    replicated across all ``i``; joining on ``(key, i, j)`` lands
-    every output pair on exactly one of S*S reducers, each seeing
-    ~|left_k|/S + |right_k|/S rows — bounded regardless of WHICH side
-    is heavy. Replicated volume is S x |hot rows of each side| —
-    bounded by the (few) heavy hitters, not S x |table| as naive
-    full-table salting costs. The hot-key set rides a broadcast into
-    both the semi/anti splits and needs no extra shuffle. This is the
-    manual fallback for skew that AQE's runtime split can't fix
-    (skewed keys feeding a stateful op, or a build side too big to
-    split)."""
-    hot = F.broadcast(
-        hot_keys(left, left_key, hot_threshold).union(
-            hot_keys(right, right_key, hot_threshold).withColumnRenamed(
-                right_key, left_key
-            )
-        ).distinct()
-    )
-    hot_r = hot.withColumnRenamed(left_key, right_key)
+    still funnel one reducer), and each hot key pays only for the
+    side(s) actually skewed:
 
-    left_cold = left.join(hot, left_key, "left_anti")
-    right_cold = right.join(hot_r, right_key, "left_anti")
+    - hot on the LEFT only: left rows draw a row salt ``i``, the
+      (few) matching right rows replicate across all ``i`` — the
+      classic one-sided salt, replicated volume S x |right rows @
+      key|.
+    - hot on the RIGHT only: the mirror image.
+    - hot on BOTH sides: 2-D grid salt — left rows draw ``i`` and
+      replicate across ``j``, right rows draw ``j`` and replicate
+      across ``i``; joining on (key, i, j) lands every output pair on
+      exactly one of S*S reducers, each seeing ~|left_k|/S +
+      |right_k|/S rows. Only both-sides-hot keys pay the grid's S-way
+      replication of BOTH inputs; one-sided skew keeps the one-sided
+      cost.
+
+    Cold rows (the overwhelming majority) take a plain shuffle join —
+    zero overhead. The hot-key sets are tiny by definition and ride
+    broadcasts into every semi/anti split (identical broadcast
+    subplans collapse to one via ReusedExchange). This is the manual
+    fallback for skew that AQE's runtime split can't fix (skewed keys
+    feeding a stateful op, or a build side too big to split)."""
+    hl = hot_keys(left, left_key, hot_threshold)
+    hr = hot_keys(right, right_key, hot_threshold).withColumnRenamed(right_key, left_key)
+    l_only = F.broadcast(hl.join(hr, left_key, "left_anti"))
+    r_only = F.broadcast(hr.join(hl, left_key, "left_anti"))
+    grid = F.broadcast(hl.join(hr, left_key, "left_semi"))
+    hot_any = F.broadcast(hl.union(hr).distinct())
+
+    def renamed(keys):
+        return keys.withColumnRenamed(left_key, right_key)
+
+    left_cold = left.join(hot_any, left_key, "left_anti")
+    right_cold = right.join(renamed(hot_any), right_key, "left_anti")
     cold = left_cold.join(right_cold, left_cold[left_key] == right_cold[right_key])
 
     all_salts = F.array(*[F.lit(i) for i in range(salt_factor)])
-    left_hot = (
-        left.join(hot, left_key, "left_semi")
-        .withColumn(
-            "__si",
-            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor)),
+    row_salt_l = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor))
+    row_salt_r = F.pmod(F.xxhash64(*[F.col(c) for c in right.columns]), F.lit(salt_factor))
+
+    def one_sided(keys, salted_is_left):
+        """Salt the skewed side per row, replicate the other side S ways."""
+        ls = left.join(keys, left_key, "left_semi").withColumn(
+            "__salt", row_salt_l if salted_is_left else F.explode(all_salts)
         )
+        rs = right.join(renamed(keys), right_key, "left_semi").withColumn(
+            "__salt", F.explode(all_salts) if salted_is_left else row_salt_r
+        )
+        return ls.join(
+            rs,
+            (ls[left_key] == rs[right_key])
+            & (ls["__salt"].cast("long") == rs["__salt"].cast("long")),
+        ).drop("__salt")
+
+    left_grid = (
+        left.join(grid, left_key, "left_semi")
+        .withColumn("__si", row_salt_l)
         .withColumn("__sj", F.explode(all_salts))
     )
-    right_hot = (
-        right.join(hot_r, right_key, "left_semi")
-        .withColumn(
-            "__sj",
-            F.pmod(F.xxhash64(*[F.col(c) for c in right.columns]), F.lit(salt_factor)),
-        )
+    right_grid = (
+        right.join(renamed(grid), right_key, "left_semi")
+        .withColumn("__sj", row_salt_r)
         .withColumn("__si", F.explode(all_salts))
     )
-    hot_join = left_hot.join(
-        right_hot,
-        (left_hot[left_key] == right_hot[right_key])
-        & (left_hot["__si"] == right_hot["__si"].cast("long"))
-        & (left_hot["__sj"].cast("long") == right_hot["__sj"]),
+    grid_join = left_grid.join(
+        right_grid,
+        (left_grid[left_key] == right_grid[right_key])
+        & (left_grid["__si"] == right_grid["__si"].cast("long"))
+        & (left_grid["__sj"].cast("long") == right_grid["__sj"]),
     ).drop("__si", "__sj")
 
-    return cold.unionByName(hot_join)
+    return (
+        cold.unionByName(one_sided(l_only, salted_is_left=True))
+        .unionByName(one_sided(r_only, salted_is_left=False))
+        .unionByName(grid_join)
+    )
 
 
 @register(

@@ -201,25 +201,42 @@ def minhash_signatures(sh: DataFrame, num_perm: int = _NUM_PERM) -> DataFrame:
     hex over the doc's shingles. One aggregation; signature size is
     fixed (num_perm values) regardless of doc length.
 
-    The "permutation" hash is ``md5('<i>:' || shingle)`` compared as a
-    *string*: lexicographic order over uniform hex IS a uniform random
-    order of the shingle space, so the min-hash collision property
-    (P[min_a = min_b] = Jaccard) holds unchanged — and md5 hex is
+    Permutation hash i is the i%4-th 8-hex-char slice of
+    ``md5('<i div 4>:' || shingle)``, compared as a *string*:
+    lexicographic order over uniform hex IS a uniform random order of
+    the shingle space, so the min-hash collision property (P[min_a =
+    min_b] = Jaccard) holds unchanged, and disjoint slices of one
+    digest are as independent as separate digests — each shingle pays
+    num_perm/4 md5 calls instead of num_perm (the md5 is the dominant
+    per-row cost of the signature pass; 32-bit slice mins also shrink
+    the shuffled aggregate state 4x vs full digests, with collision
+    probability ~n^2/2^33 per doc — negligible). md5 hex is
     byte-identical in DuckDB, which makes the whole pipeline (mins,
     band hashes, candidate set, estimates) cross-engine checkable,
-    where the previous xxhash64 form was Spark-only."""
+    where the original xxhash64 form was Spark-only."""
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"H{j}")
+            for j in range((num_perm + 3) // 4)
+        ],
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.substring(F.col(f"H{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    agg = hashed.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
 
 def _minhash_oracle() -> str:
-    """DuckDB mirror of dedup_minhash_lsh: same md5 permutation mins,
-    same banded candidate join, same matching-position estimate."""
-    h = [f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_NUM_PERM)]
+    """DuckDB mirror of dedup_minhash_lsh: same md5-slice permutation
+    mins, same banded candidate join, same matching-position
+    estimate."""
+    h = [
+        f"min(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(_NUM_PERM)
+    ]
     bands = []
     for b in range(_BANDS):
         cols = " || ',' || ".join(

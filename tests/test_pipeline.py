@@ -91,8 +91,10 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     exact_top3 = {(r.query_id, r.neighbor_id) for r in exact if r.rank <= 3}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_top3 & approx_set) / len(exact_top3)
-    # 12 hyperplanes on near-orthogonal synthetic vectors is a coarse
-    # filter; just require it beats random chance materially.
+    # 8 bands x 5 planes on near-orthogonal synthetic vectors (true
+    # neighbors at cos ~0.37) sits at ~0.5-0.6 top-3 recall by the
+    # collision curve (see _LSH_ROWS); require it beats random chance
+    # materially with headroom for seed sensitivity.
     assert recall >= 0.2, f"ANN top-3 recall {recall:.2f}"
 
 

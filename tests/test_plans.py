@@ -104,6 +104,39 @@ def test_two_phase_skew_join_replicates_only_hot_keys(spark):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
 
+def test_two_phase_skew_join_right_and_both_sided(spark):
+    """Keys hot only on the right, and hot on both sides, must also
+    come out exact: key 3 is right-heavy, key 5 is heavy on both, the
+    rest are cold — the three salted paths plus cold union to the
+    plain join."""
+    from pyspark.sql import functions as F
+
+    from rdbms_scala_spark.operators.joins import two_phase_skew_join
+
+    left = spark.range(0, 1200).select(
+        F.when(F.col("id") < 600, F.lit(5)).otherwise(F.col("id") % 10).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 1500).select(
+        F.when(F.col("id") < 500, F.lit(3))
+        .when(F.col("id") < 1000, F.lit(5))
+        .otherwise(F.col("id") % 10)
+        .alias("rk"),
+        (F.col("id") * 7).alias("rv"),
+    )
+    got = (
+        two_phase_skew_join(left, right, "k", "rk", hot_threshold=300)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rv").alias("s"), F.sum("lv").alias("t"))
+    )
+    want = (
+        left.join(right, left.k == right.rk)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rv").alias("s"), F.sum("lv").alias("t"))
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
 def test_bruteforce_topk_window_reads_local_topk_not_corpus(spark, sf_dir):
     """The exact top-k's final per-query window must consume the
     mapInPandas LOCAL top-k output (k x P rows), never the raw scored
