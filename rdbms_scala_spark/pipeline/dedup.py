@@ -690,6 +690,58 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.orderBy("doc_id")
 
 
+@register(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "neardup", "lsh", "graph", "pipeline", "scale"),
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup pipeline composed end-to-end at the
+    SCALE tier: MinHash-LSH candidates (est_jaccard >= 0.7, banded
+    join — never all-pairs) feed the alternating-star connected-
+    components closure, and every clustered doc comes out with its
+    canonical keeper (component-min doc_id) and cluster size — the
+    exact artifact a 100 TB dedup job persists (keep rows where
+    doc_id = cluster_id, or weight-sample survivors by cluster_size).
+    Versus ``dedup_connected_components`` (which closes over the
+    EXACT Jaccard pair set), this is the shape that runs at corpus
+    scale: candidate generation is the LSH banded join, so the whole
+    path — signatures, banding, components — is linear-ish in corpus
+    size. Every stage is engine-independent (md5-sliced signatures),
+    so the DuckDB oracle replays signatures -> bands -> candidates ->
+    recursive-CTE closure and must agree exactly."""
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _rounds = connected_components_edges(edges)
+    sizes = labels.groupBy("component_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "component_id")
+        .select(
+            "doc_id", F.col("component_id").alias("cluster_id"), "cluster_size"
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 7. edit-distance (Levenshtein) near-dup
 

@@ -88,18 +88,19 @@ _BRUTE_ORACLE = f"""
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k via TWO-LEVEL selection: broadcast the query
     set against the corpus (scoring is map-side, embarrassingly
-    parallel), keep each *partition's* local top-k per query with an
-    Arrow-batched ``mapInPandas`` pass — no shuffle, the partition is
-    already resident — then rank the surviving k x P rows per query
-    with a window. The window input is k x P x |Q| rows (k=10, P =
-    scan partitions), NOT the corpus: at 100x data the per-reducer
-    sort stays constant-size while the corpus-sized work remains
-    map-only. (A single corpus-wide ``Window.partitionBy(query_id)``
-    would put every query's |corpus| candidates through one reducer.)
-
-    Local pruning is exact: the global top-k under the total order
-    (cos DESC, neighbor_id ASC) is a subset of every partition's
-    top-k under the same order, so no qualifying row is dropped."""
+    parallel), then a rank-filtered window that Spark's
+    InferWindowGroupLimit rule executes as ``WindowGroupLimit
+    Partial`` BEFORE the shuffle — each scan partition keeps only its
+    local top-k per query (exact: the global top-k under (cos DESC,
+    neighbor_id ASC) is a subset of every partition's top-k under the
+    same order) — plus ``WindowGroupLimit Final`` after it. The
+    per-query reducer therefore sorts k x P rows (k=10, P = scan
+    partitions), NOT the corpus: at 100x data the per-reducer work
+    stays constant while the corpus-sized scoring remains map-only.
+    Pinned by tests/test_plans.py (Partial group-limit below the
+    query_id exchange). An explicit Arrow-batched ``mapInPandas``
+    local top-k was measured ~35% slower end-to-end — it duplicates
+    exactly what the JVM rule already does, plus serialization."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("nv")
@@ -115,29 +116,9 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", cosine_pre("qv", "nv", "qn", "nn").alias("cos"))
     )
 
-    k = _TOP_K
-
-    # Nested so cloudpickle ships it by value (workers don't have this
-    # repo on sys.path). Cosines arrive pre-computed from the JVM; the
-    # pass only selects rows, so float64 values survive bit-exact
-    # through Arrow and the oracle comparison is unaffected.
-    def local_topk(batches):
-        import pandas as pd
-
-        best = None
-        for pdf in batches:
-            cur = pd.concat([best, pdf]) if best is not None else pdf
-            cur = cur.sort_values(
-                ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
-            )
-            best = cur.groupby("query_id", sort=False).head(k)
-        if best is not None:
-            yield best
-
-    local = scored.mapInPandas(local_topk, "query_id long, neighbor_id long, cos double")
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        local.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 3).alias("cosine"), "rank")
     )

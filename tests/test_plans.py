@@ -138,20 +138,20 @@ def test_two_phase_skew_join_right_and_both_sided(spark):
 
 
 def test_bruteforce_topk_window_reads_local_topk_not_corpus(spark, sf_dir):
-    """The exact top-k's final per-query window must consume the
-    mapInPandas LOCAL top-k output (k x P rows), never the raw scored
-    corpus — the single-reducer-per-query shape flagged in round 2.
-    The physical tree prints top-down, so Window must sit above
-    MapInPandas, and the only query_id exchange must sit between them
-    (i.e., it shuffles the pruned rows, not the corpus)."""
+    """The exact top-k must execute two-level: a PARTIAL
+    WindowGroupLimit below the query_id exchange prunes each scan
+    partition to its local top-k per query, so the per-query reducer
+    sorts k x P rows, never the corpus — the single-reducer-per-query
+    shape flagged in round 2. The physical tree prints top-down:
+    Final group-limit above the exchange, Partial below it."""
     df = SPECS["similarity_topk_bruteforce"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    wi = plan.find("Window")
-    mi = plan.find("MapInPandas")
-    assert wi != -1 and mi != -1, plan
-    assert wi < mi, "window does not consume the local top-k output"
+    fi = plan.find("WindowGroupLimit")
+    assert fi != -1 and "Final" in plan[fi : plan.find("\n", fi)], plan
     ex = plan.find("Exchange hashpartitioning(query_id")
-    assert wi < ex < mi, "query_id shuffle must carry k x P rows, not the corpus"
+    pi = plan.find("WindowGroupLimit", fi + 1)
+    assert pi != -1 and "Partial" in plan[pi : plan.find("\n", pi)], plan
+    assert fi < ex < pi, "Partial group-limit must prune BELOW the query_id shuffle"
 
 
 def test_q22_prunes_orders_scan(spark, sf_dir):
