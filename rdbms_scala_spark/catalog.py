@@ -95,6 +95,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # timezone-less Parquet TIMESTAMP(MICROS) infers as TIMESTAMP_NTZ
+        # under Spark 4; unix_micros & co. require TIMESTAMP. The session
+        # timezone is pinned to UTC (ensure_nanos_conf), so the explicit
+        # NTZ->LTZ cast is instant-preserving and ANSI-legal.
+        ensure_nanos_conf(spark)
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     _df_memo[key] = df
     return df
 

@@ -332,9 +332,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # No rounding: k/32 is exactly representable in binary on both
-    # engines (power-of-two denominator), and rounding would land on
-    # half-way cases (e.g. 23/32 = 0.71875) where Spark (half-up) and
-    # DuckDB (half-even) disagree.
+    # engines (power-of-two denominator), so the comparison needs no
+    # tolerance at all. (Rounding would be *safe* here — both engines
+    # round DOUBLEs half away from zero — but any round(x, d) with a
+    # non-power-of-two 10^-d step reintroduces the real cross-engine
+    # risk: one-ulp drift in the multiply-then-round path when the
+    # input sits within an ulp of a step boundary. Exact binary
+    # fractions sidestep that entirely.)
     return est.filter(F.col("est_jaccard") >= 0.7).select(
         "doc_a", "doc_b", "est_jaccard"
     )
@@ -747,68 +751,126 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LEV_LEN_BUCKET = 64  # n_chars bucket width for the composite block key
+_LEV_BLOCK_CAP = 64  # block-purging threshold (max rows per block, per pass)
 
 
-def lev_blocked_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, edit_distance) over the composite-blocked pair
-    space: candidates share (source, 4-char prefix band, n_chars//64
-    length bucket). ``docs`` needs (doc_id, source, n_chars, text).
+def lev_blocked_pairs(docs: DataFrame, block_cap: int = _LEV_BLOCK_CAP) -> DataFrame:
+    """(doc_a, doc_b, edit_distance) over a DISJUNCTIVE multi-pass
+    blocked pair space. ``docs`` needs (doc_id, source, n_chars, text).
 
-    The composite key is what bounds the block: blocking on ``source``
-    alone degenerates toward all-pairs when one source dominates the
-    corpus (block size grows with corpus size); the prefix band and
-    length bucket cut each source's rows into blocks whose size tracks
-    text diversity, not source cardinality — the standard multi-key
-    blocking shape for entity resolution. Every key is a plain column
-    expression, so the DuckDB oracle reproduces the exact pair space.
+    Two blocking passes, candidates = their UNION:
+
+    - pass 1: (source, chars 1-4 of the prefix, n_chars//64 bucket)
+    - pass 2: (source, chars 17-20 — a mid-text band, and the length
+      bucket OFFSET by half a width)
+
+    Each conjunctive key bounds its block sizes (blocking on ``source``
+    alone degenerates toward all-pairs when one source dominates), but
+    a single conjunctive key silently drops exactly the pairs this
+    tier exists to catch: an OCR/encoding error inside the first 4
+    characters, or a small edit that nudges a doc across a 64-char
+    bucket boundary, excludes the pair from pass 1 entirely. Pass 2's
+    band sits past the pass-1 band (so damage can't hit both) and its
+    half-width-shifted buckets split at different boundaries (two
+    lengths within 32 chars always share at least one of the two
+    buckets) — the standard disjunctive multi-pass shape from the
+    entity-resolution blocking literature.
+
+    Block PURGING bounds the worst case: within each pass, any block
+    larger than ``block_cap`` is dropped from that pass (the other
+    pass can still catch its pairs). A corpus-wide boilerplate region
+    that lands in a band therefore costs recall in one pass, never a
+    quadratic blow-up — per-doc fan-out is <= 2*(block_cap-1)
+    regardless of corpus shape. On the real documents table blocks
+    max out at ~6 rows, so the cap never fires outside degenerate
+    data. Every key is a plain column expression and the purge a
+    plain grouped count, so the DuckDB oracle reproduces the exact
+    pair space.
     """
+    text_norm = F.lower(F.trim(F.col("text")))
     keyed = docs.select(
         "doc_id",
         "source",
-        F.substring(F.lower(F.trim(F.col("text"))), 1, 32).alias("p"),
-        F.substring(F.lower(F.trim(F.col("text"))), 1, 4).alias("band"),
-        F.expr(f"n_chars div {_LEV_LEN_BUCKET}").alias("lb"),
+        F.substring(text_norm, 1, 32).alias("p"),
+        F.substring(text_norm, 1, 4).alias("k1"),
+        F.expr(f"n_chars div {_LEV_LEN_BUCKET}").alias("b1"),
+        F.substring(text_norm, 17, 4).alias("k2"),
+        F.expr(f"(n_chars + {_LEV_LEN_BUCKET // 2}) div {_LEV_LEN_BUCKET}").alias("b2"),
     )
-    a = keyed.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("source").alias("sa"),
-        F.col("p").alias("pa"),
-        F.col("band").alias("ba"),
-        F.col("lb").alias("la"),
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("source").alias("sb"),
-        F.col("p").alias("pb"),
-        F.col("band").alias("bb"),
-        F.col("lb").alias("lbb"),
-    )
-    return (
-        a.join(
+
+    def blocking_pass(kcol: str, bcol: str) -> DataFrame:
+        sizes = keyed.groupBy("source", kcol, bcol).agg(F.count(F.lit(1)).alias("bn"))
+        ok = keyed.join(
+            sizes.filter(F.col("bn") <= block_cap), ["source", kcol, bcol]
+        )
+        a = ok.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("source").alias("sa"),
+            F.col("p").alias("pa"),
+            F.col(kcol).alias("ka"),
+            F.col(bcol).alias("ba"),
+        )
+        b = ok.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("source").alias("sb"),
+            F.col("p").alias("pb"),
+            F.col(kcol).alias("kb"),
+            F.col(bcol).alias("bb"),
+        )
+        return a.join(
             b,
             (F.col("sa") == F.col("sb"))
+            & (F.col("ka") == F.col("kb"))
             & (F.col("ba") == F.col("bb"))
-            & (F.col("la") == F.col("lbb"))
             & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .withColumn("edit_distance", F.levenshtein("pa", "pb"))
-        .select("doc_a", "doc_b", "edit_distance")
+        ).select("doc_a", "doc_b", "pa", "pb")
+
+    # distinct() collapses pairs caught by both passes; (pa, pb) are
+    # functions of the ids, so the pair key drives the dedup.
+    pairs = blocking_pass("k1", "b1").unionByName(blocking_pass("k2", "b2")).distinct()
+    return pairs.withColumn("edit_distance", F.levenshtein("pa", "pb")).select(
+        "doc_a", "doc_b", "edit_distance"
     )
 
 
 @register(
     "dedup_levenshtein",
     oracle=f"""
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(substr(lower(trim(a.text)), 1, 32),
-                       substr(lower(trim(b.text)), 1, 32)) AS edit_distance
-    FROM documents a JOIN documents b
-      ON a.source = b.source
-     AND substr(lower(trim(a.text)), 1, 4) = substr(lower(trim(b.text)), 1, 4)
-     AND a.n_chars // {_LEV_LEN_BUCKET} = b.n_chars // {_LEV_LEN_BUCKET}
-     AND a.doc_id < b.doc_id
-    WHERE levenshtein(substr(lower(trim(a.text)), 1, 32),
-                      substr(lower(trim(b.text)), 1, 32)) <= 12
+    WITH keyed AS (
+        SELECT doc_id, source,
+               substr(lower(trim(text)), 1, 32) AS p,
+               substr(lower(trim(text)), 1, 4) AS k1,
+               n_chars // {_LEV_LEN_BUCKET} AS b1,
+               substr(lower(trim(text)), 17, 4) AS k2,
+               (n_chars + {_LEV_LEN_BUCKET // 2}) // {_LEV_LEN_BUCKET} AS b2
+        FROM documents
+    ),
+    p1 AS (
+        SELECT * FROM (
+            SELECT keyed.*, count(*) OVER (PARTITION BY source, k1, b1) AS bn
+            FROM keyed
+        ) WHERE bn <= {_LEV_BLOCK_CAP}
+    ),
+    p2 AS (
+        SELECT * FROM (
+            SELECT keyed.*, count(*) OVER (PARTITION BY source, k2, b2) AS bn
+            FROM keyed
+        ) WHERE bn <= {_LEV_BLOCK_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+        FROM p1 a JOIN p1 b
+          ON a.source = b.source AND a.k1 = b.k1 AND a.b1 = b.b1
+         AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id, a.p, b.p
+        FROM p2 a JOIN p2 b
+          ON a.source = b.source AND a.k2 = b.k2 AND a.b2 = b.b2
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, levenshtein(pa, pb) AS edit_distance
+    FROM pairs
+    WHERE levenshtein(pa, pb) <= 12
     ORDER BY doc_a, doc_b
     """,
     tags=("dedup", "neardup", "editdistance"),
@@ -821,8 +883,10 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     that shred token trigrams).
 
     Scale shape: candidates come from ``lev_blocked_pairs`` — a
-    composite (source, prefix band, length bucket) block key whose
-    block sizes are bounded independent of source cardinality; the
+    disjunctive UNION of two conjunctive block passes (prefix band +
+    length bucket, mid-text band + offset bucket), so block sizes stay
+    bounded independent of source cardinality while front-of-text
+    damage or a bucket-boundary crossing can't silently drop a pair; the
     distance runs on fixed-length prefixes so each comparison is
     O(32^2) regardless of document length, JVM-side via the built-in
     levenshtein expression."""
@@ -876,7 +940,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pivot is ``max(doc_id) div 2`` — *integer* division on both
     engines (Spark ``div``, DuckDB ``//``), so the two splits are
     provably identical (a float ``/2`` + cast diverges: Spark's long
-    cast truncates, DuckDB's rounds half-to-even). It rides into the
+    cast truncates toward zero while DuckDB's rounds to nearest, so
+    odd maxima land on different pivots). It rides into the
     plan as a broadcast 1-row cross join, not a driver-side
     ``collect()`` — the query function stays a pure plan builder with
     no eager action (real ingestion is handed the batch boundary)."""

@@ -136,13 +136,13 @@ _LSH_ROWS = 5
 _LSH_DIM = 64  # embedding dimensionality (TESTDATA.md)
 
 
+_LSH_QUANT = 4096  # 2^12 — power-of-two scaling is EXACT on doubles
+
+
 def _plane_weights(band: int, row: int, dim: int = _LSH_DIM) -> list[int]:
     """Integer hyperplane weights in [-1000, 1000] for (band, row),
     derived from hashlib.md5 of "band:row:dim" — deterministic with no
-    RNG state, and (being plain literals) reproducible by ANY engine.
-    Integer weights keep each product x*w exactly representable
-    (float32 mantissa x 11 bits fits double), minimizing the chance a
-    near-zero plane dot's sign differs across summation orders."""
+    RNG state, and (being plain literals) reproducible by ANY engine."""
     import hashlib
 
     return [
@@ -151,52 +151,80 @@ def _plane_weights(band: int, row: int, dim: int = _LSH_DIM) -> list[int]:
     ]
 
 
-def _band_bucket_cols(vec_col: str):
-    """One (band, bucket) struct per band: the bucket packs the sign
-    bits of `_LSH_ROWS` hyperplane dot products. The plane matrix is a
-    data-independent CONSTANT inlined into the expression (the
-    degenerate broadcast — at 100 TB it ships once inside the plan),
-    each dot an ``aggregate(zip_with(...))`` over the literal weight
-    array. (Measured alternative: unrolling each dot into an explicit
-    64-term ``v[0]*w0 + ...`` chain is ~4x SLOWER at sf0.1 — 24
-    unrolled 64-term expressions blow the generated method past JIT
-    limits, while the lambda form stays a tight loop.) A pair is a
-    candidate if ANY band bucket matches (OR-of-ANDs, classic LSH
-    amplification)."""
-    structs = []
-    for b in range(_LSH_BANDS):
-        bucket = F.lit(0)
-        for r in range(_LSH_ROWS):
-            arr = "array(" + ", ".join(f"{w}D" for w in _plane_weights(b, r)) + ")"
-            dot = (
-                f"aggregate(zip_with({vec_col}, {arr}, (x, w) -> x * w), "
-                "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
-            )
-            bucket = bucket + F.when(F.expr(dot) > 0, F.lit(1 << r)).otherwise(F.lit(0))
-        structs.append(
-            F.struct(F.lit(b).alias("band"), bucket.cast("long").alias("bucket"))
-        )
-    return F.array(*structs)
+def _plane_matrix():
+    """dim x (bands*rows) int64 plane matrix, columns band-major."""
+    import numpy as np
+
+    cols = [
+        _plane_weights(b, r) for b in range(_LSH_BANDS) for r in range(_LSH_ROWS)
+    ]
+    return np.array(cols, dtype=np.int64).T  # (dim, bands*rows)
+
+
+def _band_buckets_udf():
+    """Arrow-batched bucket assignment: one int64 matmul per batch.
+
+    The plane dot is computed over the QUANTIZED vector floor(x*4096)
+    with integer weights, so every product and partial sum is an
+    integer < 2^53 — exactly representable in double and therefore
+    identical under ANY summation order in ANY engine (numpy here, a
+    fold expression in Spark SQL, list_dot_product in DuckDB). That
+    removes — provably, not probabilistically — the cross-engine flake
+    where a float plane-dot within one ulp of zero flips a sign bit
+    and desyncs the candidate sets. floor(x*4096) itself is exact:
+    scaling by a power of two only shifts the exponent, and floor of a
+    double is a double integer.
+
+    Perf: the interpreted-lambda alternative (40 aggregate/zip_with
+    expressions per vector — Catalyst evaluates higher-order functions
+    outside codegen, per element, with boxing) measured ~1.3 s of the
+    LSH query's 1.86 s at sf0.1; this matmul runs the same arithmetic
+    in one vectorized int64 GEMM per Arrow batch. At 100 TB the plane
+    matrix is a constant baked into the UDF closure (ships once per
+    executor) and assignment stays map-only."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _plane_matrix()  # (dim, bands*rows)
+    powers = (1 << np.arange(_LSH_ROWS, dtype=np.int64))
+
+    def bucket_bits(vs):
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        xi = np.floor(x * _LSH_QUANT).astype(np.int64)
+        bits = (xi @ planes) > 0  # (n, bands*rows)
+        buckets = (bits.reshape(-1, _LSH_BANDS, _LSH_ROWS) * powers).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    # hint-free form: `from __future__ import annotations` stringifies
+    # closure type hints, which pyspark's hint parser rejects
+    return F.pandas_udf(bucket_bits, "array<long>")
 
 
 def _lsh_oracle() -> str:
     """DuckDB oracle mirroring similarity_lsh_ann exactly: the same
-    literal plane weights, the same sign-bit buckets (via
-    list_dot_product), the same candidate join and per-query top-k."""
+    literal plane weights dotted against the same floor(x*4096)
+    QUANTIZED vector (all-integer values — exact in double under any
+    summation order, so list_dot_product's fold order is irrelevant),
+    the same sign-bit buckets, candidate join and per-query top-k."""
     band_selects = []
     for b in range(_LSH_BANDS):
         terms = []
         for r in range(_LSH_ROWS):
             wlist = "[" + ", ".join(f"{float(w)}" for w in _plane_weights(b, r)) + "]"
             terms.append(
-                f"(CASE WHEN list_dot_product(v, {wlist}) > 0 THEN {1 << r} ELSE 0 END)"
+                f"(CASE WHEN list_dot_product(vq, {wlist}) > 0 THEN {1 << r} ELSE 0 END)"
             )
         band_selects.append(
             f"SELECT vec_id, {b} AS band, ({' + '.join(terms)}) AS bucket FROM vecs"
         )
     buckets = "\n        UNION ALL ".join(band_selects)
     return f"""
-    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_transform(embedding::DOUBLE[],
+                              x -> floor(x * {_LSH_QUANT})) AS vq
+        FROM embeddings
+    ),
     buckets AS (
         {buckets}
     ),
@@ -240,9 +268,10 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    buckets_of = _band_buckets_udf()
     bucketed = emb.select(
-        "vec_id", "v", F.explode(_band_bucket_cols("v")).alias("bb")
-    ).select("vec_id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "vec_id", "v", F.posexplode(buckets_of("v")).alias("band", "bucket")
+    )
     queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band", "bucket"
     )

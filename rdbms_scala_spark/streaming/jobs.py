@@ -30,16 +30,17 @@ from rdbms_scala_spark.streaming.events import (  # noqa: F401
     _TUMBLING_ORACLE,
 )
 
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(
@@ -47,8 +48,18 @@ def read_events_stream(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """events.parquet as a file-source stream with a typed schema and
-    the nanos->micros conversion (streams cannot infer schemas).
+    """events.parquet as a file-source stream with a typed schema
+    (streams cannot infer schemas) normalized to a TIMESTAMP ``ts``.
+
+    The declared ``ts`` type follows the file's physical layout, probed
+    from the batch footer schema (one driver-side metadata read, no
+    data scan): TIMESTAMP(NANOS) parquet arrives as a nanosecond long
+    (legacy nanosAsLong conf) and is integer-divided to micros;
+    timezone-less TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ and is
+    cast (UTC session, instant-preserving); TIMESTAMP_LTZ passes
+    through. Declaring the wrong type would not error — the parquet
+    INT64 would be reinterpreted at the wrong scale and every window
+    downstream would silently collapse.
 
     Handles both physical layouts of the table: a single parquet file
     (driver testdata) via ``pathGlobFilter`` over ``sf_dir``, and a
@@ -60,8 +71,11 @@ def read_events_stream(
 
     from rdbms_scala_spark.catalog import ensure_nanos_conf
 
-    ensure_nanos_conf(spark)  # declared Long ts needs the legacy conf
-    reader = spark.readStream.schema(_EVENTS_SCHEMA).format("parquet")
+    ensure_nanos_conf(spark)  # nanos layouts need the legacy conf
+    ts_type = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema[
+        "ts"
+    ].dataType
+    reader = spark.readStream.schema(_events_schema(ts_type)).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     events_path = os.path.join(sf_dir, "events.parquet")
@@ -81,7 +95,11 @@ def read_events_stream(
         # FileStreamSource requires a directory path; filter to the one
         # file inside it.
         stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return stream
 
 
 def drain_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

@@ -49,10 +49,12 @@ def test_shingle_df_cap_bounds_stop_shingle_blowup(spark):
 
 def test_lev_blocking_bounds_dominant_source(spark):
     """One source dominating the corpus must not make the Levenshtein
-    pair space quadratic: 300 same-source docs whose texts spread over
-    30 prefix bands x a few length buckets yield blocks of ~10, so the
-    candidate count stays O(block_cap x n) — here <= n x 10 = 3000 vs
-    all-pairs 44850 under source-only blocking."""
+    pair space quadratic: 300 same-source docs spread over 30 prefix
+    bands x a few length buckets give pass-1 blocks of ~10; the shared
+    "...body..." mid-text region makes pass-2 blocks of 60, which the
+    block-purging cap drops — so the union equals exactly the pass-1
+    pair space and stays O(block_cap x n), vs all-pairs 44850 under
+    source-only blocking."""
     n, bands = 300, 30
     docs = spark.createDataFrame(
         [
@@ -65,10 +67,11 @@ def test_lev_blocking_bounds_dominant_source(spark):
         ],
         "doc_id long, source string, text string",
     ).withColumn("n_chars", F.length("text"))
-    pairs = dedup.lev_blocked_pairs(docs)
+    pairs = dedup.lev_blocked_pairs(docs, block_cap=32)
     got = pairs.count()
     assert got <= n * 10, f"{got} candidate pairs — blocking degenerated"
-    # and the blocks still pair what they should: same band + length
+    # pass-2's degenerate 60-doc blocks are purged (> cap), so the
+    # union is exactly the pass-1 pair space: same band + length
     same_block = docs.alias("a").join(
         docs.alias("b"),
         (F.expr("substring(lower(trim(a.text)), 1, 4) = substring(lower(trim(b.text)), 1, 4)"))
@@ -76,6 +79,22 @@ def test_lev_blocking_bounds_dominant_source(spark):
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).count()
     assert got == same_block
+
+
+def test_lev_blocking_second_pass_catches_front_damage(spark):
+    """The disjunctive pass exists for pairs conjunctive blocking
+    drops: a doc whose FIRST 4 chars are OCR-corrupted shares no
+    pass-1 prefix band with its original, but the untouched mid-text
+    band (chars 17-20) + same length land both in one pass-2 block."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    damaged = "th3-quick brown fox jumps over the lazy dog again and agai"  # front noise
+    docs = spark.createDataFrame(
+        [(0, "ocr", base), (1, "ocr", damaged)]
+        + [(i, "ocr", f"filler {i} completely unrelated text body") for i in range(2, 10)],
+        "doc_id long, source string, text string",
+    ).withColumn("n_chars", F.length("text"))
+    got = {(r.doc_a, r.doc_b) for r in dedup.lev_blocked_pairs(docs).collect()}
+    assert (0, 1) in got, f"pass 2 should block the damaged pair; got {got}"
 
 
 def test_simhash_recovers_planted_pairs(spark, sf_dir):
