@@ -1,0 +1,187 @@
+"""Document chunking and sequence packing (north-star extension).
+
+The two structural ops of a pretraining data pipeline that sit between
+cleaning and the trainer:
+
+- **chunking**: split each document into fixed-width character windows
+  with overlap (the context-window prep for training and retrieval).
+  Map-only — the explode fan-out is proportional to document length,
+  never a shuffle, so it scales linearly with corpus bytes.
+- **packing**: lay chunks end-to-end into fixed token-budget packs
+  (how pretraining batches are actually built — documents cross pack
+  boundaries; the pack id/offset of every chunk is the materialized
+  "where does my batch come from" index). Exact sequential packing is
+  a prefix sum = one global sort — a single reducer at 100 TB — so the
+  corpus is first SHARDED by an md5 prefix of doc_id (deterministic,
+  engine-independent, same trick as sampling.py) and each shard packs
+  independently: the window runs per shard (|corpus|/P rows per
+  reducer), which is exactly how multi-worker training ingest packs in
+  practice (each data-loader shard packs its own stream).
+
+Both ops are pure column expressions (sequence/explode/substring,
+window prefix sums), so the DuckDB oracles replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+_CHUNK_W = 512  # chunk width, chars
+_CHUNK_S = 384  # stride, chars (overlap = width - stride = 128)
+
+_PACK_BUDGET = 256  # tokens per pack
+_PACK_SHARDS = 8  # md5-prefix shards; at scale ~ number of ingest workers
+
+
+def chunked_docs(docs: DataFrame, width: int = _CHUNK_W, stride: int = _CHUNK_S) -> DataFrame:
+    """(doc_id, chunk_id, chunk_start, chunk_text) fixed-width windows.
+
+    Chunk count per doc: 1 when n_chars <= width, else
+    ceil((n_chars - width)/stride) + 1 — the last chunk is the
+    (possibly short) tail, and every char belongs to >= 1 chunk.
+    Integer arithmetic only, so Spark and DuckDB agree exactly."""
+    n_extra = F.when(
+        F.col("n_chars") > width,
+        F.expr(f"(n_chars - {width} + {stride} - 1) div {stride}"),
+    ).otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", "text", "n_chars", n_extra.alias("k"))
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), F.col("k"))).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("chunk_start"),
+            F.expr(f"substring(text, chunk_id * {stride} + 1, {width})").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id,
+               unnest(range(
+                   CASE WHEN n_chars > {_CHUNK_W}
+                        THEN (n_chars - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+                        ELSE 0 END + 1
+               )) AS chunk_id,
+               text
+        FROM documents
+    )
+    SELECT doc_id, chunk_id,
+           chunk_id * {_CHUNK_S} AS chunk_start,
+           length(substr(text, chunk_id * {_CHUNK_S} + 1, {_CHUNK_W})) AS chunk_len,
+           substr(md5(substr(text, chunk_id * {_CHUNK_S} + 1, {_CHUNK_W})), 1, 8)
+               AS chunk_digest
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("text", "chunking", "pipeline", "scale"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking of the documents table. The
+    gate row carries each chunk's length and an md5 digest prefix
+    rather than the chunk text itself (same information for equality
+    checking, ~64x less compare traffic).
+
+    100 TB shape: no shuffle at all — sequence/explode/substring are
+    map-side, output size is bounded by bytes * (width/stride), and
+    the orderBy exists only for the deterministic gate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return (
+        chunked_docs(docs)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_start",
+            F.length("chunk_text").alias("chunk_len"),
+            F.substring(F.md5(F.col("chunk_text")), 1, 8).alias("chunk_digest"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS VARCHAR) AS hx,
+               len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, n_tokens,
+               CASE
+                   WHEN hx BETWEEN '0' AND '9'
+                       THEN CAST(hx AS INTEGER) % {_PACK_SHARDS}
+                   ELSE (ascii(hx) - ascii('a') + 10) % {_PACK_SHARDS}
+               END AS shard
+        FROM toks
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               -- window SUM yields HUGEINT, which pandas would float-ify
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM sharded
+    )
+    SELECT doc_id, shard, n_tokens,
+           cum_before // {_PACK_BUDGET} AS pack_id,
+           cum_before % {_PACK_BUDGET} AS pack_offset
+    FROM packed
+    ORDER BY shard, doc_id
+    """,
+    tags=("text", "packing", "pipeline", "scale"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded sequential sequence packing: every document gets the
+    (shard, pack_id, pack_offset) where its tokens land when the shard
+    stream is concatenated and cut every {budget} tokens — documents
+    straddle pack boundaries, as in real packed pretraining.
+
+    The shard is the first md5 hex digit of doc_id mod {shards}
+    (deterministic, engine-independent); the prefix sum is a per-shard
+    window — NO global single-reducer sort; per-reducer work is
+    |corpus|/shards and shards scale with ingest workers. Token count
+    is the whitespace tokenizer shared with text_token_count."""
+    from rdbms_scala_spark.pipeline.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hx = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 1)
+    sharded = docs.select(
+        "doc_id",
+        F.size(tokens()).alias("n_tokens"),
+        (F.conv(hx, 16, 10).cast("int") % _PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        sharded.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.expr(f"cum_before div {_PACK_BUDGET}").alias("pack_id"),
+            (F.col("cum_before") % _PACK_BUDGET).alias("pack_offset"),
+        )
+        .orderBy("shard", "doc_id")
+    )

@@ -117,6 +117,7 @@ def all_queries() -> dict[str, QuerySpec]:
         windows,
     )
     from rdbms_scala_spark.pipeline import (  # noqa: F401
+        chunking,
         dedup,
         similarity,
         text,

@@ -300,3 +300,30 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         ap, asps = approx[flag]
         assert abs(ap - ep) / ep <= 0.06, (flag, ap, ep)
         assert abs(asps - es) / es <= 0.06, (flag, asps, es)
+
+
+def test_chunking_covers_every_char(spark):
+    """Chunk-window invariants at the edge lengths: exactly width,
+    width+1 (forces a 1-past-the-end tail), multiples of the stride,
+    and a short doc — every character lands in >= 1 chunk, consecutive
+    chunks overlap by width - stride, and nothing hangs past the
+    text."""
+    from rdbms_scala_spark.pipeline import chunking
+
+    lengths = [1, 100, 512, 513, 896, 897, 2000]
+    docs = spark.createDataFrame(
+        [(i, "x" * n, n) for i, n in enumerate(lengths)],
+        "doc_id long, text string, n_chars int",
+    )
+    rows = chunking.chunked_docs(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        covered_to = 0
+        for r in chunks:
+            assert r.chunk_start <= covered_to, f"gap before {r.chunk_start} (len {n})"
+            assert len(r.chunk_text) >= 1
+            covered_to = max(covered_to, r.chunk_start + len(r.chunk_text))
+        assert covered_to == n, f"covered {covered_to} != n_chars {n}"
