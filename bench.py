@@ -60,6 +60,12 @@ EXTENSION = [
     "join_range_binned",
     "events_funnel",
     "sample_train_val_test",
+    # round-4 additions: the heaviest derived-partsupp TPC-H shape and
+    # the chunk/pack/mixture pipeline ops
+    "tpch_q9",
+    "text_chunk_documents",
+    "text_pack_sequences",
+    "sample_domain_mixture",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

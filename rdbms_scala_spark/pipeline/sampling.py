@@ -147,3 +147,158 @@ def sample_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+def _hex_threshold(rate):
+    """8-hex-digit string h such that a uniform md5 prefix < h with
+    probability ``rate`` (rate strictly < 1): lower(lpad(hex(floor(
+    rate * 2^32)))). Comparing two fixed-width lowercase hex strings
+    is exactly the integer compare — no hex->int parsing, which DuckDB
+    has no clean scalar for. ``rate`` must be the same IEEE double in
+    both engines (every caller derives it from identical arithmetic),
+    so the threshold string is identical too."""
+    return F.lower(
+        F.lpad(F.hex(F.floor(rate * F.lit(4294967296.0)).cast("long")), 8, "0")
+    )
+
+
+@register(
+    "sample_quality_weighted",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text, length(text) AS n,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / n
+                   AS punct_ratio,
+               CAST(len(list_filter(t, x -> x IN ('the', 'a', 'and', 'of', 'is', 'to', 'in', 'it'))) AS DOUBLE)
+                   / len(t) AS stopword_ratio,
+               CAST(length(text) AS DOUBLE) / len(t) AS chars_per_token
+        FROM toks
+    ),
+    wt AS (
+        SELECT doc_id,
+               least(greatest(
+                   0.5 * least(stopword_ratio * 5, 1.0)
+                   + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+                   + 0.2 * least(chars_per_token / 8.0, 1.0),
+               0.05), 0.95) AS w
+        FROM feat
+    )
+    SELECT doc_id, round(w, 4) AS keep_weight
+    FROM wt
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < lower(lpad(hex(CAST(floor(w * 4294967296.0) AS BIGINT)), 8, '0'))
+    ORDER BY doc_id
+    """,
+    tags=("sample", "quality", "deterministic", "scale"),
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic Bernoulli sampling: each document
+    is kept with probability equal to its (clamped) heuristic quality
+    score — the standard soft quality filter for pretraining corpora
+    (hard thresholds cliff-edge the distribution; weighting keeps a
+    graded tail). The coin is the md5 prefix compared against a
+    per-row hex threshold, so membership is a pure function of
+    (doc_id, score): append-stable, engine-independent, and exactly
+    reproducible by the oracle — no rand().
+
+    Map-only at any scale: score, threshold, and compare are all
+    per-row expressions; the quality formula is the same one
+    text_quality_score emits (kept in lockstep by the shared test
+    corpus and both oracles)."""
+    from rdbms_scala_spark.pipeline.dedup import tokens
+    from rdbms_scala_spark.pipeline.text import _STOP_EN, _in_list
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", F.length("text").alias("n"), tokens().alias("t"))
+    feat = t.select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+            / F.col("n")
+        ).alias("punct_ratio"),
+        (F.expr(_in_list("t", _STOP_EN)).cast("double") / F.size("t")).alias(
+            "stopword_ratio"
+        ),
+        (F.col("n").cast("double") / F.size("t")).alias("chars_per_token"),
+    )
+    quality = (
+        0.5 * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 10, F.lit(1.0)))
+        + 0.2 * F.least(F.col("chars_per_token") / 8.0, F.lit(1.0))
+    )
+    w = F.least(F.greatest(quality, F.lit(0.05)), F.lit(0.95))
+    return (
+        feat.select("doc_id", w.alias("w"))
+        .filter(F.substring(_doc_hash(), 1, 8) < _hex_threshold(F.col("w")))
+        .select("doc_id", F.round("w", 4).alias("keep_weight"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_domain_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               sqrt(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE)
+                    / CAST(n_docs AS DOUBLE)) AS keep_rate
+        FROM counts
+    )
+    SELECT d.source, r.n_docs,
+           round(r.keep_rate, 4) AS keep_rate,
+           count(*) AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    WHERE r.keep_rate >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < lower(lpad(hex(CAST(floor(r.keep_rate * 4294967296.0) AS BIGINT)), 8, '0'))
+    GROUP BY d.source, r.n_docs, r.keep_rate
+    ORDER BY d.source
+    """,
+    tags=("sample", "mixture", "deterministic", "scale"),
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain rebalancing (alpha = 0.5): resample
+    so source shares go from n_s/N to proportional-to-sqrt(n_s) — the
+    standard multi-domain/multilingual mixture flattening that keeps
+    head domains from drowning the tail. For alpha = 0.5 the per-source
+    keep-rate closes to sqrt(n_min / n_s) (the smallest source keeps
+    everything): no cross-source share sum survives in the formula, so
+    there is NO order-dependent float aggregation anywhere — rates are
+    a sqrt of an integer ratio, identical in any engine.
+
+    Scale shape: one tiny per-source count aggregate broadcasts back
+    onto the corpus; the keep decision is the same md5-vs-threshold
+    per-row compare as sample_quality_weighted; the output aggregate
+    is map-side combinable. Adding data only ever re-rates sources,
+    never reshuffles which surviving doc_ids are kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_docs",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double")).alias(
+            "keep_rate"
+        ),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            (F.col("keep_rate") >= 1.0)
+            | (F.substring(_doc_hash(), 1, 8) < _hex_threshold(F.col("keep_rate")))
+        )
+    )
+    return (
+        kept.groupBy("source", "n_docs", F.round("keep_rate", 4).alias("keep_rate"))
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select("source", "n_docs", "keep_rate", "n_kept")
+        .orderBy("source")
+    )
