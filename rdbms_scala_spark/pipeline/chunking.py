@@ -185,3 +185,178 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "doc_id")
     )
+
+
+@register(
+    "pipeline_training_manifest",
+    oracle=f"""
+    WITH keepers AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(lower(trim(text)))
+    ),
+    kept AS (
+        SELECT d.doc_id, d.text, d.n_chars
+        FROM documents d JOIN keepers USING (doc_id)
+    ),
+    feat AS (
+        SELECT doc_id, text, n_chars,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        x -> x IN ('the', 'a', 'and', 'of', 'is', 'to', 'in', 'it'))) AS DOUBLE)
+                   / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS stopword_ratio,
+               CAST(length(text) AS DOUBLE)
+                   / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS chars_per_token
+        FROM kept
+    ),
+    gated AS (
+        SELECT doc_id, text, n_chars
+        FROM (
+            SELECT doc_id, text, n_chars,
+                   least(greatest(
+                       0.5 * least(stopword_ratio * 5, 1.0)
+                       + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+                       + 0.2 * least(chars_per_token / 8.0, 1.0),
+                   0.05), 0.95) AS w
+            FROM feat
+        )
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < lower(lpad(hex(CAST(floor(w * 4294967296.0) AS BIGINT)), 8, '0'))
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(
+                   CASE WHEN n_chars > {_CHUNK_W}
+                        THEN (n_chars - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+                        ELSE 0 END + 1
+               )) AS chunk_id,
+               text
+        FROM gated
+    ),
+    toks AS (
+        SELECT doc_id, chunk_id,
+               CAST(ceil(length(substr(text, chunk_id * {_CHUNK_S} + 1, {_CHUNK_W})) / 4.0)
+                    AS BIGINT) AS n_tokens,
+               CASE
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND '9'
+                       THEN CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS INTEGER)
+                            % {_PACK_SHARDS}
+                   ELSE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - ascii('a') + 10)
+                        % {_PACK_SHARDS}
+               END AS shard
+        FROM chunks
+    ),
+    packed AS (
+        SELECT doc_id, chunk_id, shard, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) // {_PACK_BUDGET} AS pack_id
+        FROM toks
+    )
+    SELECT shard, pack_id,
+           count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY shard, pack_id
+    ORDER BY shard, pack_id
+    """,
+    tags=("pipeline", "endtoend", "chunking", "packing", "scale"),
+)
+def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data job composed end-to-end, ending in the
+    batch manifest a trainer's data loader reads: exact-dedup keepers
+    -> quality-weighted Bernoulli gate -> overlapping context-window
+    chunking -> sharded sequential packing -> per-(shard, pack)
+    chunk/doc/token counts.
+
+    Every stage reuses the registered operator's own machinery
+    (dedup fingerprint grouping, sampling's md5-vs-hex-threshold coin,
+    chunked_docs, the per-shard prefix sum), and every stage is
+    engine-independent, so ONE DuckDB oracle replays the entire
+    pipeline — the demonstration that the operators compose without
+    hidden driver-side glue.
+
+    100 TB shape, stage by stage: one uniform shuffle on the content
+    fingerprint; map-only gate; map-only chunk fan-out; per-shard
+    window (parallelism = shard count); map-side-combinable final
+    aggregate. Nothing quadratic, nothing single-reducer, no action
+    inside the plan."""
+    from rdbms_scala_spark.pipeline.dedup import tokens
+    from rdbms_scala_spark.pipeline.sampling import _doc_hash, _hex_threshold
+    from rdbms_scala_spark.pipeline.text import _STOP_EN, _in_list
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    keepers = (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(keepers, "doc_id", "left_semi")
+
+    t = kept.select(
+        "doc_id", "text", "n_chars", F.length("text").alias("n"), tokens().alias("t")
+    )
+    quality = (
+        0.5
+        * F.least(
+            (F.expr(_in_list("t", _STOP_EN)).cast("double") / F.size("t")) * 5,
+            F.lit(1.0),
+        )
+        + 0.3
+        * (
+            1.0
+            - F.least(
+                (
+                    F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast(
+                        "double"
+                    )
+                    / F.col("n")
+                )
+                * 10,
+                F.lit(1.0),
+            )
+        )
+        + 0.2 * F.least((F.col("n").cast("double") / F.size("t")) / 8.0, F.lit(1.0))
+    )
+    w = F.least(F.greatest(quality, F.lit(0.05)), F.lit(0.95))
+    gated = (
+        t.withColumn("w", w)
+        .filter(F.substring(_doc_hash(), 1, 8) < _hex_threshold(F.col("w")))
+        .select("doc_id", "text", "n_chars")
+    )
+
+    chunks = chunked_docs(gated).select(
+        "doc_id",
+        "chunk_id",
+        F.ceil(F.length("chunk_text") / 4.0).cast("long").alias("n_tokens"),
+    )
+    hx = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 1)
+    sharded = chunks.withColumn(
+        "shard", (F.conv(hx, 16, 10).cast("int") % _PACK_SHARDS)
+    )
+    wdw = (
+        W.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = sharded.withColumn(
+        "pack_id",
+        F.expr(
+            f"CAST(coalesce(sum(n_tokens) OVER "
+            f"(PARTITION BY shard ORDER BY doc_id, chunk_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            f"div {_PACK_BUDGET}"
+        ),
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )
