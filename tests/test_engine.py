@@ -129,3 +129,100 @@ def test_format_value_rendering():
     assert format_value(None) == ""
     assert format_value(date(1998, 9, 2)) == "1998-09-02"
     assert list(format_rows([Row(a=1, b="x"), Row(a=None, b="y")])) == ["1|x", "|y"]
+
+
+def test_reference_shipped_tpch_data_end_to_end(engine):
+    """A reference user switches engines WITHOUT touching their data:
+    the reference repo ships dbgen-format TPC-H files (~2k rows/table,
+    pipe-delimited, including the full-width LINEITEM and a real
+    PARTSUPP); our engine's verbatim CSV DDL loads those exact files
+    and answers TPC-H-shaped SQL on them. Cross-checked against DuckDB
+    reading the same files, so the parity claim is engine-vs-engine on
+    the reference's own bytes."""
+    import os
+
+    import duckdb
+
+    ref = "/root/reference/data"
+    if not os.path.isdir(ref):
+        pytest.skip("reference data not present")
+
+    engine.execute(
+        "CREATE TABLE REF_LINEITEM (l_orderkey int, l_partkey int, l_suppkey int, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date, l_commitdate date, l_receiptdate date, "
+        "l_shipinstruct string, l_shipmode string, l_comment string) "
+        f"USING csv OPTIONS(path '{ref}/LINEITEM.data', delimiter '|')"
+    )
+    engine.execute(
+        "CREATE TABLE REF_PARTSUPP (ps_partkey int, ps_suppkey int, "
+        "ps_availqty int, ps_supplycost double, ps_comment string) "
+        f"USING csv OPTIONS(path '{ref}/PARTSUPP.data', delimiter '|', hash_index 'ps_partkey')"
+    )
+    engine.execute(
+        "CREATE TABLE REF_SUPPLIER (s_suppkey int, s_name string, s_address string, "
+        "s_nationkey int, s_phone string, s_acctbal double, s_comment string) "
+        f"USING csv OPTIONS(path '{ref}/SUPPLIER.data', delimiter '|')"
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE VIEW L AS SELECT * FROM read_csv('{ref}/LINEITEM.data', delim='|', header=false,
+        columns={{'l_orderkey':'INTEGER','l_partkey':'INTEGER','l_suppkey':'INTEGER',
+        'l_linenumber':'INTEGER','l_quantity':'DOUBLE','l_extendedprice':'DOUBLE',
+        'l_discount':'DOUBLE','l_tax':'DOUBLE','l_returnflag':'VARCHAR','l_linestatus':'VARCHAR',
+        'l_shipdate':'DATE','l_commitdate':'DATE','l_receiptdate':'DATE',
+        'l_shipinstruct':'VARCHAR','l_shipmode':'VARCHAR','l_comment':'VARCHAR'}})"""
+    )
+    con.execute(
+        f"""CREATE VIEW PS AS SELECT * FROM read_csv('{ref}/PARTSUPP.data', delim='|', header=false,
+        columns={{'ps_partkey':'INTEGER','ps_suppkey':'INTEGER','ps_availqty':'INTEGER',
+        'ps_supplycost':'DOUBLE','ps_comment':'VARCHAR'}})"""
+    )
+    con.execute(
+        f"""CREATE VIEW S AS SELECT * FROM read_csv('{ref}/SUPPLIER.data', delim='|', header=false,
+        columns={{'s_suppkey':'INTEGER','s_name':'VARCHAR','s_address':'VARCHAR',
+        's_nationkey':'INTEGER','s_phone':'VARCHAR','s_acctbal':'DOUBLE','s_comment':'VARCHAR'}})"""
+    )
+
+    # Q1-shaped aggregate over the full-width lineitem
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n, round(r.sum_qty, 2))
+        for r in engine.execute(
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "sum(l_quantity) AS sum_qty FROM REF_LINEITEM "
+            "GROUP BY l_returnflag, l_linestatus"
+        ).collect()
+    }
+    exp = {
+        (f, s): (n, round(q, 2))
+        for f, s, n, q in con.execute(
+            "SELECT l_returnflag, l_linestatus, count(*), sum(l_quantity) "
+            "FROM L GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert got == exp
+
+    # Q11-shaped partsupp x supplier national stock value
+    got_ps = [
+        (r.ps_partkey, round(r.value, 2))
+        for r in engine.execute(
+            "SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value "
+            "FROM REF_PARTSUPP JOIN REF_SUPPLIER ON ps_suppkey = s_suppkey "
+            "WHERE s_nationkey < 5 "
+            "GROUP BY ps_partkey ORDER BY value DESC, ps_partkey LIMIT 20"
+        ).collect()
+    ]
+    exp_ps = [
+        (k, round(v, 2))
+        for k, v in con.execute(
+            "SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value "
+            "FROM PS JOIN S ON ps_suppkey = s_suppkey WHERE s_nationkey < 5 "
+            "GROUP BY ps_partkey ORDER BY value DESC, ps_partkey LIMIT 20"
+        ).fetchall()
+    ]
+    assert got_ps == exp_ps
+
+    for t in ("REF_LINEITEM", "REF_PARTSUPP", "REF_SUPPLIER"):
+        engine.execute(f"DROP TABLE {t}")
