@@ -159,3 +159,37 @@ def test_q22_prunes_orders_scan(spark, sf_dir):
     o = next(s for s in scans if "orders" in s["location"])
     # the 1999+ anti-join build side pushes its date filter into the scan
     assert "o_orderdate" in o["pushed_filters"]
+
+
+def test_q9_all_dim_joins_broadcast(spark, sf_dir):
+    """tpch_q9's 6-way join must be broadcast-shaped at this scale: no
+    SortMergeJoin anywhere (part/partsupp/supplier/nation broadcast;
+    orders rides AQE's broadcast conversion), so lineitem is never
+    shuffled for a dimension."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["tpch_q9"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """text_chunk_documents claims zero shuffles beyond the gate's
+    deterministic orderBy: the plan must contain exactly the one
+    rangepartitioning Exchange the sort needs and NO hashpartitioning
+    Exchange (a hash exchange would mean the chunk fan-out started
+    shuffling corpus bytes)."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["text_chunk_documents"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in plan, "chunking must not hash-shuffle"
+
+
+def test_pack_sequences_windows_per_shard(spark, sf_dir):
+    """text_pack_sequences' prefix sum must partition by shard — a
+    window over an empty/global partitioning would single-reduce the
+    corpus. The exchange feeding the window hashes on shard."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["text_pack_sequences"].fn(spark, sf_dir))
+    assert "hashpartitioning(shard" in plan
