@@ -63,11 +63,15 @@ _FLAGSHIPS: dict[str, list[str]] = {
     "join": ["join_skew_salted", "join_asof"],
     "agg": ["agg_grouped", "agg_rollup"],
     "window": ["window_running_revenue", "window_distribution_ranks"],
-    "text": ["text_quality_score", "text_language_id"],
+    "text": ["text_quality_score", "text_language_id", "text_pack_sequences"],
     "events": ["events_sessionize", "events_funnel"],
-    "sample": ["sample_per_group_cap", "sample_train_val_test"],
+    "sample": ["sample_per_group_cap", "sample_train_val_test", "sample_domain_mixture"],
     "subquery": ["subquery_exists_correlated", "subquery_not_in"],
     "pandas": ["pandas_udf_grouped_map", "pandas_udf_scalar"],
+    # q9 first: one driver-green row certifies the whole derived-
+    # partsupp machinery (the round-4 TPC-H completion)
+    "tpch": ["tpch_q9", "tpch_q1", "tpch_q3"],
+    "pipeline": ["pipeline_training_manifest"],
 }
 
 
