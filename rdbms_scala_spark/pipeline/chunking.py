@@ -187,9 +187,10 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_training_manifest",
-    oracle=f"""
+def _manifest_oracle() -> str:
+    from rdbms_scala_spark.pipeline.text import quality_wt_cte
+
+    return f"""
     WITH keepers AS (
         SELECT min(doc_id) AS doc_id
         FROM documents
@@ -199,30 +200,12 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, d.text, d.n_chars
         FROM documents d JOIN keepers USING (doc_id)
     ),
-    feat AS (
-        SELECT doc_id, text, n_chars,
-               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                   / length(text) AS punct_ratio,
-               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                        x -> x IN ('the', 'a', 'and', 'of', 'is', 'to', 'in', 'it'))) AS DOUBLE)
-                   / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS stopword_ratio,
-               CAST(length(text) AS DOUBLE)
-                   / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS chars_per_token
-        FROM kept
-    ),
+    {quality_wt_cte('kept')},
     gated AS (
-        SELECT doc_id, text, n_chars
-        FROM (
-            SELECT doc_id, text, n_chars,
-                   least(greatest(
-                       0.5 * least(stopword_ratio * 5, 1.0)
-                       + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
-                       + 0.2 * least(chars_per_token / 8.0, 1.0),
-                   0.05), 0.95) AS w
-            FROM feat
-        )
+        SELECT k.doc_id, k.text, k.n_chars
+        FROM kept k JOIN q_wt USING (doc_id)
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-              < lower(lpad(hex(CAST(floor(w * 4294967296.0) AS BIGINT)), 8, '0'))
+              < lower(lpad(hex(LEAST(CAST(floor(w * 4294967296.0) AS BIGINT), 4294967295)), 8, '0'))
     ),
     chunks AS (
         SELECT doc_id,
@@ -262,7 +245,12 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM packed
     GROUP BY shard, pack_id
     ORDER BY shard, pack_id
-    """,
+    """
+
+
+@register(
+    "pipeline_training_manifest",
+    oracle=_manifest_oracle(),
     tags=("pipeline", "endtoend", "chunking", "packing", "scale"),
 )
 def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,9 +272,8 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (parallelism = shard count); map-side-combinable final
     aggregate. Nothing quadratic, nothing single-reducer, no action
     inside the plan."""
-    from rdbms_scala_spark.pipeline.dedup import tokens
     from rdbms_scala_spark.pipeline.sampling import _doc_hash, _hex_threshold
-    from rdbms_scala_spark.pipeline.text import _STOP_EN, _in_list
+    from rdbms_scala_spark.pipeline.text import quality_weight_over
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     keepers = (
@@ -295,35 +282,8 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept = docs.join(keepers, "doc_id", "left_semi")
-
-    t = kept.select(
-        "doc_id", "text", "n_chars", F.length("text").alias("n"), tokens().alias("t")
-    )
-    quality = (
-        0.5
-        * F.least(
-            (F.expr(_in_list("t", _STOP_EN)).cast("double") / F.size("t")) * 5,
-            F.lit(1.0),
-        )
-        + 0.3
-        * (
-            1.0
-            - F.least(
-                (
-                    F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast(
-                        "double"
-                    )
-                    / F.col("n")
-                )
-                * 10,
-                F.lit(1.0),
-            )
-        )
-        + 0.2 * F.least((F.col("n").cast("double") / F.size("t")) / 8.0, F.lit(1.0))
-    )
-    w = F.least(F.greatest(quality, F.lit(0.05)), F.lit(0.95))
     gated = (
-        t.withColumn("w", w)
+        quality_weight_over(kept)
         .filter(F.substring(_doc_hash(), 1, 8) < _hex_threshold(F.col("w")))
         .select("doc_id", "text", "n_chars")
     )

@@ -151,49 +151,41 @@ def sample_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hex_threshold(rate):
     """8-hex-digit string h such that a uniform md5 prefix < h with
-    probability ``rate`` (rate strictly < 1): lower(lpad(hex(floor(
-    rate * 2^32)))). Comparing two fixed-width lowercase hex strings
-    is exactly the integer compare — no hex->int parsing, which DuckDB
+    probability ``rate``: lower(lpad(hex(least(floor(rate * 2^32),
+    2^32-1)))). Comparing two fixed-width lowercase hex strings is
+    exactly the integer compare — no hex->int parsing, which DuckDB
     has no clean scalar for. ``rate`` must be the same IEEE double in
     both engines (every caller derives it from identical arithmetic),
-    so the threshold string is identical too."""
-    return F.lower(
-        F.lpad(F.hex(F.floor(rate * F.lit(4294967296.0)).cast("long")), 8, "0")
+    so the threshold string is identical too.
+
+    The LEAST cap is a misuse guard: at rate >= 1, floor(2^32) is 9
+    hex digits and lpad-TRUNCATES to '10000000' — a silent 1/16 sample
+    masquerading as keep-everything, identical in both engines so no
+    oracle could catch it. Capped, rate >= 1 keeps all but the one-in-
+    2^32 'ffffffff' prefix; callers wanting exact keep-all (e.g.
+    sample_domain_mixture) still short-circuit with `rate >= 1 OR`."""
+    capped = F.least(
+        F.floor(rate * F.lit(4294967296.0)).cast("long"), F.lit(4294967295)
     )
+    return F.lower(F.lpad(F.hex(capped), 8, "0"))
+
+
+def _quality_weighted_oracle() -> str:
+    from rdbms_scala_spark.pipeline.text import quality_wt_cte
+
+    return f"""
+    WITH {quality_wt_cte('documents')}
+    SELECT doc_id, round(w, 4) AS keep_weight
+    FROM q_wt
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < lower(lpad(hex(LEAST(CAST(floor(w * 4294967296.0) AS BIGINT), 4294967295)), 8, '0'))
+    ORDER BY doc_id
+    """
 
 
 @register(
     "sample_quality_weighted",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, text, length(text) AS n,
-               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-        FROM documents
-    ),
-    feat AS (
-        SELECT doc_id,
-               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / n
-                   AS punct_ratio,
-               CAST(len(list_filter(t, x -> x IN ('the', 'a', 'and', 'of', 'is', 'to', 'in', 'it'))) AS DOUBLE)
-                   / len(t) AS stopword_ratio,
-               CAST(length(text) AS DOUBLE) / len(t) AS chars_per_token
-        FROM toks
-    ),
-    wt AS (
-        SELECT doc_id,
-               least(greatest(
-                   0.5 * least(stopword_ratio * 5, 1.0)
-                   + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
-                   + 0.2 * least(chars_per_token / 8.0, 1.0),
-               0.05), 0.95) AS w
-        FROM feat
-    )
-    SELECT doc_id, round(w, 4) AS keep_weight
-    FROM wt
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-          < lower(lpad(hex(CAST(floor(w * 4294967296.0) AS BIGINT)), 8, '0'))
-    ORDER BY doc_id
-    """,
+    oracle=_quality_weighted_oracle(),
     tags=("sample", "quality", "deterministic", "scale"),
 )
 def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,33 +199,15 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible by the oracle — no rand().
 
     Map-only at any scale: score, threshold, and compare are all
-    per-row expressions; the quality formula is the same one
-    text_quality_score emits (kept in lockstep by the shared test
-    corpus and both oracles)."""
-    from rdbms_scala_spark.pipeline.dedup import tokens
-    from rdbms_scala_spark.pipeline.text import _STOP_EN, _in_list
+    per-row expressions; the quality formula is THE shared definition
+    (text.quality_weight_over / text.quality_wt_cte), so this sampler,
+    text_quality_score and pipeline_training_manifest cannot drift
+    apart."""
+    from rdbms_scala_spark.pipeline.text import quality_weight_over
 
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "text", F.length("text").alias("n"), tokens().alias("t"))
-    feat = t.select(
-        "doc_id",
-        (
-            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
-            / F.col("n")
-        ).alias("punct_ratio"),
-        (F.expr(_in_list("t", _STOP_EN)).cast("double") / F.size("t")).alias(
-            "stopword_ratio"
-        ),
-        (F.col("n").cast("double") / F.size("t")).alias("chars_per_token"),
-    )
-    quality = (
-        0.5 * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
-        + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 10, F.lit(1.0)))
-        + 0.2 * F.least(F.col("chars_per_token") / 8.0, F.lit(1.0))
-    )
-    w = F.least(F.greatest(quality, F.lit(0.05)), F.lit(0.95))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
-        feat.select("doc_id", w.alias("w"))
+        quality_weight_over(docs)
         .filter(F.substring(_doc_hash(), 1, 8) < _hex_threshold(F.col("w")))
         .select("doc_id", F.round("w", 4).alias("keep_weight"))
         .orderBy("doc_id")
@@ -258,7 +232,7 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d JOIN rates r USING (source)
     WHERE r.keep_rate >= 1.0
        OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-          < lower(lpad(hex(CAST(floor(r.keep_rate * 4294967296.0) AS BIGINT)), 8, '0'))
+          < lower(lpad(hex(LEAST(CAST(floor(r.keep_rate * 4294967296.0) AS BIGINT), 4294967295)), 8, '0'))
     GROUP BY d.source, r.n_docs, r.keep_rate
     ORDER BY d.source
     """,

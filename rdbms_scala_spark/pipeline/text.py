@@ -32,6 +32,65 @@ def _in_list_duck(arr_expr: str, words: tuple[str, ...]) -> str:
     return f"len(list_filter({arr_expr}, x -> x IN ({lst})))"
 
 
+def quality_weight_over(docs):
+    """Attach the clamped [0.05, 0.95] heuristic quality weight as
+    column ``w`` — the ONE definition of the formula shared by
+    text_quality_score (unclamped, rounded), sample_quality_weighted
+    and pipeline_training_manifest. ``docs`` needs (doc_id, text);
+    all other columns pass through. Arithmetic order matches
+    ``quality_wt_cte`` term for term so both engines produce the
+    identical IEEE doubles."""
+    t = docs.withColumn("__n", F.length("text")).withColumn("__t", tokens())
+    feat = (
+        t.withColumn(
+            "__punct",
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+            / F.col("__n"),
+        )
+        .withColumn(
+            "__stop",
+            F.expr(_in_list("__t", _STOP_EN)).cast("double") / F.size("__t"),
+        )
+        .withColumn("__cpt", F.col("__n").cast("double") / F.size("__t"))
+    )
+    quality = (
+        0.5 * F.least(F.col("__stop") * 5, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(F.col("__punct") * 10, F.lit(1.0)))
+        + 0.2 * F.least(F.col("__cpt") / 8.0, F.lit(1.0))
+    )
+    return feat.withColumn(
+        "w", F.least(F.greatest(quality, F.lit(0.05)), F.lit(0.95))
+    ).drop("__n", "__t", "__punct", "__stop", "__cpt")
+
+
+def quality_wt_cte(src: str) -> str:
+    """DuckDB CTE chain mirroring ``quality_weight_over`` over relation
+    ``src``: defines CTEs ``q_toks``/``q_feat``/``q_wt``; ``q_wt`` has
+    (doc_id, w). Embed inside a WITH list."""
+    return f"""q_toks AS (
+        SELECT doc_id, text, length(text) AS n,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM {src}
+    ),
+    q_feat AS (
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / n
+                   AS punct_ratio,
+               CAST({_in_list_duck('t', _STOP_EN)} AS DOUBLE) / len(t) AS stopword_ratio,
+               CAST(length(text) AS DOUBLE) / len(t) AS chars_per_token
+        FROM q_toks
+    ),
+    q_wt AS (
+        SELECT doc_id,
+               least(greatest(
+                   0.5 * least(stopword_ratio * 5, 1.0)
+                   + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+                   + 0.2 * least(chars_per_token / 8.0, 1.0),
+               0.05), 0.95) AS w
+        FROM q_feat
+    )"""
+
+
 @register(
     "text_token_count",
     oracle="""

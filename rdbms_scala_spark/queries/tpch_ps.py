@@ -6,9 +6,17 @@ are unblocked here without synthesizing data files: dbgen's partsupp
 *structure* is pure integer arithmetic over the part and supplier
 tables — for part p and i in 0..3,
 
-    ps_suppkey = (p + i*(S/4 + (p-1)/S)) mod S + 1   (integer division)
+    ps_suppkey = (p + (p-1)/S + (i*S)/4) mod S + 1   (integer division)
 
-(the official dbgen supplier-assignment formula, S = |supplier|), and
+(dbgen's supplier-assignment shape — each part's 4 suppliers sit one
+per quarter of the supplier space, offset by a per-part rotation; the
+quarter offset is floor(i*S/4) rather than dbgen's i*floor(S/4 + ...)
+because the latter degenerates at small S: with S=10 the step is 5 for
+some parts and i*5 mod 10 repeats, violating the (partkey, suppkey)
+primary key at the sf0.001 smoke scale. floor(i*S/4) for i in 0..3 is
+strictly increasing and < S for every S >= 4, so the 4 suppkeys are
+distinct at ANY scale; for the real S = 10000*SF the two formulas
+differ only in the rotation's low digits), and
 the two measure columns, which dbgen draws from its RNG, are replaced
 by deterministic mixes of (partkey, suppkey). Everything is integer
 arithmetic + one final double division, so Spark and DuckDB derive the
@@ -41,7 +49,7 @@ PARTSUPP_SQL = """
                    / CAST(100 AS DOUBLE) AS ps_supplycost
         FROM (
             SELECT p_partkey AS ps_partkey,
-                   (p_partkey + i.i * ((s.sn // 4) + (p_partkey - 1) // s.sn))
+                   (p_partkey + (p_partkey - 1) // s.sn + (i.i * s.sn) // 4)
                        % s.sn + 1 AS ps_suppkey
             FROM part,
                  (SELECT count(*) AS sn FROM supplier) s,
@@ -59,8 +67,10 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     part into its 4 supplier slots map-side. All arithmetic is exact:
     integers throughout, and the final /100 double division is the
     same IEEE op in every engine. Distinctness of the 4 suppkeys per
-    part follows from the dbgen step S/4 + (p-1)/S never being 0 mod S
-    for S >= 8."""
+    part holds at EVERY scale: the quarter offsets floor(i*S/4),
+    i=0..3, are strictly increasing and < S for S >= 4, and adding the
+    per-part rotation mod S is a bijection (see module docstring for
+    why dbgen's literal step formula was not used)."""
     part = load_table(spark, sf_dir, "part").select("p_partkey")
     sn = load_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("sn"))
     slots = (
@@ -75,7 +85,8 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (
                     F.col("ps_partkey")
-                    + F.col("i") * (F.expr("sn div 4") + F.expr("(ps_partkey - 1) div sn"))
+                    + F.expr("(ps_partkey - 1) div sn")
+                    + F.expr("(i * sn) div 4")
                 )
                 % F.col("sn")
                 + 1
@@ -370,7 +381,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         )
     )
-    AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
     ORDER BY s_name
     """,
     tags=("tpch", "join", "subquery", "Q20"),
@@ -385,7 +396,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair with no 1997 lineitem has a NULL subquery sum — `>` NULL is
     never true, so inner join drops exactly those, matching the SQL);
     the part IN-list is a semi join; the supplier IN is a final semi
-    join into the NATION_3 slice. At 100 TB: the lineitem aggregate is
+    join into the NATION_9 slice. At 100 TB: the lineitem aggregate is
     map-combined then shuffled on the composite key — the one big
     shuffle; everything else broadcasts."""
     small_parts = (
@@ -415,7 +426,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_suppkey")
     )
     sup = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     return (
         sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(qualified, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")

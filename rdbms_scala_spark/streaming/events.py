@@ -343,7 +343,9 @@ _GAP_STEP_US = 21_600_000_000  # 6-hour resampling grid, microseconds
     WITH ev AS (
         SELECT user_id, epoch_us(ts) AS ts_us,
                arg_max(value, event_id) AS v
-        FROM events GROUP BY user_id, epoch_us(ts)
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY user_id, epoch_us(ts)
     ),
     bounds AS (
         SELECT user_id,
@@ -372,6 +374,15 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-engineering op that turns irregular event logs into the
     aligned matrices sequence models train on.
 
+    NULL ``value`` rows are dropped up front ON BOTH SIDES: a NULL
+    observation is "no observation", not a fill-breaking datum. This
+    is load-bearing for the oracle agreement — Spark's
+    last(ignorenulls) would skip a NULL the correlated subquery
+    returns, and DuckDB's arg_max ignores NULL args while Spark's
+    max_by does not; filtering first removes both divergences (the
+    current testdata has no NULL values, but the driver regenerates
+    data between rounds).
+
     Spark shape: events are first deduped to one value per (user,
     instant) (max_by on event_id — makes the fill deterministic when
     instants collide), per-user bounds explode into the grid map-side,
@@ -383,8 +394,10 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass. The DuckDB oracle expresses the same semantics as a
     last-observation-before correlated subquery — a deliberately
     different paradigm proving the window formulation correct."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "value", "event_id"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "value", "event_id")
     )
     dedup = ev.groupBy("user_id", "ts_us").agg(
         F.max_by("value", "event_id").alias("v")

@@ -204,24 +204,27 @@ def test_reference_shipped_tpch_data_end_to_end(engine):
     }
     assert got == exp
 
-    # Q11-shaped partsupp x supplier national stock value
-    got_ps = [
-        (r.ps_partkey, round(r.value, 2))
+    # Q11-shaped partsupp x supplier national stock value. Compared as
+    # an unordered dict with values rounded post-collect: ordering by
+    # the raw double sum across two engines is ulp-order-sensitive
+    # (engine-specific accumulation order can swap near-ties around a
+    # LIMIT boundary), while the rounded per-key values are stable.
+    got_ps = {
+        r.ps_partkey: round(r.value, 2)
         for r in engine.execute(
             "SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value "
             "FROM REF_PARTSUPP JOIN REF_SUPPLIER ON ps_suppkey = s_suppkey "
-            "WHERE s_nationkey < 5 "
-            "GROUP BY ps_partkey ORDER BY value DESC, ps_partkey LIMIT 20"
+            "WHERE s_nationkey < 5 GROUP BY ps_partkey"
         ).collect()
-    ]
-    exp_ps = [
-        (k, round(v, 2))
+    }
+    exp_ps = {
+        k: round(v, 2)
         for k, v in con.execute(
             "SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value "
             "FROM PS JOIN S ON ps_suppkey = s_suppkey WHERE s_nationkey < 5 "
-            "GROUP BY ps_partkey ORDER BY value DESC, ps_partkey LIMIT 20"
+            "GROUP BY ps_partkey"
         ).fetchall()
-    ]
+    }
     assert got_ps == exp_ps
 
     for t in ("REF_LINEITEM", "REF_PARTSUPP", "REF_SUPPLIER"):

@@ -327,3 +327,19 @@ def test_chunking_covers_every_char(spark):
             assert len(r.chunk_text) >= 1
             covered_to = max(covered_to, r.chunk_start + len(r.chunk_text))
         assert covered_to == n, f"covered {covered_to} != n_chars {n}"
+
+
+def test_derived_partsupp_primary_key_at_all_scales(spark):
+    """(ps_partkey, ps_suppkey) must be a primary key at EVERY scale.
+    dbgen's literal step formula degenerates at small supplier counts
+    (S=10: step 5, i*5 mod 10 repeats — observed 60 duplicate pairs at
+    sf0.001 before the fix); the quarter-offset form must not."""
+    from rdbms_scala_spark.queries.tpch_ps import derived_partsupp
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ps = derived_partsupp(spark, sf)
+        total = ps.count()
+        distinct = ps.select("ps_partkey", "ps_suppkey").distinct().count()
+        assert total == distinct, f"{sf}: {total - distinct} duplicate partsupp keys"
+        n_part = dedup.load_table(spark, sf, "part").count()
+        assert total == 4 * n_part

@@ -175,14 +175,14 @@ def test_q9_all_dim_joins_broadcast(spark, sf_dir):
 
 def test_chunking_is_map_only(spark, sf_dir):
     """text_chunk_documents claims zero shuffles beyond the gate's
-    deterministic orderBy: the plan must contain exactly the one
-    rangepartitioning Exchange the sort needs and NO hashpartitioning
-    Exchange (a hash exchange would mean the chunk fan-out started
-    shuffling corpus bytes)."""
+    deterministic orderBy: exactly one rangepartitioning Exchange (the
+    sort) and NO hashpartitioning Exchange (a hash exchange would mean
+    the chunk fan-out started shuffling corpus bytes)."""
     from rdbms_scala_spark.plans import physical_plan
 
     plan = physical_plan(SPECS["text_chunk_documents"].fn(spark, sf_dir))
     assert "hashpartitioning" not in plan, "chunking must not hash-shuffle"
+    assert plan.count("rangepartitioning") == 1, "expected exactly the sort exchange"
 
 
 def test_pack_sequences_windows_per_shard(spark, sf_dir):
