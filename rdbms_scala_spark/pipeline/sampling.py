@@ -276,3 +276,51 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "keep_rate", "n_kept")
         .orderBy("source")
     )
+
+
+_TOP_FRACTION = 0.2  # keep the top 20% of docs by quality weight
+
+
+def _quality_top_oracle() -> str:
+    from rdbms_scala_spark.pipeline.text import quality_wt_cte
+
+    return f"""
+    WITH {quality_wt_cte('documents')}
+    SELECT doc_id, round(w, 4) AS keep_weight
+    FROM q_wt
+    WHERE w >= (SELECT quantile_cont(w, {1 - _TOP_FRACTION}) FROM q_wt)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "sample_quality_top_fraction",
+    oracle=_quality_top_oracle(),
+    tags=("sample", "quality", "quantile", "scale"),
+)
+def sample_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top 20% of documents by quality weight — the hard
+    percentile cut, complementing sample_quality_weighted's soft
+    Bernoulli gate. The threshold is ONE number (the corpus's 0.8
+    quantile of w) computed as an aggregate and broadcast-cross-joined
+    back, so the filter itself is map-side.
+
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the same definition (linear interpolation on the sorted multiset),
+    and the inputs are identical doubles, so the thresholds agree
+    bit-for-bit. The exact percentile aggregates a per-value count map
+    — fine into the millions of distinct values; at 100 TB swap in
+    ``approx_percentile(w, q, err)`` (same plan shape, sketch-merge
+    combine) and accept the epsilon-rank error, or compute the exact
+    quantile on a deterministic md5 sample."""
+    from rdbms_scala_spark.pipeline.text import quality_weight_over
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qdf = quality_weight_over(docs).select("doc_id", "w")
+    thr = qdf.agg(F.expr(f"percentile(w, {1 - _TOP_FRACTION})").alias("thr"))
+    return (
+        qdf.crossJoin(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("thr"))
+        .select("doc_id", F.round("w", 4).alias("keep_weight"))
+        .orderBy("doc_id")
+    )
