@@ -184,3 +184,53 @@ def functions_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nation_nonzero"),
         F.ifnull(F.nullif(F.col("c_name"), F.col("c_name")), F.lit("anon")).alias("always_anon"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "functions_array",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           len(t)                                                   AS n_tokens,
+           len(list_distinct(t))                                    AS n_unique,
+           array_to_string(list_slice(list_sort(list_distinct(t)), 1, 3), ',')
+                                                                    AS first3_sorted,
+           list_contains(t, 'the')                                  AS has_the,
+           list_max(list_transform(t, x -> length(x)))              AS longest_token,
+           t[-1]                                                    AS last_token,
+           COALESCE(array_to_string(list_filter(t, x -> length(x) >= 6), ','), '') AS long_tokens
+    FROM toks
+    ORDER BY doc_id
+    """,
+    tags=("functions", "array", "R2"),
+)
+def functions_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order builtin surface over token arrays: size,
+    distinct, sort+slice, contains, transform+max, element_at(-1),
+    filter — the Catalyst collection functions the reference's scalar
+    layer has no analog for (SURVEY §1.2: no array type at all). All
+    JVM-side expressions; array-valued outputs are stringified with the
+    repo's concat_ws convention because numpy-vs-list physical forms
+    differ across engines. Note DuckDB's list_slice(l, b, e) takes an
+    END INDEX while Spark's slice(a, b, n) takes a LENGTH — the (1, 3)
+    literals happen to mean the same prefix here; any other window must
+    be translated, not copied."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", t.alias("t"))
+    return toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_unique"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct("t")), 1, 3)).alias(
+            "first3_sorted"
+        ),
+        F.array_contains("t", "the").alias("has_the"),
+        F.array_max(F.expr("transform(t, x -> length(x))")).alias("longest_token"),
+        F.element_at("t", -1).alias("last_token"),
+        F.concat_ws(",", F.expr("filter(t, x -> length(x) >= 6)")).alias("long_tokens"),
+    ).orderBy("doc_id")
