@@ -162,3 +162,39 @@ def test_two_phase_skew_join_equals_plain_join(spark, left, right, threshold):
     two = two_phase_skew_join(ldf, rdf, "k", "rk", hot_threshold=threshold)
     key = lambda r: (r["k"], r["lv"], r["rv"])  # noqa: E731
     assert sorted(map(key, plain.collect())) == sorted(map(key, two.collect()))
+
+
+@given(
+    toks=st.lists(st.integers(1, 300), min_size=1, max_size=25),
+    budget=st.integers(16, 512),
+)
+@_spark_settings
+def test_pack_sequences_matches_sequential_reference(spark, toks, budget):
+    """Sharded packing must equal the trivially-correct sequential
+    Python packer within each shard: pack_id/pack_offset are exactly
+    the running-total div/mod, offsets stay inside the budget, and
+    pack ids are monotone in stream order."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tokens long"
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(3)))
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    packed = (
+        docs.withColumn("cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("pack_id", F.expr(f"cum div {budget}"))
+        .withColumn("pack_offset", F.col("cum") % budget)
+        .collect()
+    )
+    # pure-Python sequential reference per shard
+    streams: dict[int, int] = {}
+    expected = {}
+    for i, n in enumerate(toks):
+        shard = i % 3
+        cum = streams.get(shard, 0)
+        expected[i] = (cum // budget, cum % budget)
+        streams[shard] = cum + n
+    for r in packed:
+        assert (r.pack_id, r.pack_offset) == expected[r.doc_id], r
+        assert 0 <= r.pack_offset < budget
