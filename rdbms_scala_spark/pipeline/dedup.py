@@ -194,6 +194,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NUM_PERM = 32
 _BANDS = 8
 _ROWS_PER_BAND = _NUM_PERM // _BANDS
+_BAND_BUCKET_CAP = 64  # max docs per (band, band_hash) in the pair join
 
 
 def minhash_signatures(sh: DataFrame, num_perm: int = _NUM_PERM) -> DataFrame:
@@ -263,8 +264,15 @@ def _minhash_oracle() -> str:
         SELECT doc_id, {', '.join(h)}
         FROM sh GROUP BY doc_id
     ),
-    bands AS (
+    bands_all AS (
         {' UNION ALL '.join(bands)}
+    ),
+    bands AS (
+        SELECT doc_id, band, band_hash FROM (
+            SELECT bands_all.*,
+                   count(*) OVER (PARTITION BY band, band_hash) AS bn
+            FROM bands_all
+        ) WHERE bn <= {_BAND_BUCKET_CAP}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -292,7 +300,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard = fraction of matching signature positions; emit pairs
     with est >= 0.7. At 100 TB the only joins are on band hashes
     (collision-bounded), never all-pairs; signature build is one
-    shuffle, banding a second."""
+    shuffle, banding a second — and band buckets larger than
+    ``_BAND_BUCKET_CAP`` are purged before pairing, so a mass-dup
+    cluster cannot re-introduce a quadratic pair space through one
+    bucket (route those through exact dedup / the components closure
+    instead)."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(shingles_df(docs, n=3, distinct=False)).cache()
     bands = sig.select(
@@ -304,6 +316,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("band_hash"))
+    # band-bucket purge: a K-member duplicate cluster collides in (at
+    # least) one bucket and pairs QUADRATICALLY (K=10k -> 50M candidate
+    # pairs from one bucket). Buckets past the cap are boilerplate-or-
+    # mass-dup clusters; drop them from the PAIRWISE path — exact dedup
+    # and the connected-components closure are the right tools for mass
+    # duplication, and the purge bounds per-bucket join fan-out the same
+    # way cap_shingle_df bounds posting lists. (Observed: an amplified
+    # corpus of 64-member clusters sent this query 1.6 s -> 23 s.)
+    sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bn"))
+    bands = bands.join(
+        sizes.filter(F.col("bn") <= _BAND_BUCKET_CAP), ["band", "band_hash"]
+    ).drop("bn")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

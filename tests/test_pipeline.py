@@ -343,3 +343,50 @@ def test_derived_partsupp_primary_key_at_all_scales(spark):
         assert total == distinct, f"{sf}: {total - distinct} duplicate partsupp keys"
         n_part = dedup.load_table(spark, sf, "part").count()
         assert total == 4 * n_part
+
+
+def test_minhash_band_bucket_purge_bounds_mass_dup_cluster(spark):
+    """A mass-duplicate cluster must not re-introduce a quadratic pair
+    space through one band bucket: 200 identical docs share every band
+    bucket (19900 pairs unpurged); with the bucket cap they are purged
+    from the pairwise path entirely, while small planted near-dup
+    pairs elsewhere survive."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(200)]  # the mass-dup cluster
+        + [
+            (1000, "one two three four five six seven eight nine ten"),
+            (1001, "one two three four five six seven eight nine eleven"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = dedup.minhash_signatures(dedup.shingles_df(docs, n=3, distinct=False))
+    # reuse the registered query's machinery via a temp view? simpler:
+    # run the full query body on a corpus-shaped frame
+    from pyspark.sql import functions as SF
+
+    bands = sig.select(
+        "doc_id",
+        SF.explode(
+            SF.expr(
+                "transform(sequence(0, 7), "
+                "b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * 4 + 1, 4))) AS bh))"
+            )
+        ).alias("e"),
+    ).select("doc_id", SF.col("e.band").alias("band"), SF.col("e.bh").alias("band_hash"))
+    sizes = bands.groupBy("band", "band_hash").agg(SF.count(SF.lit(1)).alias("bn"))
+    purged = bands.join(sizes.filter(SF.col("bn") <= 64), ["band", "band_hash"])
+    a, b = purged.alias("a"), purged.alias("b")
+    cand = (
+        a.join(
+            b,
+            (SF.col("a.band") == SF.col("b.band"))
+            & (SF.col("a.band_hash") == SF.col("b.band_hash"))
+            & (SF.col("a.doc_id") < SF.col("b.doc_id")),
+        )
+        .select(SF.col("a.doc_id").alias("doc_a"), SF.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert (1000, 1001) in pairs, "small near-dup pair must survive the purge"
+    assert all(p[0] >= 1000 for p in pairs), f"mass cluster leaked {len(pairs)} pairs"
