@@ -16,8 +16,9 @@ Four tiers, by cost/recall tradeoff at 100 TB:
   only same-band-hash docs are candidate pairs — the join is on
   (band, band_hash), never all-pairs.
 - SimHash: 64-bit fingerprints whose Hamming distance tracks cosine
-  similarity of token sets; candidates via 16-bit chunk banding
-  (pigeonhole: hamming<=3 => some chunk of 4 equal).
+  similarity of token sets; candidates via 8-bit chunk banding
+  (pigeonhole: hamming<=7 => some chunk of 8 equal), mass-dup buckets
+  purged like the LSH band buckets.
 
 All tokenization is lower(trim(text)) split on whitespace so the
 DuckDB oracles can reproduce it exactly.
@@ -414,7 +415,14 @@ def _simhash_oracle() -> str:
     ),
     bits AS (SELECT doc_id, {votes} FROM hashes GROUP BY doc_id),
     fp AS (SELECT doc_id, ({fp_lo}) AS fp_lo, ({fp_hi}) AS fp_hi FROM bits),
-    chunks AS ({chunk_selects}),
+    chunks_all AS ({chunk_selects}),
+    chunks AS (
+        SELECT doc_id, fp_lo, fp_hi, chunk, cv FROM (
+            SELECT chunks_all.*,
+                   count(*) OVER (PARTITION BY chunk, cv) AS bn
+            FROM chunks_all
+        ) WHERE bn <= {_BAND_BUCKET_CAP}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.fp_lo AS fla, a.fp_hi AS fha, b.fp_lo AS flb, b.fp_hi AS fhb
@@ -498,6 +506,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "fp_lo", "fp_hi",
         F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv"),
     )
+    # mass-dup purge, as in dedup_minhash_lsh: identical docs share all
+    # 8 chunk values, so a K-copy cluster pairs quadratically through
+    # every bucket; buckets past the cap leave the pairwise path. (At
+    # 8-bit chunks random collisions also fill buckets at ~n/256 — the
+    # width is calibrated for ~1e4-1e5 docs; at larger corpora widen
+    # the chunks as ~log2(n) so bucket occupancy, and with it both
+    # recall and join fan-out, stays constant. The cap is the backstop
+    # either way.)
+    sizes = chunks.groupBy("chunk", "cv").agg(F.count(F.lit(1)).alias("bn"))
+    chunks = chunks.join(
+        sizes.filter(F.col("bn") <= _BAND_BUCKET_CAP), ["chunk", "cv"]
+    ).drop("bn")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
