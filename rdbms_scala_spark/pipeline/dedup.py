@@ -91,6 +91,23 @@ def cap_shingle_df(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+def purge_oversized_buckets(df: DataFrame, keys: list[str], cap) -> DataFrame:
+    """Drop every row of any bucket (group over ``keys``) larger than
+    ``cap`` — the shared guard that keeps bucket-pairing joins from
+    going quadratic on mass-duplicate clusters (used by the MinHash
+    band join, the SimHash chunk join, and the Levenshtein blocking
+    passes; same idea as ``cap_shingle_df`` for posting lists).
+
+    ``cap`` is an int, or a Column for occupancy-relative caps — the
+    Column is evaluated on the frame AFTER the per-bucket count ``__bn``
+    is attached, so it may reference both ``__bn`` and any column
+    ``df`` carries (e.g. a broadcast corpus count)."""
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
+    if isinstance(cap, int):
+        return df.join(sizes.filter(F.col("__bn") <= cap), keys).drop("__bn")
+    return df.join(sizes, keys).filter(F.col("__bn") <= cap).drop("__bn")
+
+
 def pairwise_jaccard(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """Exact Jaccard for every doc pair sharing >=1 shingle, via the
     inverted-index self-join (never a full cross product). Shingles
@@ -231,6 +248,21 @@ def minhash_signatures(sh: DataFrame, num_perm: int = _NUM_PERM) -> DataFrame:
     return agg.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def minhash_band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash): each doc's `_BANDS` LSH band keys —
+    the banding used by dedup_minhash_lsh, named so tests exercise the
+    production constants rather than re-implementing them."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_BANDS - 1}), "
+                f"b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}))) AS bh))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("band_hash"))
+
+
 def _minhash_oracle() -> str:
     """DuckDB mirror of dedup_minhash_lsh: same md5-slice permutation
     mins, same banded candidate join, same matching-position
@@ -308,27 +340,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead)."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(shingles_df(docs, n=3, distinct=False)).cache()
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_BANDS - 1}), "
-                f"b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}))) AS bh))"
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("band_hash"))
     # band-bucket purge: a K-member duplicate cluster collides in (at
     # least) one bucket and pairs QUADRATICALLY (K=10k -> 50M candidate
     # pairs from one bucket). Buckets past the cap are boilerplate-or-
     # mass-dup clusters; drop them from the PAIRWISE path — exact dedup
     # and the connected-components closure are the right tools for mass
-    # duplication, and the purge bounds per-bucket join fan-out the same
-    # way cap_shingle_df bounds posting lists. (Observed: an amplified
+    # duplication. An ABSOLUTE cap is sound here because band_hash is a
+    # 128-bit md5: random buckets essentially never fill, only genuine
+    # near-identical clusters do. (Observed pre-purge: an amplified
     # corpus of 64-member clusters sent this query 1.6 s -> 23 s.)
-    sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bn"))
-    bands = bands.join(
-        sizes.filter(F.col("bn") <= _BAND_BUCKET_CAP), ["band", "band_hash"]
-    ).drop("bn")
+    bands = purge_oversized_buckets(
+        minhash_band_buckets(sig), ["band", "band_hash"], _BAND_BUCKET_CAP
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -421,7 +444,8 @@ def _simhash_oracle() -> str:
             SELECT chunks_all.*,
                    count(*) OVER (PARTITION BY chunk, cv) AS bn
             FROM chunks_all
-        ) WHERE bn <= {_BAND_BUCKET_CAP}
+        ) WHERE bn <= greatest({_BAND_BUCKET_CAP},
+                               (8 * (SELECT count(*) FROM fp)) // 256)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -506,18 +530,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "fp_lo", "fp_hi",
         F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv"),
     )
-    # mass-dup purge, as in dedup_minhash_lsh: identical docs share all
-    # 8 chunk values, so a K-copy cluster pairs quadratically through
-    # every bucket; buckets past the cap leave the pairwise path. (At
-    # 8-bit chunks random collisions also fill buckets at ~n/256 — the
-    # width is calibrated for ~1e4-1e5 docs; at larger corpora widen
-    # the chunks as ~log2(n) so bucket occupancy, and with it both
-    # recall and join fan-out, stays constant. The cap is the backstop
-    # either way.)
-    sizes = chunks.groupBy("chunk", "cv").agg(F.count(F.lit(1)).alias("bn"))
-    chunks = chunks.join(
-        sizes.filter(F.col("bn") <= _BAND_BUCKET_CAP), ["chunk", "cv"]
-    ).drop("bn")
+    # mass-dup purge, as in dedup_minhash_lsh — but the cap must be
+    # OCCUPANCY-RELATIVE here: an 8-bit chunk value has only 256
+    # buckets, so ordinary random collisions fill each to ~n/256 and a
+    # fixed cap would purge EVERY bucket (silently zeroing recall) as
+    # soon as n exceeds 256*cap. The cap is therefore
+    # max(_BAND_BUCKET_CAP, 8 * expected occupancy): normal buckets
+    # (~1x expected) always survive, while a duplicate cluster >= 8x
+    # expected occupancy leaves the pairwise path. At larger corpora
+    # ALSO widen the chunks as ~log2(n) so expected occupancy — and
+    # with it both recall and join fan-out — stays constant; the
+    # relative cap is the backstop either way.
+    n_docs = fp.agg(F.count(F.lit(1)).alias("n_docs"))
+    chunks = purge_oversized_buckets(
+        chunks.crossJoin(F.broadcast(n_docs)),
+        ["chunk", "cv"],
+        F.greatest(F.lit(_BAND_BUCKET_CAP), F.expr("(8 * n_docs) div 256")),
+    ).drop("n_docs")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -843,10 +872,7 @@ def lev_blocked_pairs(docs: DataFrame, block_cap: int = _LEV_BLOCK_CAP) -> DataF
     )
 
     def blocking_pass(kcol: str, bcol: str) -> DataFrame:
-        sizes = keyed.groupBy("source", kcol, bcol).agg(F.count(F.lit(1)).alias("bn"))
-        ok = keyed.join(
-            sizes.filter(F.col("bn") <= block_cap), ["source", kcol, bcol]
-        )
+        ok = purge_oversized_buckets(keyed, ["source", kcol, bcol], block_cap)
         a = ok.select(
             F.col("doc_id").alias("doc_a"),
             F.col("source").alias("sa"),

@@ -32,11 +32,33 @@ def _in_list_duck(arr_expr: str, words: tuple[str, ...]) -> str:
     return f"len(list_filter({arr_expr}, x -> x IN ({lst})))"
 
 
+def raw_quality(stop_col, punct_col, cpt_col):
+    """The weighted quality sum over (stopword_ratio, punct_ratio,
+    chars_per_token) columns — the SINGLE Spark-side definition behind
+    text_quality_score (unclamped, rounded), quality_weight_over, and
+    through it sample_quality_weighted / sample_quality_top_fraction /
+    pipeline_training_manifest. Term order mirrors
+    ``_RAW_QUALITY_SQL`` so both engines produce identical doubles."""
+    return (
+        0.5 * F.least(stop_col * 5, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(punct_col * 10, F.lit(1.0)))
+        + 0.2 * F.least(cpt_col / 8.0, F.lit(1.0))
+    )
+
+
+# the SQL twin of raw_quality(); expects columns named stopword_ratio /
+# punct_ratio / chars_per_token in scope
+_RAW_QUALITY_SQL = (
+    "0.5 * least(stopword_ratio * 5, 1.0)"
+    " + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))"
+    " + 0.2 * least(chars_per_token / 8.0, 1.0)"
+)
+
+
 def quality_weight_over(docs):
     """Attach the clamped [0.05, 0.95] heuristic quality weight as
-    column ``w`` — the ONE definition of the formula shared by
-    text_quality_score (unclamped, rounded), sample_quality_weighted
-    and pipeline_training_manifest. ``docs`` needs (doc_id, text);
+    column ``w`` (the weight formula itself is ``raw_quality`` — one
+    definition for every consumer). ``docs`` needs (doc_id, text);
     all other columns pass through. Arithmetic order matches
     ``quality_wt_cte`` term for term so both engines produce the
     identical IEEE doubles."""
@@ -53,11 +75,7 @@ def quality_weight_over(docs):
         )
         .withColumn("__cpt", F.col("__n").cast("double") / F.size("__t"))
     )
-    quality = (
-        0.5 * F.least(F.col("__stop") * 5, F.lit(1.0))
-        + 0.3 * (1.0 - F.least(F.col("__punct") * 10, F.lit(1.0)))
-        + 0.2 * F.least(F.col("__cpt") / 8.0, F.lit(1.0))
-    )
+    quality = raw_quality(F.col("__stop"), F.col("__punct"), F.col("__cpt"))
     return feat.withColumn(
         "w", F.least(F.greatest(quality, F.lit(0.05)), F.lit(0.95))
     ).drop("__n", "__t", "__punct", "__stop", "__cpt")
@@ -82,11 +100,7 @@ def quality_wt_cte(src: str) -> str:
     ),
     q_wt AS (
         SELECT doc_id,
-               least(greatest(
-                   0.5 * least(stopword_ratio * 5, 1.0)
-                   + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
-                   + 0.2 * least(chars_per_token / 8.0, 1.0),
-               0.05), 0.95) AS w
+               least(greatest({_RAW_QUALITY_SQL}, 0.05), 0.95) AS w
         FROM q_feat
     )"""
 
@@ -144,9 +158,7 @@ _QUALITY_ORACLE = f"""
     SELECT doc_id, n_tokens, est_bpe_tokens,
            round(punct_ratio, 4)    AS punct_ratio,
            round(stopword_ratio, 4) AS stopword_ratio,
-           round(0.5 * least(stopword_ratio * 5, 1.0)
-               + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
-               + 0.2 * least(chars_per_token / 8.0, 1.0), 4) AS quality_score
+           round({_RAW_QUALITY_SQL}, 4) AS quality_score
     FROM feat
 """
 
@@ -168,10 +180,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.size("t")).alias("chars_per_token"),
         F.ceil(F.col("n") / 4.0).cast("long").alias("est_bpe_tokens"),
     )
-    quality = (
-        0.5 * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
-        + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 10, F.lit(1.0)))
-        + 0.2 * F.least(F.col("chars_per_token") / 8.0, F.lit(1.0))
+    quality = raw_quality(
+        F.col("stopword_ratio"), F.col("punct_ratio"), F.col("chars_per_token")
     )
     return feat.select(
         "doc_id",

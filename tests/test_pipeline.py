@@ -360,31 +360,20 @@ def test_minhash_band_bucket_purge_bounds_mass_dup_cluster(spark):
         ],
         "doc_id long, text string",
     )
+    # the PRODUCTION banding, constants, and purge — not a re-implementation
     sig = dedup.minhash_signatures(dedup.shingles_df(docs, n=3, distinct=False))
-    # reuse the registered query's machinery via a temp view? simpler:
-    # run the full query body on a corpus-shaped frame
-    from pyspark.sql import functions as SF
-
-    bands = sig.select(
-        "doc_id",
-        SF.explode(
-            SF.expr(
-                "transform(sequence(0, 7), "
-                "b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * 4 + 1, 4))) AS bh))"
-            )
-        ).alias("e"),
-    ).select("doc_id", SF.col("e.band").alias("band"), SF.col("e.bh").alias("band_hash"))
-    sizes = bands.groupBy("band", "band_hash").agg(SF.count(SF.lit(1)).alias("bn"))
-    purged = bands.join(sizes.filter(SF.col("bn") <= 64), ["band", "band_hash"])
+    purged = dedup.purge_oversized_buckets(
+        dedup.minhash_band_buckets(sig), ["band", "band_hash"], dedup._BAND_BUCKET_CAP
+    )
     a, b = purged.alias("a"), purged.alias("b")
     cand = (
         a.join(
             b,
-            (SF.col("a.band") == SF.col("b.band"))
-            & (SF.col("a.band_hash") == SF.col("b.band_hash"))
-            & (SF.col("a.doc_id") < SF.col("b.doc_id")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(SF.col("a.doc_id").alias("doc_a"), SF.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
