@@ -98,14 +98,25 @@ def purge_oversized_buckets(df: DataFrame, keys: list[str], cap) -> DataFrame:
     band join, the SimHash chunk join, and the Levenshtein blocking
     passes; same idea as ``cap_shingle_df`` for posting lists).
 
-    ``cap`` is an int, or a Column for occupancy-relative caps — the
-    Column is evaluated on the frame AFTER the per-bucket count ``__bn``
-    is attached, so it may reference both ``__bn`` and any column
-    ``df`` carries (e.g. a broadcast corpus count)."""
+    ``cap`` is an int, or a ONE-ROW DataFrame carrying the threshold
+    as column ``__cap`` (for occupancy-relative caps, e.g. derived
+    from a corpus count) — it is broadcast into the bucket-size
+    relation, never onto ``df``.
+
+    Join shape mirrors ``cap_shingle_df``: the OVERSIZED key set (tiny
+    by construction — only buckets past the cap) is broadcast for a
+    left_anti join, so ``df`` itself is never shuffled; the only
+    shuffle is the map-side-combined (keys, count) aggregation."""
     sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
     if isinstance(cap, int):
-        return df.join(sizes.filter(F.col("__bn") <= cap), keys).drop("__bn")
-    return df.join(sizes, keys).filter(F.col("__bn") <= cap).drop("__bn")
+        oversized = sizes.filter(F.col("__bn") > cap).select(*keys)
+    else:
+        oversized = (
+            sizes.crossJoin(F.broadcast(cap))
+            .filter(F.col("__bn") > F.col("__cap"))
+            .select(*keys)
+        )
+    return df.join(F.broadcast(oversized), keys, "left_anti")
 
 
 def pairwise_jaccard(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
@@ -248,16 +259,27 @@ def minhash_signatures(sh: DataFrame, num_perm: int = _NUM_PERM) -> DataFrame:
     return agg.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
 
-def minhash_band_buckets(sig: DataFrame) -> DataFrame:
-    """(doc_id, band, band_hash): each doc's `_BANDS` LSH band keys —
-    the banding used by dedup_minhash_lsh, named so tests exercise the
-    production constants rather than re-implementing them."""
+def minhash_band_buckets(
+    sig: DataFrame,
+    num_perm: int = _NUM_PERM,
+    rows_per_band: int = _ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, band, band_hash): each doc's LSH band keys — the
+    banding used by dedup_minhash_lsh, named so tests exercise the
+    production constants rather than re-implementing them. The band
+    count derives from the SIGNATURE length (``num_perm`` must match
+    the ``minhash_signatures`` call): slicing past a shorter signature
+    would silently give every doc the same md5('') in the high bands —
+    one full-corpus bucket per band."""
+    if num_perm % rows_per_band:
+        raise ValueError(f"num_perm {num_perm} not divisible by {rows_per_band}")
+    n_bands = num_perm // rows_per_band
     return sig.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, {_BANDS - 1}), "
-                f"b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}))) AS bh))"
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band}))) AS bh))"
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("band_hash"))
@@ -541,12 +563,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ALSO widen the chunks as ~log2(n) so expected occupancy — and
     # with it both recall and join fan-out — stays constant; the
     # relative cap is the backstop either way.
-    n_docs = fp.agg(F.count(F.lit(1)).alias("n_docs"))
-    chunks = purge_oversized_buckets(
-        chunks.crossJoin(F.broadcast(n_docs)),
-        ["chunk", "cv"],
-        F.greatest(F.lit(_BAND_BUCKET_CAP), F.expr("(8 * n_docs) div 256")),
-    ).drop("n_docs")
+    cap_df = fp.agg(
+        F.expr(f"greatest({_BAND_BUCKET_CAP}, (8 * count(1)) div 256)").alias("__cap")
+    )
+    chunks = purge_oversized_buckets(chunks, ["chunk", "cv"], cap_df)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -381,24 +381,24 @@ def test_minhash_band_bucket_purge_bounds_mass_dup_cluster(spark):
     assert all(p[0] >= 1000 for p in pairs), f"mass cluster leaked {len(pairs)} pairs"
 
 
-def test_purge_oversized_buckets_column_cap(spark):
-    """The Column-cap form (used by SimHash's occupancy-relative cap)
-    must evaluate the cap per row AFTER the bucket count attaches:
-    with cap = greatest(3, n_total div 4), a 10-row bucket is purged
-    while 2-row buckets survive — and with the equivalent absolute cap
-    of 3 the same frame behaves identically, pinning the two forms to
-    each other."""
+def test_purge_oversized_buckets_dataframe_cap(spark):
+    """The 1-row-DataFrame cap form (used by SimHash's
+    occupancy-relative cap) must agree with the equivalent absolute
+    cap on the same frame: with cap = greatest(3, n_total div 4) = 3,
+    a 10-row bucket is purged while 2-row buckets survive."""
     from pyspark.sql import functions as SF
 
     rows = [("a", i) for i in range(10)] + [("b", 1), ("b", 2), ("c", 1)]
-    df = spark.createDataFrame(rows, "k string, v long").withColumn(
-        "n_total", SF.lit(13)
+    df = spark.createDataFrame(rows, "k string, v long")
+    cap_df = df.agg(
+        SF.greatest(SF.lit(3), SF.expr("count(1) div 4")).alias("__cap")
     )
-    col_cap = dedup.purge_oversized_buckets(
-        df, ["k"], SF.greatest(SF.lit(3), SF.expr("n_total div 4"))
+    got_df = sorted(
+        (r.k, r.v)
+        for r in dedup.purge_oversized_buckets(df, ["k"], cap_df).collect()
     )
-    int_cap = dedup.purge_oversized_buckets(df, ["k"], 3)
-    got_col = sorted((r.k, r.v) for r in col_cap.collect())
-    got_int = sorted((r.k, r.v) for r in int_cap.collect())
-    assert got_col == [("b", 1), ("b", 2), ("c", 1)]
-    assert got_col == got_int
+    got_int = sorted(
+        (r.k, r.v) for r in dedup.purge_oversized_buckets(df, ["k"], 3).collect()
+    )
+    assert got_df == [("b", 1), ("b", 2), ("c", 1)]
+    assert got_df == got_int
