@@ -26,6 +26,8 @@ DuckDB oracles can reproduce it exactly.
 
 from __future__ import annotations
 
+import numbers
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -108,8 +110,13 @@ def purge_oversized_buckets(df: DataFrame, keys: list[str], cap) -> DataFrame:
     left_anti join, so ``df`` itself is never shuffled; the only
     shuffle is the map-side-combined (keys, count) aggregation."""
     sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
-    if isinstance(cap, int):
-        oversized = sizes.filter(F.col("__bn") > cap).select(*keys)
+    if isinstance(cap, bool) or not isinstance(cap, (numbers.Integral, DataFrame)):
+        raise TypeError(
+            f"cap must be an integer or a one-row DataFrame with column "
+            f"'__cap', got {type(cap).__name__}"
+        )
+    if isinstance(cap, numbers.Integral):
+        oversized = sizes.filter(F.col("__bn") > int(cap)).select(*keys)
     else:
         oversized = (
             sizes.crossJoin(F.broadcast(cap))
@@ -353,36 +360,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle -> 32-perm minhash signature -> 8 bands of 4 rows; docs
     colliding on any (band, band_hash) become candidates; estimated
     Jaccard = fraction of matching signature positions; emit pairs
-    with est >= 0.7. At 100 TB the only joins are on band hashes
-    (collision-bounded), never all-pairs; signature build is one
-    shuffle, banding a second — and band buckets larger than
-    ``_BAND_BUCKET_CAP`` are purged before pairing, so a mass-dup
-    cluster cannot re-introduce a quadratic pair space through one
-    bucket (route those through exact dedup / the components closure
-    instead)."""
+    with est >= 0.7. At 100 TB nothing here is all-pairs: candidate
+    generation is ONE aggregation on (band, band_hash) whose per-group
+    state is capped at ``_BAND_BUCKET_CAP`` doc ids, and pairs are
+    expanded bucket-locally from that bounded array."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(shingles_df(docs, n=3, distinct=False)).cache()
-    # band-bucket purge: a K-member duplicate cluster collides in (at
-    # least) one bucket and pairs QUADRATICALLY (K=10k -> 50M candidate
-    # pairs from one bucket). Buckets past the cap are boilerplate-or-
-    # mass-dup clusters; drop them from the PAIRWISE path — exact dedup
-    # and the connected-components closure are the right tools for mass
-    # duplication. An ABSOLUTE cap is sound here because band_hash is a
-    # 128-bit md5: random buckets essentially never fill, only genuine
-    # near-identical clusters do. (Observed pre-purge: an amplified
-    # corpus of 64-member clusters sent this query 1.6 s -> 23 s.)
-    bands = purge_oversized_buckets(
-        minhash_band_buckets(sig), ["band", "band_hash"], _BAND_BUCKET_CAP
+    # Candidate pairs, fused with the mass-dup purge: collect each
+    # bucket's doc ids (sorted, so doc_a < doc_b falls out of i < j)
+    # and expand i<j pairs ONLY for buckets with 2..cap members. A
+    # K-member duplicate cluster collides in (at least) one bucket and
+    # pairs QUADRATICALLY (K=10k -> 50M candidate pairs from one
+    # bucket); buckets past the cap are boilerplate-or-mass-dup
+    # clusters, dropped from the PAIRWISE path — exact dedup and the
+    # components closure are the right tools for mass duplication. An
+    # ABSOLUTE cap is sound because band_hash is a 128-bit md5: random
+    # buckets essentially never fill, only genuine near-identical
+    # clusters do. (Observed un-purged: an amplified corpus of
+    # 64-member clusters sent this query 1.6 s -> 23 s.) Fusing purge
+    # and pairing into the ONE groupBy keeps per-group state <= cap
+    # ids and replaces round 4's purge-aggregate + anti-join +
+    # self-join (three passes over the bands relation, 0.83 -> 1.38 s
+    # at sf0.1) with a single exchange (back to ~1.0 s).
+    buckets = (
+        minhash_band_buckets(sig)
+        .groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _BAND_BUCKET_CAP))
     )
-    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ids, (x, i) ->
+                      transform(slice(ids, i + 2, size(ids) - i - 1),
+                                y -> struct(x AS doc_a, y AS doc_b))))
+                    """
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))

@@ -308,23 +308,22 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_pairs_above_threshold",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cosine
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND a.label = b.label
-      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
-    """,
-    tags=("similarity", "join"),
-)
-def similarity_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All same-label vector pairs with cosine >= 0.8 — blocked
-    (label-partitioned) exact similarity join: the equi-key on label
-    keeps it from being all-pairs, the pattern for attribute-blocked
-    entity resolution."""
+# Gate threshold 0.3, not the production default 0.8: the synthetic
+# embeddings are near-random, so no same-label pair reaches 0.8 at
+# sf0.01 and the driver row would match the oracle on zero rows
+# (vacuous — round-4 verdict). At 0.3 the sf0.01 result has ~100 rows;
+# the nearest pair cosine is ~2e-4 from the threshold and ~7e-6 from a
+# 3-decimal rounding boundary, so the cross-engine hash is float-safe.
+_PAIR_GATE_THRESHOLD = 0.3
+
+
+def pairs_above_threshold(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """All same-label vector pairs with cosine >= ``threshold`` —
+    blocked (label-partitioned) exact similarity join: the equi-key on
+    label keeps it from being all-pairs, the pattern for
+    attribute-blocked entity resolution."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
@@ -337,9 +336,27 @@ def similarity_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cos", cosine_pre("va", "vb", "na", "nb"))
-        .filter(F.col("cos") >= 0.8)
+        .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 3).alias("cosine"))
     )
+
+
+@register(
+    "similarity_pairs_above_threshold",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND a.label = b.label
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_PAIR_GATE_THRESHOLD}
+    """,
+    tags=("similarity", "join"),
+)
+def similarity_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for :func:`pairs_above_threshold` at the non-vacuous
+    gate threshold (see ``_PAIR_GATE_THRESHOLD``)."""
+    return pairs_above_threshold(spark, sf_dir, threshold=_PAIR_GATE_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
