@@ -88,20 +88,23 @@ def main() -> None:
             tables[name].cache().count()
 
     # 2./3. per family: untimed warm pass (codegen compile + JIT),
-    # then THREE timed passes keeping the per-query minimum — the host
+    # then FIVE timed passes keeping the per-query minimum — the host
     # shares cores with the build harness, so min-of-N measures the
     # engine rather than transient machine load; the full pass list is
     # recorded so a uniform host-load shift is self-diagnosing from
     # the JSON (spread across passes >> spread across queries = noise,
-    # not regression). Families are sequenced so the extension
-    # queries' internal caches (LSH signatures etc.) don't sit on the
-    # heap while the TPC-H pack is being timed.
+    # not regression). Five passes (was three through round 4): the
+    # r3->r4 comparison showed ±20% per-query drift on UNCHANGED plans
+    # at min-of-3, so the floor estimate needed more samples. Families
+    # are sequenced so the extension queries' internal caches (LSH
+    # signatures etc.) don't sit on the heap while the TPC-H pack is
+    # being timed.
     passes: dict[str, list[float]] = {}
     for family in (HEADLINE, EXTENSION):
         fam = [n for n in family if n in specs]
         for name in fam:
             specs[name].fn(spark, sf_dir).count()
-        for _rep in range(3):
+        for _rep in range(5):
             for name in fam:
                 t0 = time.perf_counter()
                 df = specs[name].fn(spark, sf_dir)

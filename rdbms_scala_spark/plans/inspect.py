@@ -31,11 +31,13 @@ def scan_pushdown(df: DataFrame) -> list[dict[str, str]]:
             pushed = re.search(r"PushedFilters: \[(.*?)\]", block)
             schema = re.search(r"ReadSchema: (struct<.*?>)", block)
             loc = re.search(r"Location:.*?\[(.*?)\]", block)
+            part = re.search(r"PartitionFilters: \[(.*?)\]", block)
             scans.append(
                 {
                     "location": loc.group(1) if loc else "",
                     "pushed_filters": pushed.group(1) if pushed else "",
                     "read_schema": schema.group(1) if schema else "",
+                    "partition_filters": part.group(1) if part else "",
                 }
             )
     return scans

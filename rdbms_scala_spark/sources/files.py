@@ -192,6 +192,68 @@ def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("r_regionkey", "r_name").orderBy("r_regionkey")
 
 
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-17 00:00:00'
+    GROUP BY 1, 2
+    """,
+    tags=("source", "parquet", "partitioning", "scale"),
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned layout + partition-pruned scan — the most
+    common 100 TB physical-layout lever (SURVEY.md §4.1), demonstrated
+    end-to-end: write `events` partitioned by ``event_date`` (Hive
+    directory layout, one dir per day), read it back with a one-week
+    date predicate, and aggregate the survivors. The predicate lands
+    in the scan's PartitionFilters (asserted in tests/test_plans.py),
+    so the scan LISTS only 7 of ~30 day directories and never opens
+    the rest — at 100 TB that's the difference between reading ~23 TB
+    and reading the whole table. The sum goes through DECIMAL so the
+    cross-engine value hash is independent of float addition order.
+
+    Completes the physical-layout trio: hash index ->
+    ``write_bucketed_table``, tree index -> ``write_sorted_table``,
+    date partitioning -> this. (The reference has no layout story at
+    all — its indexes are per-process heap arrays,
+    Microbase.scala:994-1024.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rdbms_scala_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = os.path.join(
+        "/tmp",
+        f"events_partitioned_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_parquet(
+        events.withColumn("event_date", F.to_date("ts")),
+        scratch,
+        partition_by=["event_date"],
+    )
+    pruned = spark.read.parquet(scratch).filter(
+        (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("event_date") < F.lit("2024-01-17").cast("date"))
+    )
+    return pruned.groupBy(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 def compact_small_files(
     spark: SparkSession,
     src_dir: str,

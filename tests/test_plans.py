@@ -193,3 +193,15 @@ def test_pack_sequences_windows_per_shard(spark, sf_dir):
 
     plan = physical_plan(SPECS["text_pack_sequences"].fn(spark, sf_dir))
     assert "hashpartitioning(shard" in plan
+
+
+def test_partition_pruned_scan_has_partition_filters(spark, sf_dir):
+    """scan_partition_pruned's date predicate must land in the scan's
+    PartitionFilters (directory-level pruning: 7 of ~30 day dirs
+    listed), not just PushedFilters — and the partition column must
+    not appear in the data ReadSchema (it lives in the directory
+    names)."""
+    scans = _scans("scan_partition_pruned", spark, sf_dir)
+    part = next(s for s in scans if "events_partitioned_" in s["location"])
+    assert "event_date" in part["partition_filters"], part
+    assert "event_date" not in part["read_schema"], part
