@@ -110,11 +110,54 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     exact_top3 = {(r.query_id, r.neighbor_id) for r in exact if r.rank <= 3}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_top3 & approx_set) / len(exact_top3)
-    # 8 bands x 5 planes on near-orthogonal synthetic vectors (true
-    # neighbors at cos ~0.37) sits at ~0.5-0.6 top-3 recall by the
-    # collision curve (see _LSH_ROWS); require it beats random chance
-    # materially with headroom for seed sensitivity.
-    assert recall >= 0.2, f"ANN top-3 recall {recall:.2f}"
+    # 8 bands x 5 planes + min-margin multi-probe measures ~0.93 top-3
+    # recall on this worst-case near-random corpus (true neighbors at
+    # cos ~0.37); gate at 0.6 for seed/scale headroom.
+    assert recall >= 0.6, f"ANN top-3 recall {recall:.2f}"
+
+
+def test_lsh_ann_recall_on_clustered_corpus(spark, tmp_path):
+    """On a corpus where the LSH premise holds (planted clusters, the
+    production shape), multi-probe LSH-ANN must reach recall@10 >=
+    0.8 of the exact brute-force top-k. Reuses the KMeans-IVF
+    clustered fixture recipe: 16 well-separated unit centers x 20
+    members."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in range(16):
+        pts = centers[c] + 0.15 * rng.normal(size=(20, 64))
+        vecs.extend(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    order = rng.permutation(len(vecs))
+    vecs = [vecs[i] for i in order]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "label": pa.array([int(i) % 10 for i in range(len(vecs))], pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    sfd = str(tmp_path)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(spark, sfd).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_lsh_ann(spark, sfd).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH-ANN recall@10 {recall:.2f} over {len(exact)} pairs"
 
 
 def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
