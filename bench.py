@@ -66,6 +66,9 @@ EXTENSION = [
     "text_chunk_documents",
     "text_pack_sequences",
     "sample_domain_mixture",
+    # round-5: the reference's hash-index point-lookup latency story
+    # (Microbase.scala:994-1006) tracked as a bench row
+    "scan_point_lookup",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -45,6 +45,43 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS lines_total
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey = 42
+    GROUP BY o_orderkey, o_orderpriority
+    """,
+    tags=("P4", "scan", "point-lookup"),
+)
+def scan_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-key fetch — the reference's hash-index point lookup
+    (Microbase.scala:994-1006: probe the in-heap hash index, emit the
+    matching rows). Spark-first analog: the key predicate pushes into
+    BOTH Parquet scans (EqualTo on o_orderkey directly; Catalyst's
+    constant propagation through the join key lands EqualTo on
+    l_orderkey too — asserted in tests/test_plans.py), so each side
+    reads only the row groups whose min/max straddle the key — the
+    layout-level hash probe. Benchmarked per-round (bench.py
+    EXTENSION) so the point-lookup LATENCY story is tracked, not just
+    correctness; on a bucketed/sorted layout (write_bucketed_table /
+    write_sorted_table) the same plan touches exactly one
+    bucket/file."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 42)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") == 42)
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("lines_total"),
+        )
+    )
+
+
+@register(
     "filter_predicates",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

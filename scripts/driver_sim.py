@@ -1,6 +1,6 @@
 """Fresh-process driver simulation per .claude/skills/verify/SKILL.md.
 
-Usage: python /tmp/driver_sim.py [name-substring ...]
+Usage: python scripts/driver_sim.py [name-substring ...]
 Runs entry() smoke plus every queries() entry whose name contains any
 given substring (all queries if none given), comparing against
 oracle_sql() through DuckDB at sf0.01.

@@ -1,13 +1,15 @@
 """Scale smoke: do the scale-path operators grow ~linearly in corpus
 size, or is something quietly quadratic / single-reducer?
 
-sf0.1's documents (5k rows) and embeddings (2k rows) are amplified 4x
-and 16x into /tmp/scale_smoke/ (doc ids offset per copy; text gets a
-per-copy suffix token so the NEAR-DUP STRUCTURE stays constant — bare
-duplication would measure candidate-pair blowup, i.e. the data, not
-the engine; embeddings get a deterministic per-copy nudge on one
-dimension for the same reason). Each amplified tier then runs the
-scale-tier queries end-to-end and we record wall time.
+sf0.1's documents (5k rows), embeddings (2k rows), events, orders and
+lineitem are amplified 4x/16x/64x into /tmp/scale_smoke/ (doc ids
+offset per copy; text gets a per-copy marker token so the NEAR-DUP
+STRUCTURE stays constant — bare duplication would measure
+candidate-pair blowup, i.e. the data, not the engine; embeddings get
+a deterministic per-copy nudge on one dimension; events/orders shift
+user_id/o_orderkey per copy so per-entity density stays constant for
+the same reason). Each amplified tier then runs the scale-tier
+queries end-to-end and we record wall time.
 
 Read: a healthy operator's time ratio should track the data ratio
 (~4x data -> ~4x time, modulo fixed overhead which dominates at these
@@ -36,6 +38,8 @@ FACTORS = (1, 4, 16, 64)
 QUERIES = (
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_levenshtein",
     "similarity_lsh_ann",
     "similarity_ivf",
     "similarity_topk_bruteforce",
@@ -44,6 +48,10 @@ QUERIES = (
     "text_chunk_documents",
     "sample_quality_weighted",
     "pipeline_training_manifest",
+    "join_skew_salted",
+    "join_asof",
+    "events_sessionize",
+    "events_gap_fill",
 )
 
 
@@ -97,6 +105,32 @@ def amplify(spark, k: int) -> str:
         e = e.unionByName(p)
     d.coalesce(max(1, k // 2)).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     e.coalesce(max(1, k // 2)).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    # events / orders / lineitem for the join + event-stream scale ops.
+    # Amplification shifts the ENTITY keys (user_id, o_orderkey) by a
+    # per-copy offset, so per-user session/gap structure and per-order
+    # line counts stay constant as k grows — more users and orders, not
+    # denser ones (denser would measure the data's own fan-out growth,
+    # not the engine; same reasoning as the marker interleave above).
+    events = spark.read.parquet(f"{BASE}/events.parquet")
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    n_ev = events.agg(F.max("event_id")).collect()[0][0] + 1
+    n_users = events.agg(F.max("user_id")).collect()[0][0] + 1
+    n_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    ev_parts, o_parts, l_parts = [], [], []
+    for i in range(k):
+        ev_parts.append(
+            events.withColumn("event_id", F.col("event_id") + i * n_ev)
+            .withColumn("user_id", F.col("user_id") + i * n_users)
+        )
+        o_parts.append(orders.withColumn("o_orderkey", F.col("o_orderkey") + i * n_ord))
+        l_parts.append(li.withColumn("l_orderkey", F.col("l_orderkey") + i * n_ord))
+    for parts, name in ((ev_parts, "events"), (o_parts, "orders"), (l_parts, "lineitem")):
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.coalesce(max(1, k // 2)).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
     return out
 
 
@@ -111,8 +145,8 @@ def main() -> None:
     for k in FACTORS:
         sf_dir = amplify(spark, k)
         rows[k] = {
-            "documents": spark.read.parquet(f"{sf_dir}/documents.parquet").count(),
-            "embeddings": spark.read.parquet(f"{sf_dir}/embeddings.parquet").count(),
+            t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            for t in ("documents", "embeddings", "events", "orders", "lineitem")
         }
         for q in QUERIES:
             specs[q].fn(spark, sf_dir).count()  # warm (codegen+JIT)

@@ -1,7 +1,9 @@
 """Shared fixtures: one SparkSession per test run, a DuckDB connection
 with the same parquet tables registered as views, and the sf dir under
-test (default sf0.001 for speed; set RDBMS_SPARK_TEST_SF_DIR=/root/
-testdata/sf0.01 to mirror the driver's correctness gate exactly)."""
+test (default sf0.01 — the driver's correctness-gate scale, so plain
+`pytest` exercises exactly what the gate sees; set
+RDBMS_SPARK_TEST_SF_DIR=/root/testdata/sf0.001 for a faster local
+loop)."""
 
 from __future__ import annotations
 
@@ -16,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rdbms_scala_spark.catalog import TABLES, table_path
 from rdbms_scala_spark.session import get_spark
 
-SF_DIR = os.environ.get("RDBMS_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("RDBMS_SPARK_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -205,3 +205,13 @@ def test_partition_pruned_scan_has_partition_filters(spark, sf_dir):
     part = next(s for s in scans if "events_partitioned_" in s["location"])
     assert "event_date" in part["partition_filters"], part
     assert "event_date" not in part["read_schema"], part
+
+
+def test_point_lookup_pushes_key_to_both_scans(spark, sf_dir):
+    """scan_point_lookup's key must reach BOTH Parquet scans as an
+    EqualTo pushed filter (orders directly, lineitem via constant
+    propagation through the join key) — the row-group-skip analog of
+    the reference's hash-index probe."""
+    scans = {s["location"].rsplit("/", 1)[-1]: s for s in _scans("scan_point_lookup", spark, sf_dir)}
+    assert "EqualTo(o_orderkey,42)" in scans["orders.parquet"]["pushed_filters"]
+    assert "EqualTo(l_orderkey,42)" in scans["lineitem.parquet"]["pushed_filters"]
