@@ -441,7 +441,11 @@ _HEX_HI = "('8','9','a','b','c','d','e','f')"  # hex chars w/ high nibble bit
 
 def _simhash_oracle() -> str:
     """DuckDB mirror of dedup_simhash: the same md5-nibble bit votes,
-    fingerprint halves, chunk banding and Hamming check."""
+    fingerprint halves, TWO-LEVEL chunk banding (8 single chunks under
+    the fixed cap + 28 chunk pairs under the occupancy-relative cap)
+    and Hamming check."""
+    from itertools import combinations
+
     votes = ", ".join(
         f"sum(CASE WHEN substr(h{b // 32}, {b % 32 + 1}, 1) IN {_HEX_HI} "
         f"THEN 1 ELSE -1 END) AS s{b}"
@@ -454,10 +458,21 @@ def _simhash_oracle() -> str:
         f"(CASE WHEN s{b} > 0 THEN {1 << (b - 32)}::BIGINT ELSE 0 END)"
         for b in range(32, 64)
     )
+
+    def cv(i: int) -> str:
+        half = "fp_lo" if i < 4 else "fp_hi"
+        return f"(({half} >> {(i % 4) * 8}) & 255)"
+
     chunk_selects = " UNION ALL ".join(
-        f"SELECT doc_id, fp_lo, fp_hi, {c} AS chunk, "
-        f"(({'fp_lo' if c < 4 else 'fp_hi'} >> {(c % 4) * 8}) & 255) AS cv FROM fp"
-        for c in range(8)
+        [
+            f"SELECT doc_id, fp_lo, fp_hi, {c} AS pr, {cv(c)} AS cvk FROM fp"
+            for c in range(8)
+        ]
+        + [
+            f"SELECT doc_id, fp_lo, fp_hi, {8 + k} AS pr, "
+            f"({cv(i)} * 256 + {cv(j)}) AS cvk FROM fp"
+            for k, (i, j) in enumerate(combinations(range(8), 2))
+        ]
     )
     return f"""
     WITH toks AS (
@@ -480,18 +495,19 @@ def _simhash_oracle() -> str:
     fp AS (SELECT doc_id, ({fp_lo}) AS fp_lo, ({fp_hi}) AS fp_hi FROM bits),
     chunks_all AS ({chunk_selects}),
     chunks AS (
-        SELECT doc_id, fp_lo, fp_hi, chunk, cv FROM (
+        SELECT doc_id, fp_lo, fp_hi, pr, cvk FROM (
             SELECT chunks_all.*,
-                   count(*) OVER (PARTITION BY chunk, cv) AS bn
+                   count(*) OVER (PARTITION BY pr, cvk) AS bn
             FROM chunks_all
-        ) WHERE bn <= greatest({_BAND_BUCKET_CAP},
-                               (8 * (SELECT count(*) FROM fp)) // 256)
+        ) WHERE (pr < 8 AND bn <= {_BAND_BUCKET_CAP})
+           OR (pr >= 8 AND bn <= greatest({_BAND_BUCKET_CAP},
+                                (8 * (SELECT count(*) FROM fp)) // 65536))
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.fp_lo AS fla, a.fp_hi AS fha, b.fp_lo AS flb, b.fp_hi AS fhb
         FROM chunks a JOIN chunks b
-          ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+          ON a.pr = b.pr AND a.cvk = b.cvk AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, hamming FROM (
         SELECT doc_a, doc_b,
@@ -518,11 +534,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier xxhash64 form) the full pipeline is oracle-checked. The
     fingerprint is carried as two 32-bit halves (fp_lo, fp_hi): DuckDB
     can't shift into bit 63, and two-halves keeps every literal
-    positive in both engines. Candidate generation by pigeonhole
-    banding on eight 8-bit chunks (hamming <= 7 *guarantees* a chunk
-    match; <= 10 nearly always has one); exact Hamming check via
-    bit_count(xor) summed over halves. Everything is built-in exprs —
-    no Python in the hot path."""
+    positive in both engines. Candidate generation by TWO-LEVEL
+    pigeonhole banding — eight 8-bit chunks (hamming <= 7 guarantees a
+    match) under a fixed bucket cap, unioned with the 28 chunk pairs
+    as 16-bit keys (hamming <= 6 guaranteed, 7-10 w.h.p.) under an
+    occupancy-relative cap, so candidate generation stays collision-
+    bounded as the corpus outgrows the single-chunk key space (see the
+    banding comment below); exact Hamming check via bit_count(xor)
+    summed over halves. Everything is built-in exprs — no Python in
+    the hot path."""
     docs = load_table(spark, sf_dir, "documents")
     tok = shingles_df(docs, n=3, distinct=True).withColumnRenamed("shingle", "tok")
     tok = tok.withColumn("h0", F.md5(F.concat(F.lit("0:"), F.col("tok")))).withColumn(
@@ -555,52 +575,89 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp_hi"),
     ).cache()
-    chunks = fp.select(
+    # TWO-LEVEL banding (the scale ladder). Level 1: the eight 8-bit
+    # chunks (pigeonhole: hamming <= 7 guarantees a chunk match) with a
+    # FIXED bucket cap — full recall while buckets are small, but the
+    # key space is only 8*256 buckets, so ordinary random collisions
+    # fill every bucket to ~n/256 as the corpus grows and the single-
+    # chunk pair join would go QUADRATIC in n (measured: 26 s at the
+    # x64 amplified corpus, 16x the x1 time, before this ladder
+    # existed). Level 2: the 28 chunk PAIRS as 16-bit keys (hamming <=
+    # 6 guarantees a pair match; 7-10 is found with p ~0.98..0.75 —
+    # errors rarely corrupt 7+ of 8 chunks) under an occupancy-
+    # relative cap. Where level 1's buckets overflow and are purged,
+    # level 2's 65536-value keys keep expected occupancy 256x lower,
+    # so the pair join stays collision-bounded; at ~10^9+ docs extend
+    # the ladder to chunk TRIPLES (24-bit keys, hamming <= 5
+    # guaranteed) — each rung multiplies the key space by 256 and
+    # keeps expected bucket occupancy, and with it join fan-out,
+    # constant. At gate scale no level-1 bucket reaches the cap and
+    # every level-2 candidate already shares a single chunk, so the
+    # result set is EXACTLY the single-level one.
+    from itertools import combinations
+
+    def cv(i: int) -> str:
+        return (
+            f"(shiftright(fp_lo, {i * 8}) & 255)"
+            if i < 4
+            else f"(shiftright(fp_hi, {(i - 4) * 8}) & 255)"
+        )
+
+    singles = [f"struct({c} AS pr, CAST({cv(c)} AS BIGINT) AS cvk)" for c in range(8)]
+    pairs = [
+        f"struct({8 + k} AS pr, CAST({cv(i)} * 256 + {cv(j)} AS BIGINT) AS cvk)"
+        for k, (i, j) in enumerate(combinations(range(8), 2))
+    ]
+    rel = fp.select(
         "doc_id",
         "fp_lo",
         "fp_hi",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 7), c -> struct(c AS chunk, "
-                "CASE WHEN c < 4 THEN shiftright(fp_lo, c * 8) & 255 "
-                "ELSE shiftright(fp_hi, (c - 4) * 8) & 255 END AS cv))"
+        F.explode(F.expr(f"array({', '.join(singles + pairs)})")).alias("e"),
+    ).select("doc_id", "fp_lo", "fp_hi", F.col("e.pr").alias("pr"), F.col("e.cvk").alias("cvk"))
+    # level-2 cap: 8x expected occupancy (n/65536 per pair relation),
+    # floored at the fixed cap — normal buckets always survive, a
+    # duplicate cluster >= 8x expected leaves the pairwise path (route
+    # it through exact dedup / the components closure instead).
+    cap2 = fp.agg(
+        F.expr(
+            f"greatest({_BAND_BUCKET_CAP}, (8 * count(1)) div 65536)"
+        ).alias("__cap2")
+    )
+    # Fused purge + pair expansion, as in dedup_minhash_lsh: ONE
+    # aggregation on (pr, cvk) with bounded per-group state, buckets
+    # past their level's cap dropped by the size filter, i<j pairs
+    # expanded bucket-locally from the sorted member array.
+    buckets = (
+        rel.groupBy("pr", "cvk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "fp_lo", "fp_hi"))
+            ).alias("ms")
+        )
+        .crossJoin(F.broadcast(cap2))
+        .filter(
+            (F.size("ms") >= 2)
+            & (
+                ((F.col("pr") < 8) & (F.size("ms") <= _BAND_BUCKET_CAP))
+                | ((F.col("pr") >= 8) & (F.size("ms") <= F.col("__cap2")))
             )
-        ).alias("e"),
-    ).select(
-        "doc_id", "fp_lo", "fp_hi",
-        F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv"),
+        )
     )
-    # mass-dup purge, as in dedup_minhash_lsh — but the cap must be
-    # OCCUPANCY-RELATIVE here: an 8-bit chunk value has only 256
-    # buckets, so ordinary random collisions fill each to ~n/256 and a
-    # fixed cap would purge EVERY bucket (silently zeroing recall) as
-    # soon as n exceeds 256*cap. The cap is therefore
-    # max(_BAND_BUCKET_CAP, 8 * expected occupancy): normal buckets
-    # (~1x expected) always survive, while a duplicate cluster >= 8x
-    # expected occupancy leaves the pairwise path. At larger corpora
-    # ALSO widen the chunks as ~log2(n) so expected occupancy — and
-    # with it both recall and join fan-out — stays constant; the
-    # relative cap is the backstop either way.
-    cap_df = fp.agg(
-        F.expr(f"greatest({_BAND_BUCKET_CAP}, (8 * count(1)) div 256)").alias("__cap")
-    )
-    chunks = purge_oversized_buckets(chunks, ["chunk", "cv"], cap_df)
-    a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ms, (x, i) ->
+                      transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+                        struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                               x.fp_lo AS fla, x.fp_hi AS fha,
+                               y.fp_lo AS flb, y.fp_hi AS fhb))))
+                    """
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.fp_lo").alias("fla"),
-            F.col("a.fp_hi").alias("fha"),
-            F.col("b.fp_lo").alias("flb"),
-            F.col("b.fp_hi").alias("fhb"),
-        )
+        .select("p.*")
         .distinct()
     )
     return (
