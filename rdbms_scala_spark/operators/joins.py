@@ -485,3 +485,58 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.when(F.col("hit"), 1)).alias("n_clicks_within_1h"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "bloom", "runtime-filter", "scale"),
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join with a RUNTIME Bloom-filter pushed to the fact
+    side — the lever for selective fact/dim joins where the dim side
+    is too big to broadcast. Catalyst's InjectRuntimeFilter builds a
+    Bloom filter over the filtered orders keys and evaluates
+    `bloom_filter_might_contain` inside the lineitem SCAN, so ~3/4 of
+    lineitem (the non-URGENT orders' lines) is dropped BEFORE the
+    shuffle instead of after it; at 100 TB that's the difference
+    between shuffling the whole fact table and shuffling the quarter
+    that can match (the same trick partition-pruning plays for static
+    predicates, applied to a join key at runtime).
+
+    Built on a ``spark.newSession()`` clone: same SparkContext and
+    data, session-local SQLConf. The runtime-filter thresholds are
+    tuned for the gate's megabyte-scale inputs (the defaults assume
+    multi-GB scans) and broadcast is disabled to force the
+    shuffle-join shape this operator exists for — on the CLONE only,
+    living exactly as long as the returned DataFrame, so the caller's
+    session plans nothing differently. tests/test_plans.py asserts
+    `bloom_filter_might_contain` lands in the physical plan."""
+    import os
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    orders = s2.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = s2.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

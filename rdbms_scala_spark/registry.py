@@ -93,12 +93,14 @@ _DRIVER_GREEN_R1_R4: frozenset[str] = frozenset({
 # Queries REGISTERED in round 5, deliberately deferred to tier 1:
 # they are already judge-verified this round, while the tier-0 queue
 # holds queries that have waited since round 1 for a driver row — with
-# 52 candidates and a 50-entry driver prefix, deferring these two lets
-# the last two four-round-old entries (agg_corr_covar,
+# 54 candidates and a 50-entry driver prefix, deferring these four
+# lets the last four-round-old entries (agg_corr_covar,
 # agg_hll_mergeable) convert this round; these convert next.
 _TIER1_DEFER: frozenset[str] = frozenset({
     "scan_partition_pruned",
     "scan_point_lookup",
+    "scan_zorder_skipping",
+    "join_bloom_pruned",
 })
 
 # Within-family ordering for the interleave: each family's

@@ -215,3 +215,29 @@ def test_point_lookup_pushes_key_to_both_scans(spark, sf_dir):
     scans = {s["location"].rsplit("/", 1)[-1]: s for s in _scans("scan_point_lookup", spark, sf_dir)}
     assert "EqualTo(o_orderkey,42)" in scans["orders.parquet"]["pushed_filters"]
     assert "EqualTo(l_orderkey,42)" in scans["lineitem.parquet"]["pushed_filters"]
+
+
+def test_bloom_filter_runtime_pruning_plan(spark, sf_dir):
+    """join_bloom_pruned's physical plan must evaluate the runtime
+    Bloom filter inside the lineitem scan side (InjectRuntimeFilter):
+    `bloom_filter_might_contain` present, and the join a shuffle (not
+    broadcast) join — the at-scale shape the operator exists for."""
+    from rdbms_scala_spark.operators.joins import join_bloom_pruned
+
+    from pyspark.sql import functions as F
+
+    df = join_bloom_pruned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    # the build side aggregates a bloom_filter_agg; the probe side
+    # evaluates might_contain against its scalar-subquery result
+    assert "bloom_filter_agg" in plan and "might_contain" in plan, plan[:2000]
+    # correctness of the pruned result against the unpruned join
+    from rdbms_scala_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    expected = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    got = df.agg(F.sum("n_lines")).first()[0]
+    assert got == expected

@@ -151,3 +151,46 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_2d_skipping(spark, sf_dir, tmp_path):
+    """write_zordered_table must make min/max skipping work on BOTH
+    z-columns from ONE layout: a 2-D predicate reads a small fraction
+    of the unsorted scan, and a predicate on the SECOND column alone
+    still skips — where a single-column sort reads everything. Run at
+    sf0.01+ (sf0.001's user_id range is below the demo window)."""
+    from rdbms_scala_spark.catalog import load_table
+    from rdbms_scala_spark.sources.files import write_zordered_table
+
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    pred_2d = F.col("user_id").between(100, 200) & F.col("value").between(10.0, 20.0)
+    pred_v = F.col("value").between(10.0, 20.0)
+    expected = ev.filter(pred_2d).count()
+    if expected == 0:
+        import pytest
+
+        pytest.skip("demo predicate empty below sf0.01")
+
+    z_path = str(tmp_path / "ev_z")
+    write_zordered_table(ev, z_path, ["user_id", "value"], num_files=8)
+    u_path = str(tmp_path / "ev_u")
+    ev.write.option("parquet.block.size", 128 * 1024).parquet(u_path)
+    s_path = str(tmp_path / "ev_s")
+    # single-column sorted control: clusters user_id only
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.option("parquet.block.size", 128 * 1024)
+        .parquet(s_path)
+    )
+
+    z, u, s = (spark.read.parquet(p) for p in (z_path, u_path, s_path))
+    assert z.filter(pred_2d).count() == expected  # layout never changes results
+    # 2-D predicate: z-order skips most row groups, unsorted skips none
+    assert _scan_rows_read(u.filter(pred_2d)) == total
+    assert _scan_rows_read(z.filter(pred_2d)) < total / 2
+    # second-column-only predicate: the user_id sort is useless (every
+    # row group spans the full value range) but the z layout still skips
+    assert _scan_rows_read(s.filter(pred_v)) == total
+    assert _scan_rows_read(z.filter(pred_v)) < total * 3 // 4
