@@ -519,17 +519,20 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     living exactly as long as the returned DataFrame, so the caller's
     session plans nothing differently. tests/test_plans.py asserts
     `bloom_filter_might_contain` lands in the physical plan."""
-    import os
+    from rdbms_scala_spark.catalog import table_path
 
     s2 = spark.newSession()
     s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
     s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    orders = s2.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+    # reads go through the CLONE (catalog.load_table memoizes per
+    # applicationId, which the clone shares — a memoized parent-session
+    # frame would execute under the parent's conf and lose the filter)
+    orders = s2.read.parquet(table_path(sf_dir, "orders")).filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    li = s2.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = s2.read.parquet(table_path(sf_dir, "lineitem"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")

@@ -59,12 +59,14 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-key fetch — the reference's hash-index point lookup
     (Microbase.scala:994-1006: probe the in-heap hash index, emit the
-    matching rows). Spark-first analog: the key predicate pushes into
-    BOTH Parquet scans (EqualTo on o_orderkey directly; Catalyst's
-    constant propagation through the join key lands EqualTo on
-    l_orderkey too — asserted in tests/test_plans.py), so each side
-    reads only the row groups whose min/max straddle the key — the
-    layout-level hash probe. Benchmarked per-round (bench.py
+    matching rows). Spark-first analog: the key predicate is applied
+    to BOTH sides explicitly and pushes into both Parquet scans as an
+    EqualTo (asserted in tests/test_plans.py — the explicit per-side
+    filters are what the test certifies; Catalyst can also derive the
+    lineitem filter from the join key by constant propagation, but
+    this query does not rely on that), so each side reads only the
+    row groups whose min/max straddle the key — the layout-level hash
+    probe. Benchmarked per-round (bench.py
     EXTENSION) so the point-lookup LATENCY story is tracked, not just
     correctness; on a bucketed/sorted layout (write_bucketed_table /
     write_sorted_table) the same plan touches exactly one

@@ -95,10 +95,12 @@ def cap_shingle_df(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
 
 def purge_oversized_buckets(df: DataFrame, keys: list[str], cap) -> DataFrame:
     """Drop every row of any bucket (group over ``keys``) larger than
-    ``cap`` — the shared guard that keeps bucket-pairing joins from
-    going quadratic on mass-duplicate clusters (used by the MinHash
-    band join, the SimHash chunk join, and the Levenshtein blocking
-    passes; same idea as ``cap_shingle_df`` for posting lists).
+    ``cap`` — the guard that keeps bucket-pairing joins from going
+    quadratic on mass-duplicate clusters (used by the Levenshtein
+    blocking passes; same idea as ``cap_shingle_df`` for posting
+    lists. The MinHash band join and SimHash chunk join use the fused
+    ``expand_bucket_pairs`` form instead, which applies the same cap
+    inside their one aggregation exchange).
 
     ``cap`` is an int, or a ONE-ROW DataFrame carrying the threshold
     as column ``__cap`` (for occupancy-relative caps, e.g. derived
@@ -124,6 +126,51 @@ def purge_oversized_buckets(df: DataFrame, keys: list[str], cap) -> DataFrame:
             .select(*keys)
         )
     return df.join(F.broadcast(oversized), keys, "left_anti")
+
+
+def expand_bucket_pairs(df, keys, payload, keep):
+    """Bucket-local i<j candidate-pair expansion with a TRULY bounded
+    aggregation state, shared by the MinHash band join and the SimHash
+    chunk join.
+
+    Shape: window-count the bucket sizes over ``keys``, drop every row
+    of any bucket failing ``keep(size)`` (a Column predicate; callers
+    close over extra cap columns already attached to ``df``), THEN
+    collect the surviving members and expand pairs bucket-locally.
+    Filtering BEFORE the collect is the point — ``collect_list`` only
+    ever sees buckets that passed the cap, so its per-group buffer is
+    bounded by the cap (a first fused version filtered on size(ids)
+    AFTER collecting, which re-opened the very mass-dup OOM the cap
+    exists to prevent: a 10M-member bucket would buffer 10M ids in one
+    aggregation buffer before being discarded). The window and the
+    groupBy hash-partition on the same ``keys``, so Catalyst plans ONE
+    exchange; WindowExec's sort buffer spills to disk where an
+    aggregation buffer cannot.
+
+    Members are collected as sorted structs of ``payload`` columns
+    (sorted by the first payload field — callers put the id first, so
+    ``a_<id> < b_<id>`` falls out of i<j), and each pair row carries
+    ``a_<f>``/``b_<f>`` for every payload field ``f``."""
+    w = W.partitionBy(*keys)
+    sized = df.withColumn("__bn", F.count(F.lit(1)).over(w)).filter(
+        keep(F.col("__bn"))
+    )
+    members = sized.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct(*payload))).alias("ms")
+    )
+    a_fields = ", ".join(f"x.{f} AS a_{f}" for f in payload)
+    b_fields = ", ".join(f"y.{f} AS b_{f}" for f in payload)
+    return members.select(
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(ms, (x, i) ->
+                  transform(slice(ms, i + 2, size(ms) - i - 1),
+                            y -> struct({a_fields}, {b_fields}))))
+                """
+            )
+        ).alias("p")
+    ).select("p.*")
 
 
 def pairwise_jaccard(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
@@ -361,46 +408,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     colliding on any (band, band_hash) become candidates; estimated
     Jaccard = fraction of matching signature positions; emit pairs
     with est >= 0.7. At 100 TB nothing here is all-pairs: candidate
-    generation is ONE aggregation on (band, band_hash) whose per-group
-    state is capped at ``_BAND_BUCKET_CAP`` doc ids, and pairs are
-    expanded bucket-locally from that bounded array."""
+    generation is ONE exchange on (band, band_hash) whose aggregation
+    state is bounded at ``_BAND_BUCKET_CAP`` doc ids per bucket (the
+    window count filters oversized buckets BEFORE the collect — see
+    ``expand_bucket_pairs``), and pairs are expanded bucket-locally
+    from that bounded array."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(shingles_df(docs, n=3, distinct=False)).cache()
-    # Candidate pairs, fused with the mass-dup purge: collect each
-    # bucket's doc ids (sorted, so doc_a < doc_b falls out of i < j)
-    # and expand i<j pairs ONLY for buckets with 2..cap members. A
-    # K-member duplicate cluster collides in (at least) one bucket and
-    # pairs QUADRATICALLY (K=10k -> 50M candidate pairs from one
-    # bucket); buckets past the cap are boilerplate-or-mass-dup
-    # clusters, dropped from the PAIRWISE path — exact dedup and the
-    # components closure are the right tools for mass duplication. An
-    # ABSOLUTE cap is sound because band_hash is a 128-bit md5: random
-    # buckets essentially never fill, only genuine near-identical
-    # clusters do. (Observed un-purged: an amplified corpus of
-    # 64-member clusters sent this query 1.6 s -> 23 s.) Fusing purge
-    # and pairing into the ONE groupBy keeps per-group state <= cap
-    # ids and replaces round 4's purge-aggregate + anti-join +
-    # self-join (three passes over the bands relation, 0.83 -> 1.38 s
-    # at sf0.1) with a single exchange (back to ~1.0 s).
-    buckets = (
-        minhash_band_buckets(sig)
-        .groupBy("band", "band_hash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= _BAND_BUCKET_CAP))
-    )
+    # Candidate pairs, fused with the mass-dup purge: expand i<j pairs
+    # ONLY for buckets with 2..cap members. A K-member duplicate
+    # cluster collides in (at least) one bucket and pairs
+    # QUADRATICALLY (K=10k -> 50M candidate pairs from one bucket);
+    # buckets past the cap are boilerplate-or-mass-dup clusters,
+    # dropped from the PAIRWISE path — exact dedup and the components
+    # closure are the right tools for mass duplication. An ABSOLUTE
+    # cap is sound because band_hash is a 128-bit md5: random buckets
+    # essentially never fill, only genuine near-identical clusters do.
+    # (Observed un-purged: an amplified corpus of 64-member clusters
+    # sent this query 1.6 s -> 23 s.) The window-count + filter +
+    # collect all hash-partition on the same keys — one exchange,
+    # replacing round 4's purge-aggregate + anti-join + self-join
+    # (three passes over the bands relation, 0.83 -> 1.38 s at sf0.1).
     cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    """
-                    flatten(transform(ids, (x, i) ->
-                      transform(slice(ids, i + 2, size(ids) - i - 1),
-                                y -> struct(x AS doc_a, y AS doc_b))))
-                    """
-                )
-            ).alias("p")
+        expand_bucket_pairs(
+            minhash_band_buckets(sig),
+            keys=["band", "band_hash"],
+            payload=["doc_id"],
+            keep=lambda bn: (bn >= 2) & (bn <= _BAND_BUCKET_CAP),
         )
-        .select("p.doc_a", "p.doc_b")
+        .select(F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
         .distinct()
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -623,41 +659,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"greatest({_BAND_BUCKET_CAP}, (8 * count(1)) div 65536)"
         ).alias("__cap2")
     )
-    # Fused purge + pair expansion, as in dedup_minhash_lsh: ONE
-    # aggregation on (pr, cvk) with bounded per-group state, buckets
-    # past their level's cap dropped by the size filter, i<j pairs
-    # expanded bucket-locally from the sorted member array.
-    buckets = (
-        rel.groupBy("pr", "cvk")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "fp_lo", "fp_hi"))
-            ).alias("ms")
-        )
-        .crossJoin(F.broadcast(cap2))
-        .filter(
-            (F.size("ms") >= 2)
-            & (
-                ((F.col("pr") < 8) & (F.size("ms") <= _BAND_BUCKET_CAP))
-                | ((F.col("pr") >= 8) & (F.size("ms") <= F.col("__cap2")))
-            )
-        )
-    )
+    # Fused purge + pair expansion, as in dedup_minhash_lsh: one
+    # exchange on (pr, cvk), oversized buckets dropped by the window
+    # count BEFORE the member collect (bounded aggregation state — see
+    # expand_bucket_pairs), i<j pairs expanded bucket-locally from the
+    # sorted member array. The level-2 cap rides along as a broadcast
+    # 1-row column the keep predicate closes over.
     cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    """
-                    flatten(transform(ms, (x, i) ->
-                      transform(slice(ms, i + 2, size(ms) - i - 1), y ->
-                        struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                               x.fp_lo AS fla, x.fp_hi AS fha,
-                               y.fp_lo AS flb, y.fp_hi AS fhb))))
-                    """
-                )
-            ).alias("p")
+        expand_bucket_pairs(
+            rel.crossJoin(F.broadcast(cap2)),
+            keys=["pr", "cvk"],
+            payload=["doc_id", "fp_lo", "fp_hi"],
+            keep=lambda bn: (bn >= 2)
+            & (
+                ((F.col("pr") < 8) & (bn <= _BAND_BUCKET_CAP))
+                | ((F.col("pr") >= 8) & (bn <= F.col("__cap2")))
+            ),
         )
-        .select("p.*")
+        .select(
+            F.col("a_doc_id").alias("doc_a"),
+            F.col("b_doc_id").alias("doc_b"),
+            F.col("a_fp_lo").alias("fla"),
+            F.col("a_fp_hi").alias("fha"),
+            F.col("b_fp_lo").alias("flb"),
+            F.col("b_fp_hi").alias("fhb"),
+        )
         .distinct()
     )
     return (

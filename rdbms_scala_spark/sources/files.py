@@ -235,11 +235,16 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"events_partitioned_{spark.sparkContext.applicationId}_"
         f"{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    write_parquet(
-        events.withColumn("event_date", F.to_date("ts")),
-        scratch,
-        partition_by=["event_date"],
-    )
+    # the scratch name is keyed on (application, sf dir) and the input
+    # is immutable, so the rewrite runs once per application — repeat
+    # invocations (plan tests, gen_plans, multiple gate passes) reuse
+    # the committed layout (_SUCCESS marker = the write finished)
+    if not os.path.exists(os.path.join(scratch, "_SUCCESS")):
+        write_parquet(
+            events.withColumn("event_date", F.to_date("ts")),
+            scratch,
+            partition_by=["event_date"],
+        )
     pruned = spark.read.parquet(scratch).filter(
         (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
         & (F.col("event_date") < F.lit("2024-01-17").cast("date"))
@@ -254,15 +259,24 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _morton_spread(x):
-    """Spread a 16-bit (or narrower) value's bits into the even bit
-    positions of a 32-bit code: b15..b0 -> b30,b28,..,b0. The classic
-    shift-or-mask ladder, entirely in JVM bigint expressions."""
+def _morton_spread(x, bits: int, stride: int):
+    """Spread the low ``bits`` bits of ``x`` so bit b lands at
+    position b*stride — bit-interleave lanes for ``stride`` z-order
+    columns (stride 2: even positions; stride 3: every third; a fixed
+    stride-2 spread would OR column 3's lanes onto column 1's and
+    silently destroy its clustering). One shift-mask-or term per bit,
+    all JVM bigint expressions, write-path only."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
-    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
-        x = F.shiftleft(x, shift).bitwiseOR(x).bitwiseAND(F.lit(mask))
-    return x
+    return reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.shiftleft(x.bitwiseAND(F.lit(1 << b)), b * (stride - 1))
+        ),
+        range(1, bits),
+        x.bitwiseAND(F.lit(1)),
+    )
 
 
 def _bucket_expr(col, bounds: list[float]):
@@ -316,7 +330,6 @@ def write_zordered_table(
     partition."""
     from pyspark.sql import functions as F
 
-    n_bounds = (1 << bits) - 1
     qs = [i / (1 << bits) for i in range(1, 1 << bits)]
     z = None
     for i, c in enumerate(zorder_by):
@@ -325,7 +338,11 @@ def write_zordered_table(
         for b in bounds:  # heavy ties produce duplicate boundaries
             if not uniq or b > uniq[-1]:
                 uniq.append(b)
-        s = _morton_spread(_bucket_expr(F.col(c).cast("double"), uniq).cast("bigint"))
+        s = _morton_spread(
+            _bucket_expr(F.col(c).cast("double"), uniq).cast("bigint"),
+            bits,
+            len(zorder_by),
+        )
         z = s if z is None else z.bitwiseOR(F.shiftleft(s, i))
     (
         df.withColumn("__z", z)
@@ -376,7 +393,11 @@ def scan_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"events_zordered_{spark.sparkContext.applicationId}_"
         f"{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    write_zordered_table(events, scratch, ["user_id", "value"])
+    # once per application (see scan_partition_pruned's guard): the
+    # two approxQuantile passes + range-shuffle write are skipped when
+    # the committed layout already exists
+    if not os.path.exists(os.path.join(scratch, "_SUCCESS")):
+        write_zordered_table(events, scratch, ["user_id", "value"])
     pruned = spark.read.parquet(scratch).filter(
         F.col("user_id").between(100, 200) & F.col("value").between(10.0, 20.0)
     )

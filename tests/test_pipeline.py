@@ -425,10 +425,12 @@ def test_minhash_band_bucket_purge_bounds_mass_dup_cluster(spark):
 
 
 def test_purge_oversized_buckets_dataframe_cap(spark):
-    """The 1-row-DataFrame cap form (used by SimHash's
-    occupancy-relative cap) must agree with the equivalent absolute
-    cap on the same frame: with cap = greatest(3, n_total div 4) = 3,
-    a 10-row bucket is purged while 2-row buckets survive."""
+    """The 1-row-DataFrame cap form (the occupancy-relative-cap
+    contract; SimHash now applies the same cap via
+    expand_bucket_pairs' keep predicate) must agree with the
+    equivalent absolute cap on the same frame: with cap =
+    greatest(3, n_total div 4) = 3, a 10-row bucket is purged while
+    2-row buckets survive."""
     from pyspark.sql import functions as SF
 
     rows = [("a", i) for i in range(10)] + [("b", 1), ("b", 2), ("c", 1)]

@@ -209,9 +209,9 @@ def test_partition_pruned_scan_has_partition_filters(spark, sf_dir):
 
 def test_point_lookup_pushes_key_to_both_scans(spark, sf_dir):
     """scan_point_lookup's key must reach BOTH Parquet scans as an
-    EqualTo pushed filter (orders directly, lineitem via constant
-    propagation through the join key) — the row-group-skip analog of
-    the reference's hash-index probe."""
+    EqualTo pushed filter (both sides filter on the key explicitly —
+    this test certifies the pushdown, not constant propagation) — the
+    row-group-skip analog of the reference's hash-index probe."""
     scans = {s["location"].rsplit("/", 1)[-1]: s for s in _scans("scan_point_lookup", spark, sf_dir)}
     assert "EqualTo(o_orderkey,42)" in scans["orders.parquet"]["pushed_filters"]
     assert "EqualTo(l_orderkey,42)" in scans["lineitem.parquet"]["pushed_filters"]
@@ -220,8 +220,9 @@ def test_point_lookup_pushes_key_to_both_scans(spark, sf_dir):
 def test_bloom_filter_runtime_pruning_plan(spark, sf_dir):
     """join_bloom_pruned's physical plan must evaluate the runtime
     Bloom filter inside the lineitem scan side (InjectRuntimeFilter):
-    `bloom_filter_might_contain` present, and the join a shuffle (not
-    broadcast) join — the at-scale shape the operator exists for."""
+    `bloom_filter_agg` on the build side, `might_contain` on the
+    probe side, and the join a shuffle (not broadcast) join — the
+    at-scale shape the operator exists for."""
     from rdbms_scala_spark.operators.joins import join_bloom_pruned
 
     from pyspark.sql import functions as F
