@@ -194,3 +194,29 @@ def test_zorder_2d_skipping(spark, sf_dir, tmp_path):
     # row group spans the full value range) but the z layout still skips
     assert _scan_rows_read(s.filter(pred_v)) == total
     assert _scan_rows_read(z.filter(pred_v)) < total * 3 // 4
+
+
+def test_morton_spread_stride_lanes(spark):
+    """_morton_spread must place bit b at position b*stride so that N
+    z-columns occupy disjoint bit lanes — for 3 columns the spread
+    strides by 3 (a fixed stride-2 spread would alias column 3's lanes
+    onto column 1's and silently destroy its clustering)."""
+    from rdbms_scala_spark.sources.files import _morton_spread
+
+    df = spark.range(1)
+
+    def val(x, bits, stride):
+        return df.select(
+            _morton_spread(F.lit(x).cast("bigint"), bits, stride).alias("v")
+        ).first()[0]
+
+    # stride 2: classic interleave lanes (bit b -> 2b)
+    assert val(0b1011, 4, 2) == 0b1000101
+    # stride 3: bit b -> 3b
+    assert val(0b1011, 4, 3) == 0b1000001001
+    # full-width identity at stride 1
+    assert val(0b1011, 4, 1) == 0b1011
+    # three 2-bit columns interleave into disjoint lanes
+    a, b, c = (val(x, 2, 3) for x in (0b11, 0b01, 0b10))
+    # lanes (pos 5..0) = c1 b1 a1 c0 b0 a0 = 1 0 1 0 1 1
+    assert a | (b << 1) | (c << 2) == 0b101011
