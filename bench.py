@@ -69,6 +69,11 @@ EXTENSION = [
     # round-5: the reference's hash-index point-lookup latency story
     # (Microbase.scala:994-1006) tracked as a bench row
     "scan_point_lookup",
+    # round-5: the two new physical/runtime levers, tracked per-round
+    # (zorder pays its one-time layout write in the warm pass; timed
+    # passes measure the pruned read)
+    "scan_zorder_skipping",
+    "join_bloom_pruned",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -50,8 +50,12 @@ QUERIES = (
     "pipeline_training_manifest",
     "join_skew_salted",
     "join_asof",
+    "join_range_binned",
+    "join_bloom_pruned",
     "events_sessionize",
     "events_gap_fill",
+    "dedup_minhash_clusters",
+    "scan_zorder_skipping",
 )
 
 
