@@ -212,6 +212,30 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentiles",
+    # Greenwald-Khanna sketch estimates differ across engines;
+    # rows-only check. The exact companion `agg_percentiles` is the
+    # correctness anchor; tests/test_pipeline.py bounds the error
+    # against the exact quantiles.
+    oracle=None,
+    tags=("aggregate", "approx", "scale"),
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna summary): the 100 TB path
+    where exact percentiles' global sort per group is too expensive —
+    bounded sketch memory per group, mergeable across partitions
+    (map-side partials combine like any algebraic aggregate).
+    Completes the sketch family: distinct -> approx_count_distinct /
+    HLL, quantiles -> this."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+        ).alias("price_quantiles"),
+    )
+
+
+@register(
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

@@ -101,6 +101,7 @@ _TIER1_DEFER: frozenset[str] = frozenset({
     "scan_point_lookup",
     "scan_zorder_skipping",
     "join_bloom_pruned",
+    "agg_approx_percentiles",
 })
 
 # Within-family ordering for the interleave: each family's

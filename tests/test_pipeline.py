@@ -345,6 +345,31 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert abs(asps - es) / es <= 0.06, (flag, asps, es)
 
 
+def test_approx_percentiles_within_bound(spark, sf_dir):
+    """percentile_approx at accuracy=10000 must track the exact
+    per-group percentiles within 1% relative error on this data."""
+    from rdbms_scala_spark.operators.aggregates import agg_approx_percentiles
+
+    approx = {
+        r["l_returnflag"]: r["price_quantiles"]
+        for r in agg_approx_percentiles(spark, sf_dir).collect()
+    }
+    li = dedup.load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["q"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))"
+            ).alias("q")
+        )
+        .collect()
+    }
+    for flag, eq in exact.items():
+        for a, e in zip(approx[flag], eq):
+            assert abs(a - e) / e <= 0.01, (flag, a, e)
+
+
 def test_chunking_covers_every_char(spark):
     """Chunk-window invariants at the edge lengths: exactly width,
     width+1 (forces a 1-past-the-end tail), multiples of the stride,
