@@ -128,7 +128,7 @@ def purge_oversized_buckets(df: DataFrame, keys: list[str], cap) -> DataFrame:
     return df.join(F.broadcast(oversized), keys, "left_anti")
 
 
-def expand_bucket_pairs(df, keys, payload, keep):
+def expand_bucket_pairs(df, keys, payload, keep, attach=None):
     """Bucket-local i<j candidate-pair expansion with a TRULY bounded
     aggregation state, shared by the MinHash band join and the SimHash
     chunk join.
@@ -150,11 +150,19 @@ def expand_bucket_pairs(df, keys, payload, keep):
     Members are collected as sorted structs of ``payload`` columns
     (sorted by the first payload field — callers put the id first, so
     ``a_<id> < b_<id>`` falls out of i<j), and each pair row carries
-    ``a_<f>``/``b_<f>`` for every payload field ``f``."""
+    ``a_<f>``/``b_<f>`` for every payload field ``f``.
+
+    ``attach`` (optional): a ONE-ROW DataFrame of extra cap columns
+    for ``keep`` to reference (e.g. an occupancy-relative cap derived
+    from a corpus count). It is broadcast-joined AFTER the window —
+    between the count and the filter — so the constant never widens
+    the rows going through the shuffle, and the broadcast join
+    preserves the window's hash partitioning for the groupBy."""
     w = W.partitionBy(*keys)
-    sized = df.withColumn("__bn", F.count(F.lit(1)).over(w)).filter(
-        keep(F.col("__bn"))
-    )
+    sized = df.withColumn("__bn", F.count(F.lit(1)).over(w))
+    if attach is not None:
+        sized = sized.crossJoin(F.broadcast(attach))
+    sized = sized.filter(keep(F.col("__bn")))
     members = sized.groupBy(*keys).agg(
         F.array_sort(F.collect_list(F.struct(*payload))).alias("ms")
     )
@@ -663,11 +671,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange on (pr, cvk), oversized buckets dropped by the window
     # count BEFORE the member collect (bounded aggregation state — see
     # expand_bucket_pairs), i<j pairs expanded bucket-locally from the
-    # sorted member array. The level-2 cap rides along as a broadcast
-    # 1-row column the keep predicate closes over.
+    # sorted member array. The level-2 cap joins in as a broadcast
+    # 1-row column AFTER the window (attach=), so the 36-rows/doc
+    # banding relation shuffles without the constant riding along.
     cand = (
         expand_bucket_pairs(
-            rel.crossJoin(F.broadcast(cap2)),
+            rel,
             keys=["pr", "cvk"],
             payload=["doc_id", "fp_lo", "fp_hi"],
             keep=lambda bn: (bn >= 2)
@@ -675,6 +684,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("pr") < 8) & (bn <= _BAND_BUCKET_CAP))
                 | ((F.col("pr") >= 8) & (bn <= F.col("__cap2")))
             ),
+            attach=cap2,
         )
         .select(
             F.col("a_doc_id").alias("doc_a"),

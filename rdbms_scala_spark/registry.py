@@ -92,10 +92,11 @@ _DRIVER_GREEN_R1_R4: frozenset[str] = frozenset({
 
 # Queries REGISTERED in round 5, deliberately deferred to tier 1:
 # they are already judge-verified this round, while the tier-0 queue
-# holds queries that have waited since round 1 for a driver row — with
-# 54 candidates and a 50-entry driver prefix, deferring these four
-# lets the last four-round-old entries (agg_corr_covar,
-# agg_hll_mergeable) convert this round; these convert next.
+# holds queries that have waited since round 1 for a driver row — the
+# tier-0 queue is exactly 50 entries, matching the 50-entry driver
+# prefix, so every four-round-old entry (through agg_corr_covar and
+# agg_hll_mergeable) converts this round; the deferred ones convert
+# next round.
 _TIER1_DEFER: frozenset[str] = frozenset({
     "scan_partition_pruned",
     "scan_point_lookup",

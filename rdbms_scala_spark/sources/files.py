@@ -230,10 +230,14 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdbms_scala_spark.catalog import load_table
 
     events = load_table(spark, sf_dir, "events")
+    import hashlib
+
+    # keyed on the FULL sf_dir (hashed), not its basename: two dirs
+    # with the same leaf name must not share a write-once scratch
     scratch = os.path.join(
         "/tmp",
         f"events_partitioned_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
+        f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:10]}",
     )
     # the scratch name is keyed on (application, sf dir) and the input
     # is immutable, so the rewrite runs once per application — repeat
@@ -388,10 +392,13 @@ def scan_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdbms_scala_spark.catalog import load_table
 
     events = load_table(spark, sf_dir, "events")
+    import hashlib
+
+    # full-path hash key — see scan_partition_pruned's scratch comment
     scratch = os.path.join(
         "/tmp",
         f"events_zordered_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
+        f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:10]}",
     )
     # once per application (see scan_partition_pruned's guard): the
     # two approxQuantile passes + range-shuffle write are skipped when

@@ -428,20 +428,19 @@ def test_minhash_band_bucket_purge_bounds_mass_dup_cluster(spark):
         ],
         "doc_id long, text string",
     )
-    # the PRODUCTION banding, constants, and purge — not a re-implementation
+    # the PRODUCTION banding, constants, and candidate path — the
+    # exact expand_bucket_pairs call dedup_minhash_lsh makes, not a
+    # re-implementation (the gate-scale oracle runs never fill a
+    # bucket, so the cap wiring is certified only here)
     sig = dedup.minhash_signatures(dedup.shingles_df(docs, n=3, distinct=False))
-    purged = dedup.purge_oversized_buckets(
-        dedup.minhash_band_buckets(sig), ["band", "band_hash"], dedup._BAND_BUCKET_CAP
-    )
-    a, b = purged.alias("a"), purged.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        dedup.expand_bucket_pairs(
+            dedup.minhash_band_buckets(sig),
+            keys=["band", "band_hash"],
+            payload=["doc_id"],
+            keep=lambda bn: (bn >= 2) & (bn <= dedup._BAND_BUCKET_CAP),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
         .distinct()
     )
     pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
