@@ -1,0 +1,111 @@
+"""Keyed-snapshot maintenance: MERGE/upsert without a table format.
+
+The lakehouse MERGE INTO pattern (update matched keys, insert new
+ones) expressed as plain Spark primitives — the maintenance operator a
+100 TB corpus needs between full rebuilds (nightly metadata refreshes,
+late-arriving corrections, incremental crawl batches). The reference
+has no DML at all beyond CREATE TABLE (Microbase.scala:950-983); this
+is a north-star extension.
+
+Scale shape (the docstrings below pin the specifics): the merge itself
+is one anti-join — broadcast when the update batch is small, the
+overwhelmingly common case — plus a union; neither touches the base
+table's payload columns with any shuffle. Landing the result uses
+dynamic partition overwrite so only partitions that actually contain
+touched keys are rewritten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """MERGE semantics over DataFrames: every ``updates`` row wins over
+    the same-key ``base`` row (matched -> replaced), unmatched update
+    keys are inserted, untouched base rows pass through. Columns must
+    align (unionByName).
+
+    Spark-first shape: ``base LEFT ANTI JOIN updates ON keys`` keeps
+    the survivors, then ``UNION ALL updates`` — ONE pass over the base
+    table. With ``broadcast_updates`` (the common case: update batches
+    are orders of magnitude smaller than the snapshot) the anti-join
+    is map-only, so the whole merge is shuffle-free over the base. At
+    100 TB, land the result with dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic`` +
+    ``write_parquet(partition_by=...)``): only partitions containing a
+    touched key get rewritten, the rest of the snapshot is never read
+    or written. A full-outer-join formulation would shuffle every
+    payload column of both sides on the key for the same result —
+    strictly worse."""
+    upd = F.broadcast(updates) if broadcast_updates else updates
+    return base.join(upd, keys, "left_anti").unionByName(updates)
+
+
+@register(
+    "pipeline_upsert_snapshot",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               round(o_totalprice + 1000.0, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT (SELECT max(o_orderkey) FROM orders) + x AS o_orderkey,
+               'N' AS o_orderstatus, 100.0 AS o_totalprice
+        FROM generate_series(1, 5) t(x)
+    ),
+    merged AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
+    """,
+    tags=("pipeline", "merge", "upsert", "scale"),
+)
+def pipeline_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert gate entry: apply a deterministic update batch to
+    the orders snapshot — every 10th key's status flips to 'U' with a
+    1000.0 price bump (the UPDATE path — an exact-in-double addition,
+    so cross-engine rounding agrees; a multiplicative bump lands on
+    .005 boundaries where Spark and DuckDB round differently), five brand-new keys append (the
+    INSERT path) — and return the full merged snapshot, so the oracle
+    certifies all three row fates (replaced / inserted / passed
+    through) row-by-row. See :func:`merge_upsert` for the scale
+    shape."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    modified = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+        )
+    )
+    inserted = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.max("o_orderkey").alias("mk"))
+        .select(F.explode(F.sequence(F.col("mk") + 1, F.col("mk") + 5)).alias("o_orderkey"))
+        .select(
+            "o_orderkey",
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    )
+    return merge_upsert(
+        orders, modified.unionByName(inserted), keys=["o_orderkey"]
+    )

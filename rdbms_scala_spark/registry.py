@@ -103,6 +103,7 @@ _TIER1_DEFER: frozenset[str] = frozenset({
     "scan_zorder_skipping",
     "join_bloom_pruned",
     "agg_approx_percentiles",
+    "pipeline_upsert_snapshot",
 })
 
 # Within-family ordering for the interleave: each family's
@@ -193,6 +194,7 @@ def all_queries() -> dict[str, QuerySpec]:
         chunking,
         dedup,
         similarity,
+        snapshot,
         text,
         multimodal,
         sampling,

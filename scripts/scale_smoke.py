@@ -56,6 +56,7 @@ QUERIES = (
     "events_gap_fill",
     "dedup_minhash_clusters",
     "scan_zorder_skipping",
+    "streaming_tumbling_counts",
 )
 
 

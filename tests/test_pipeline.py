@@ -471,3 +471,28 @@ def test_purge_oversized_buckets_dataframe_cap(spark):
     )
     assert got_df == [("b", 1), ("b", 2), ("c", 1)]
     assert got_df == got_int
+
+
+def test_merge_upsert_row_fates_and_broadcast(spark):
+    """merge_upsert must produce exactly the three row fates (replaced,
+    inserted, passed-through) and, with broadcast_updates, keep the
+    anti-join broadcast so the base table is never shuffled."""
+    from rdbms_scala_spark.pipeline.snapshot import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (9, "NEW")], "k long, v string"
+    )
+    merged = merge_upsert(base, updates, keys=["k"])
+    assert {(r.k, r.v) for r in merged.collect()} == {
+        (1, "a"),  # passed through
+        (3, "c"),  # passed through
+        (2, "B"),  # replaced by the update
+        (9, "NEW"),  # inserted
+    }
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "Broadcast" in plan
+    ), plan[:1500]
