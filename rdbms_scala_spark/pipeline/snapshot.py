@@ -46,7 +46,14 @@ def merge_upsert(
     touched key get rewritten, the rest of the snapshot is never read
     or written. A full-outer-join formulation would shuffle every
     payload column of both sides on the key for the same result —
-    strictly worse."""
+    strictly worse.
+
+    ``updates`` is referenced TWICE in the plan (anti-join build side
+    + union branch) and Spark re-evaluates its lineage both times; if
+    deriving the batch is expensive (filtered from the base table,
+    remote reads), ``.cache()`` it first — for a genuinely small
+    batch the double scan is two cheap reads and caching is optional.
+    """
     upd = F.broadcast(updates) if broadcast_updates else updates
     return base.join(upd, keys, "left_anti").unionByName(updates)
 
@@ -79,11 +86,11 @@ def pipeline_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the orders snapshot — every 10th key's status flips to 'U' with a
     1000.0 price bump (the UPDATE path — an exact-in-double addition,
     so cross-engine rounding agrees; a multiplicative bump lands on
-    .005 boundaries where Spark and DuckDB round differently), five brand-new keys append (the
-    INSERT path) — and return the full merged snapshot, so the oracle
-    certifies all three row fates (replaced / inserted / passed
-    through) row-by-row. See :func:`merge_upsert` for the scale
-    shape."""
+    .005 boundaries where Spark and DuckDB round differently) and
+    five brand-new keys append (the INSERT path) — and return the
+    full merged snapshot, so the oracle certifies all three row fates
+    (replaced / inserted / passed through) row-by-row. See
+    :func:`merge_upsert` for the scale shape."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )

@@ -132,6 +132,25 @@ def write_csv(
 from rdbms_scala_spark.registry import register  # noqa: E402
 
 
+
+def _scratch_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Per-(application, sf_dir) scratch path under /tmp for queries
+    that materialize a derived layout: keyed on the session so
+    concurrent sessions (driver gate + local pytest) never clobber
+    each other mid-scan, and on a hash of the FULL sf_dir — two dirs
+    with the same leaf name must not share a scratch (the returned
+    DataFrames are lazy, so a second call could otherwise overwrite
+    the layout before the first result executes)."""
+    import hashlib
+    import os
+
+    return os.path.join(
+        "/tmp",
+        f"{prefix}_{spark.sparkContext.applicationId}_"
+        f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:10]}",
+    )
+
+
 @register(
     "csv_source_roundtrip",
     oracle="""
@@ -151,13 +170,7 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
-    # keyed on session + sf dir: concurrent sessions (driver gate +
-    # local pytest) must not overwrite each other's scratch mid-scan
-    scratch = os.path.join(
-        "/tmp",
-        f"csv_roundtrip_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    scratch = _scratch_dir(spark, sf_dir, "csv_roundtrip")
     write_csv(nation, scratch, delimiter="|", header=False)
     df = load_csv(spark, scratch, schema=nation.schema, delimiter="|")
     return df.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
@@ -182,11 +195,7 @@ def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
-    scratch = os.path.join(
-        "/tmp",
-        f"json_roundtrip_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    scratch = _scratch_dir(spark, sf_dir, "json_roundtrip")
     region.write.mode("overwrite").json(scratch)
     df = load_json(spark, scratch, schema=region.schema)
     return df.select("r_regionkey", "r_name").orderBy("r_regionkey")
@@ -230,15 +239,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdbms_scala_spark.catalog import load_table
 
     events = load_table(spark, sf_dir, "events")
-    import hashlib
-
-    # keyed on the FULL sf_dir (hashed), not its basename: two dirs
-    # with the same leaf name must not share a write-once scratch
-    scratch = os.path.join(
-        "/tmp",
-        f"events_partitioned_{spark.sparkContext.applicationId}_"
-        f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:10]}",
-    )
+    scratch = _scratch_dir(spark, sf_dir, "events_partitioned")
     # the scratch name is keyed on (application, sf dir) and the input
     # is immutable, so the rewrite runs once per application — repeat
     # invocations (plan tests, gen_plans, multiple gate passes) reuse
@@ -392,14 +393,7 @@ def scan_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdbms_scala_spark.catalog import load_table
 
     events = load_table(spark, sf_dir, "events")
-    import hashlib
-
-    # full-path hash key — see scan_partition_pruned's scratch comment
-    scratch = os.path.join(
-        "/tmp",
-        f"events_zordered_{spark.sparkContext.applicationId}_"
-        f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:10]}",
-    )
+    scratch = _scratch_dir(spark, sf_dir, "events_zordered")
     # once per application (see scan_partition_pruned's guard): the
     # two approxQuantile passes + range-shuffle write are skipped when
     # the committed layout already exists

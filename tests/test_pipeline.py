@@ -492,7 +492,25 @@ def test_merge_upsert_row_fates_and_broadcast(spark):
         (2, "B"),  # replaced by the update
         (9, "NEW"),  # inserted
     }
-    plan = merged._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin LeftAnti" in plan or (
-        "LeftAnti" in plan and "Broadcast" in plan
-    ), plan[:1500]
+    # plan check on a FRESH, un-executed frame: after an action AQE
+    # may convert a tiny sort-merge join to broadcast at runtime, so
+    # only the pre-execution plan proves the hint (not data size)
+    # chose the broadcast — and the real plan text is
+    # "BroadcastHashJoin [k..], [k..], LeftAnti", never the adjacent
+    # words a naive substring would look for
+    import re
+
+    plan = (
+        merge_upsert(base, updates, keys=["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:1500]
+    no_hint = (
+        merge_upsert(base, updates, keys=["k"], broadcast_updates=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"BroadcastHashJoin .*LeftAnti", no_hint)
