@@ -293,17 +293,17 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_features",
-    oracle=None,  # embedding half is the deterministic sha256 fake;
-    # tests assert shape/determinism and that decode metadata is real
-    tags=("multimodal", "pandas-udf"),
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_features_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via Arrow-batched
     ``mapInPandas``: real stdlib container decode (mime + parsed
     metadata ride along with the vector) plus the deterministic fake
-    embedding standing in for a model call."""
+    embedding standing in for a model call.
+
+    Library form: returns ``features array<double>`` for programmatic
+    use (similarity search, training pipelines). The REGISTERED
+    ``multimodal_features`` query wraps this with a hash-stable string
+    projection because the driver's cross-engine canonicalizer cannot
+    hash array cells (same convention as ``agg_collect_sorted``)."""
     docs = load_table(spark, sf_dir, "documents")
     src = docs.select("doc_id")
     dim = FEATURE_DIM
@@ -339,6 +339,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(
         extract,
         schema="doc_id long, mime string, n_bytes long, features array<double>",
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # embedding half is the deterministic sha256 fake;
+    # tests assert shape/determinism and that decode metadata is real
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of :func:`multimodal_features_array`: projects the
+    vector to ``features_sig`` — each dim fixed to 6 decimals and
+    comma-joined — so every output column is a scalar the driver's
+    order-insensitive value hash can canonicalize (array cells crash
+    its pandas ``sort_values``; see ``agg_collect_sorted`` for the
+    repo convention)."""
+    arr = multimodal_features_array(spark, sf_dir)
+    return arr.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_sig"),
     )
 
 

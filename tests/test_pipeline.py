@@ -295,11 +295,25 @@ def test_png_payload_is_standard_decodable():
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
-    a = multimodal.multimodal_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
-    b = multimodal.multimodal_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    a = multimodal.multimodal_features_array(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    b = multimodal.multimodal_features_array(spark, sf_dir).orderBy("doc_id").limit(5).collect()
     assert a == b
     assert all(len(r.features) == multimodal.FEATURE_DIM for r in a)
     assert all(0.0 <= v < 1.0 for r in a for v in r.features)
+
+
+def test_multimodal_features_gate_form_hash_stable(spark, sf_dir):
+    """The registered query must emit only scalar columns (the driver
+    canonicalizer cannot hash array cells) and its string signature
+    must round-trip the array values at 6-decimal precision."""
+    rows = multimodal.multimodal_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    arrs = multimodal.multimodal_features_array(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    for gate, arr in zip(rows, arrs):
+        assert not any(isinstance(v, list) for v in gate.asDict().values())
+        parts = gate.features_sig.split(",")
+        assert len(parts) == multimodal.FEATURE_DIM
+        for s, v in zip(parts, arr.features):
+            assert abs(float(s) - v) < 5e-7
 
 
 def test_exact_dedup_covers_all_docs(spark, sf_dir):
