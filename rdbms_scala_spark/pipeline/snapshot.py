@@ -29,6 +29,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     broadcast_updates: bool = True,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """MERGE semantics over DataFrames: every ``updates`` row wins over
     the same-key ``base`` row (matched -> replaced), unmatched update
@@ -51,9 +52,34 @@ def merge_upsert(
     ``updates`` is referenced TWICE in the plan (anti-join build side
     + union branch) and Spark re-evaluates its lineage both times; if
     deriving the batch is expensive (filtered from the base table,
-    remote reads), ``.cache()`` it first — for a genuinely small
-    batch the double scan is two cheap reads and caching is optional.
+    remote reads), materialize it first — ``.localCheckpoint(True)``
+    beats ``.cache()`` for one-shot merges because checkpoint blocks
+    are released when the DataFrame is garbage-collected, while cache
+    entries pin the CacheManager until an explicit unpersist. The
+    registered ``pipeline_upsert_snapshot`` demo does exactly this.
+
+    PRECONDITION — ``updates`` must be unique on ``keys``. SQL
+    ``MERGE INTO`` raises on multiple source matches for one target
+    row; this operator instead emits BOTH duplicate rows (the
+    anti-join drops the base row once, the union appends every
+    duplicate), silently diverging from MERGE semantics. Pass
+    ``validate_unique=True`` to fail fast instead — one cheap
+    aggregate over the (small) batch.
     """
+    if validate_unique:
+        dup = (
+            updates.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_upsert: updates batch has multiple rows for key "
+                f"{dict((k, dup[0][k]) for k in keys)}; MERGE requires a "
+                "unique source key — dedupe the batch first"
+            )
     upd = F.broadcast(updates) if broadcast_updates else updates
     return base.join(upd, keys, "left_anti").unionByName(updates)
 
@@ -113,6 +139,13 @@ def pipeline_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0).alias("o_totalprice"),
         )
     )
-    return merge_upsert(
-        orders, modified.unionByName(inserted), keys=["o_orderkey"]
-    )
+    # The batch is DERIVED from the base table, and merge_upsert
+    # references it twice (anti-join build side + union branch):
+    # without materialization Spark re-evaluates the lineage at every
+    # reference and the plan scans orders 5x. localCheckpoint (eager)
+    # collapses the batch to a materialized RDD so the merge plan
+    # scans orders exactly once — and unlike .cache() the blocks are
+    # GC-released, so repeated bench invocations don't accumulate
+    # CacheManager state.
+    updates = modified.unionByName(inserted).localCheckpoint(eager=True)
+    return merge_upsert(orders, updates, keys=["o_orderkey"], validate_unique=True)

@@ -242,3 +242,13 @@ def test_bloom_filter_runtime_pruning_plan(spark, sf_dir):
     expected = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
     got = df.agg(F.sum("n_lines")).first()[0]
     assert got == expected
+
+
+def test_upsert_scans_orders_once(spark, sf_dir):
+    """pipeline_upsert_snapshot materializes its derived update batch
+    (localCheckpoint) before the merge, so the final plan scans the
+    orders parquet exactly ONCE — without it, the batch's lineage is
+    re-evaluated at every reference and the base is scanned 5x."""
+    scans = _scans("pipeline_upsert_snapshot", spark, sf_dir)
+    orders_scans = [s for s in scans if "orders" in s["location"]]
+    assert len(orders_scans) == 1, [s["location"] for s in scans]
