@@ -195,29 +195,76 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    # HLL estimates differ across engines; rows-only check. The exact
-    # companion `agg_distinct` is the correctness anchor.
-    oracle=None,
+    # HLL++ estimates are engine-specific numbers, so the raw estimate
+    # can't hash-match DuckDB. Instead both engines emit a
+    # deterministic relation: exact distinct counts (genuinely
+    # cross-checked) plus in-band booleans — Spark computes
+    # |estimate - exact| <= 5*rsd empirically, DuckDB emits the
+    # guarantee (TRUE). A hash match therefore certifies the HLL
+    # estimates really fall inside the documented error band.
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(DISTINCT l_suppkey) AS exact_supps,
+           TRUE AS parts_in_band,
+           TRUE AS supps_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("aggregate", "approx", "scale"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path where the
     exact expand+shuffle of COUNT DISTINCT is too expensive — fixed
-    sketch memory per group, mergeable across partitions."""
+    sketch memory per group, mergeable across partitions.
+
+    Gate form co-computes the exact counts ONLY to certify the sketch:
+    booleans assert each estimate within 5*rsd (rsd=0.02 -> 10%) of
+    exact. Production calls use the approx aggregate alone."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+    rsd = 0.02
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("_ap"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_suppkey", rsd).alias("_as"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+    )
+    band = 5 * rsd
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        (F.abs(F.col("_ap") - F.col("exact_parts")) <= band * F.col("exact_parts")).alias(
+            "parts_in_band"
+        ),
+        (F.abs(F.col("_as") - F.col("exact_supps")) <= band * F.col("exact_supps")).alias(
+            "supps_in_band"
+        ),
     )
 
 
 @register(
     "agg_approx_percentiles",
-    # Greenwald-Khanna sketch estimates differ across engines;
-    # rows-only check. The exact companion `agg_percentiles` is the
-    # correctness anchor; tests/test_pipeline.py bounds the error
-    # against the exact quantiles.
-    oracle=None,
+    # GK sketch estimates are engine-specific, so the raw quantile
+    # can't hash-match DuckDB. Both engines emit a deterministic
+    # relation instead: group counts (cross-checked) plus in-band
+    # booleans. Spark checks its GK estimate against ITS exact
+    # quantiles at p +/- delta; the oracle derives the same band from
+    # quantile_cont — where the relation is the GK guarantee itself,
+    # so it evaluates TRUE. A hash match certifies the estimates
+    # really land inside the rank-error band.
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           quantile_cont(l_extendedprice, 0.50)
+               BETWEEN quantile_cont(l_extendedprice, 0.495)
+                   AND quantile_cont(l_extendedprice, 0.505) AS q50_in_band,
+           quantile_cont(l_extendedprice, 0.95)
+               BETWEEN quantile_cont(l_extendedprice, 0.945)
+                   AND quantile_cont(l_extendedprice, 0.955) AS q95_in_band,
+           quantile_cont(l_extendedprice, 0.99)
+               BETWEEN quantile_cont(l_extendedprice, 0.985)
+                   AND quantile_cont(l_extendedprice, 0.995) AS q99_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("aggregate", "approx", "scale"),
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,12 +273,37 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded sketch memory per group, mergeable across partitions
     (map-side partials combine like any algebraic aggregate).
     Completes the sketch family: distinct -> approx_count_distinct /
-    HLL, quantiles -> this."""
+    HLL, quantiles -> this.
+
+    Gate form: accuracy=10000 bounds rank error at eps=1e-4; the
+    booleans check each estimate against exact quantiles at
+    p +/- 0.005 (50x margin over eps, still a tight band). The exact
+    quantiles are co-computed ONLY for certification — production
+    calls use the sketch alone."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
-        ).alias("price_quantiles"),
+    delta = 0.005
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for tag, p in (("q50", 0.50), ("q95", 0.95), ("q99", 0.99)):
+        aggs.append(
+            F.percentile_approx("l_extendedprice", F.lit(p), 10000).alias(f"_{tag}_est")
+        )
+        aggs.append(
+            F.expr(f"percentile(l_extendedprice, {p - delta})").alias(f"_{tag}_lo")
+        )
+        aggs.append(
+            F.expr(f"percentile(l_extendedprice, {p + delta})").alias(f"_{tag}_hi")
+        )
+    g = li.groupBy("l_returnflag").agg(*aggs)
+    return g.select(
+        "l_returnflag",
+        "n",
+        *[
+            (
+                (F.col(f"_{tag}_est") >= F.col(f"_{tag}_lo"))
+                & (F.col(f"_{tag}_est") <= F.col(f"_{tag}_hi"))
+            ).alias(f"{tag}_in_band")
+            for tag in ("q50", "q95", "q99")
+        ],
     )
 
 
@@ -351,9 +423,21 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_mergeable",
-    # sketch binaries are engine-specific; no cross-engine oracle.
-    # tests assert the estimate is within HLL error of the exact count.
-    oracle=None,
+    # Sketch binaries and estimates are engine-specific; both engines
+    # emit a deterministic relation instead: exact per-scope distinct
+    # counts (cross-checked) plus an in-band boolean — Spark checks
+    # its DataSketches estimate within 5% of exact empirically, the
+    # oracle emits the guarantee (TRUE). A hash match certifies every
+    # per-nation estimate AND the sketch-union ALL estimate land in
+    # band — i.e. the mergeability path itself is certified.
+    oracle="""
+    SELECT CAST(c_nationkey AS VARCHAR) AS scope,
+           count(DISTINCT c_custkey) AS exact_distinct,
+           TRUE AS est_in_band
+    FROM customer GROUP BY c_nationkey
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT c_custkey), TRUE FROM customer
+    """,
     tags=("aggregate", "sketch", "hll", "approx", "scale"),
 )
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,21 +447,30 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes sketches the 100 TB answer for distinct counts: per-
     partition/per-day sketches persist alongside rollups and compose
     to any coarser grouping (contrast exact COUNT DISTINCT, which
-    cannot re-aggregate). Output: per-nation estimates plus the
-    merged ALL row."""
+    cannot re-aggregate). Output: per-nation rows plus the merged ALL
+    row; exact counts ride along only to certify the estimates (gate
+    form — production persists the sketches themselves)."""
     cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("hll_cust_v")
     per_nation = cust.groupBy("c_nationkey").agg(
-        F.expr("hll_sketch_agg(c_custkey)").alias("sk")
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_distinct"),
     )
     per_nation.createOrReplaceTempView("hll_per_nation_v")
     return spark.sql(
         """
         SELECT CAST(c_nationkey AS STRING) AS scope,
-               hll_sketch_estimate(sk) AS est_distinct
+               exact_distinct,
+               abs(hll_sketch_estimate(sk) - exact_distinct)
+                   <= 0.05 * exact_distinct AS est_in_band
         FROM hll_per_nation_v
         UNION ALL
-        SELECT 'ALL', hll_sketch_estimate(hll_union_agg(sk))
+        SELECT 'ALL',
+               (SELECT count(DISTINCT c_custkey) FROM hll_cust_v),
+               abs(hll_sketch_estimate(hll_union_agg(sk))
+                   - (SELECT count(DISTINCT c_custkey) FROM hll_cust_v))
+                   <= 0.05 * (SELECT count(DISTINCT c_custkey) FROM hll_cust_v)
+                   AS est_in_band
         FROM hll_per_nation_v
-        ORDER BY scope
         """
     )
