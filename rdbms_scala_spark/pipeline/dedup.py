@@ -111,6 +111,10 @@ def purge_oversized_buckets(df: DataFrame, keys: list[str], cap) -> DataFrame:
     by construction — only buckets past the cap) is broadcast for a
     left_anti join, so ``df`` itself is never shuffled; the only
     shuffle is the map-side-combined (keys, count) aggregation."""
+    assert "__bn" not in df.columns, (
+        "purge_oversized_buckets reserves column name '__bn' for the "
+        "bucket-size count; rename the input column"
+    )
     sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
     if isinstance(cap, bool) or not isinstance(cap, (numbers.Integral, DataFrame)):
         raise TypeError(
@@ -158,6 +162,10 @@ def expand_bucket_pairs(df, keys, payload, keep, attach=None):
     between the count and the filter — so the constant never widens
     the rows going through the shuffle, and the broadcast join
     preserves the window's hash partitioning for the groupBy."""
+    assert "__bn" not in df.columns, (
+        "expand_bucket_pairs reserves column name '__bn' for the "
+        "bucket-size count; rename the input column"
+    )
     w = W.partitionBy(*keys)
     sized = df.withColumn("__bn", F.count(F.lit(1)).over(w))
     if attach is not None:

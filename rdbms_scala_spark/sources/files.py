@@ -133,6 +133,16 @@ from rdbms_scala_spark.registry import register  # noqa: E402
 
 
 
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _cleanup_scratch_dirs() -> None:
+    import shutil
+
+    for path in _SCRATCH_DIRS:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _scratch_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     """Per-(application, sf_dir) scratch path under /tmp for queries
     that materialize a derived layout: keyed on the session so
@@ -140,15 +150,25 @@ def _scratch_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     each other mid-scan, and on a hash of the FULL sf_dir — two dirs
     with the same leaf name must not share a scratch (the returned
     DataFrames are lazy, so a second call could otherwise overwrite
-    the layout before the first result executes)."""
+    the layout before the first result executes).
+
+    Every path handed out is removed at interpreter exit (atexit):
+    without that, each application left a full rewritten copy of its
+    derived layouts in /tmp and repeated gate/bench/test runs grew
+    disk usage without bound."""
+    import atexit
     import hashlib
     import os
 
-    return os.path.join(
+    path = os.path.join(
         "/tmp",
         f"{prefix}_{spark.sparkContext.applicationId}_"
         f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:10]}",
     )
+    if not _SCRATCH_DIRS:
+        atexit.register(_cleanup_scratch_dirs)
+    _SCRATCH_DIRS.add(path)
+    return path
 
 
 @register(
@@ -335,6 +355,10 @@ def write_zordered_table(
     partition."""
     from pyspark.sql import functions as F
 
+    assert "__z" not in df.columns, (
+        "write_zordered_table reserves column name '__z' for the "
+        "interleaved code; rename the input column"
+    )
     qs = [i / (1 << bits) for i in range(1, 1 << bits)]
     z = None
     for i, c in enumerate(zorder_by):
