@@ -253,7 +253,7 @@ def two_phase_skew_join(
     left_key: str,
     right_key: str,
     salt_factor: int = _SALT_FACTOR,
-    hot_threshold: int = 100_000,
+    hot_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Equi-join with hot-key-only grid salting; result identical to
     ``left.join(right, left[left_key] == right[right_key])``.
@@ -281,7 +281,24 @@ def two_phase_skew_join(
     broadcasts into every semi/anti split (identical broadcast
     subplans collapse to one via ReusedExchange). This is the manual
     fallback for skew that AQE's runtime split can't fix (skewed keys
-    feeding a stateful op, or a build side too big to split)."""
+    feeding a stateful op, or a build side too big to split).
+
+    ``hot_threshold=None`` auto-derives the threshold from the
+    per-reducer row budget: a key is hot only if its rows alone would
+    overflow one reducer's even share of the larger input
+    (``max(100_000, n_rows / shuffle_partitions)``) — the production
+    stance, where "hot" means "would actually stall a reducer", not
+    "above an arbitrary count". Everything below that is exactly what
+    a shuffle join absorbs by design. (Sizing costs one count() per
+    side — metadata-cheap on parquet scans.) The threshold choice is
+    also what dominates the operator's own cost curve: SCALE.md shows
+    the demo config (threshold=6, ~1/7 of ALL keys hot) growing 12x
+    at x64 data purely from grid replication of a hot set that grows
+    with the corpus, while the auto threshold keeps the hot set
+    pinned to genuine per-reducer overflows."""
+    if hot_threshold is None:
+        parts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        hot_threshold = max(100_000, max(left.count(), right.count()) // parts)
     hl = hot_keys(left, left_key, hot_threshold)
     hr = hot_keys(right, right_key, hot_threshold).withColumnRenamed(right_key, left_key)
     l_only = F.broadcast(hl.join(hr, left_key, "left_anti"))
@@ -364,6 +381,44 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     joined = two_phase_skew_join(
         li, orders, "l_orderkey", "o_orderkey", hot_threshold=6
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "join_skew_salted_auto",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "skew", "salting", "scale"),
+)
+def join_skew_salted_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-threshold counterpart of ``join_skew_salted``: the
+    hot threshold auto-derives from the per-reducer row budget
+    (``hot_threshold=None``). On this corpus no order has enough
+    lines to overflow a reducer, so the hot sets are empty and every
+    row takes the cold plain-join path — which is the point: SCALE.md
+    tracks this row next to the demo row to show the demo's 12x
+    growth at x64 is the deliberately-low demo threshold replicating
+    a corpus-proportional hot set through the grid phase, not the
+    operator. Same oracle as the demo (result is threshold-invariant
+    by construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = two_phase_skew_join(
+        li, orders, "l_orderkey", "o_orderkey", hot_threshold=None
     )
     return (
         joined.groupBy("o_orderpriority")

@@ -981,7 +981,12 @@ def lev_blocked_pairs(docs: DataFrame, block_cap: int = _LEV_BLOCK_CAP) -> DataF
     a single conjunctive key silently drops exactly the pairs this
     tier exists to catch: an OCR/encoding error inside the first 4
     characters, or a small edit that nudges a doc across a 64-char
-    bucket boundary, excludes the pair from pass 1 entirely. Pass 2's
+    bucket boundary, excludes the pair from pass 1 entirely. (The
+    per-doc fan-out bound also makes the SCALE.md growth curve
+    interpretable: on the amplified smoke corpus the pair space
+    grows ~300 -> ~5.5M GENUINE prefix near-dups at x64 — copy
+    markers differ by 1-2 edits inside the prefix band — and wall
+    time grows only ~7x; see SCALE.md's preamble.) Pass 2's
     band sits past the pass-1 band (so damage can't hit both) and its
     half-width-shifted buckets split at different boundaries (two
     lengths within 32 chars always share at least one of the two

@@ -49,6 +49,7 @@ QUERIES = (
     "sample_quality_weighted",
     "pipeline_training_manifest",
     "join_skew_salted",
+    "join_skew_salted_auto",
     "join_asof",
     "join_range_binned",
     "join_bloom_pruned",
@@ -178,6 +179,23 @@ def main() -> None:
         "at x64 — caught by this table and fixed two ways: the",
         "generator now interleaves markers, and the operator purges",
         "oversized band buckets from its pair join.",
+        "",
+        "Two rows need their cause named rather than fixed:",
+        "- dedup_levenshtein: the marker interleave kills token-shingle",
+        "  similarity but CANNOT kill character-level similarity ('c3'",
+        "  vs 'c7' variants differ by 1-2 edits inside the 32-char",
+        "  prefix), so amplification genuinely creates k-member",
+        "  edit-distance clusters: the surviving capped pair space",
+        "  grows ~300 -> ~5.5M genuine pairs at x64 (measured block",
+        "  profile: pass-1 p50 19/p99 180, 171k rows purged). Wall",
+        "  time growing ~7x while the genuine pair workload grows",
+        "  ~18,000x (per-doc fan-out cap-bounded at 2*(64-1)) is the",
+        "  engine absorbing a data-intrinsic explosion, not a leak.",
+        "- join_skew_salted: the demo threshold (6) marks ~1/7 of ALL",
+        "  orders hot, so the hot set grows with the corpus and the",
+        "  grid phase replicates it S ways — the demo config, not the",
+        "  operator; the join_skew_salted_auto row (per-reducer-budget",
+        "  threshold, the production stance) shows the real curve.",
         "",
         f"Rows: {json.dumps(rows)}",
         "",

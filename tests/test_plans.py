@@ -252,3 +252,24 @@ def test_upsert_scans_orders_once(spark, sf_dir):
     scans = _scans("pipeline_upsert_snapshot", spark, sf_dir)
     orders_scans = [s for s in scans if "orders" in s["location"]]
     assert len(orders_scans) == 1, [s["location"] for s in scans]
+
+
+def test_two_phase_skew_join_auto_threshold(spark, sf_dir):
+    """hot_threshold=None derives the threshold from the per-reducer
+    row budget; on this corpus (max 7 lines/order) the hot sets come
+    out empty, every row takes the cold path, and the result still
+    equals the plain join."""
+    from pyspark.sql import functions as F
+
+    from rdbms_scala_spark.catalog import load_table
+    from rdbms_scala_spark.operators.joins import hot_keys, two_phase_skew_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    derived = max(100_000, max(li.count(), orders.count()) // parts)
+    assert derived >= 100_000
+    assert hot_keys(li, "l_orderkey", derived).count() == 0
+    got = two_phase_skew_join(li, orders, "l_orderkey", "o_orderkey", hot_threshold=None).count()
+    want = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+    assert got == want
