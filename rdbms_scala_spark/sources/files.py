@@ -222,6 +222,83 @@ def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_source_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("source", "orc", "S1", "S6"),
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip — the third columnar-interchange
+    surface after Parquet and CSV/JSON (the reference reads only
+    delimited CSV, Microbase.scala:966-982; Spark ships the ORC
+    reader/writer natively): write `supplier` as ORC, read it back,
+    and return it — identical to the Parquet original per the oracle.
+    Like Parquet, ORC carries its schema and min/max stripe stats, so
+    predicate pushdown and column pruning work the same way at
+    scale."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    supplier = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    scratch = _scratch_dir(spark, sf_dir, "orc_roundtrip")
+    supplier.write.mode("overwrite").orc(scratch)
+    df = spark.read.orc(scratch)
+    return df.select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "maintenance_compact_small_files",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("maintenance", "compaction", "scale"),
+)
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the OPTIMIZE/bin-packing maintenance
+    pass every long-lived 100 TB table needs (streaming sinks and
+    incremental upserts accrete kilobyte files; a million tiny files
+    turns every scan into a listing+open storm and starves the
+    scheduler with single-row tasks).
+
+    Gate entry for :func:`compact_small_files` (the library operator;
+    see its docstring for the coalesce-not-repartition scale shape,
+    and tests/test_sources.py for the file-count-collapse assert).
+    The demo fragments `customer` into 64 shards (the pathology),
+    compacts them, and returns an aggregate over the compacted copy —
+    the oracle runs the same aggregate on the original table, proving
+    compaction preserved every row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    frag = _scratch_dir(spark, sf_dir, "compact_frag")
+    customer.repartition(64).write.mode("overwrite").parquet(frag)
+    compact = _scratch_dir(spark, sf_dir, "compact_out")
+    compact_small_files(spark, frag, compact)
+
+    return (
+        spark.read.parquet(compact)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "scan_partition_pruned",
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS event_date,

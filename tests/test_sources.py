@@ -220,3 +220,32 @@ def test_morton_spread_stride_lanes(spark):
     a, b, c = (val(x, 2, 3) for x in (0b11, 0b01, 0b10))
     # lanes (pos 5..0) = c1 b1 a1 c0 b0 a0 = 1 0 1 0 1 1
     assert a | (b << 1) | (c << 2) == 0b101011
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC write/read must round-trip values and schema exactly."""
+    src = spark.createDataFrame(
+        [(1, "a", 3.5), (2, "b", -1.25)], "id long, name string, v double"
+    )
+    path = str(tmp_path / "orc")
+    src.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_compaction_gate_query_collapses_files(spark, sf_dir):
+    """The registered maintenance query must leave a compacted copy
+    with far fewer files than the 64-shard fragment it creates."""
+    import glob
+
+    from rdbms_scala_spark.sources.files import (
+        _scratch_dir,
+        maintenance_compact_small_files,
+    )
+
+    maintenance_compact_small_files(spark, sf_dir).count()
+    frag = _scratch_dir(spark, sf_dir, "compact_frag")
+    compact = _scratch_dir(spark, sf_dir, "compact_out")
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64
+    assert len(glob.glob(f"{compact}/*.parquet")) <= 2
