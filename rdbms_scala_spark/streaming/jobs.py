@@ -362,3 +362,136 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_to_table(agg, "complete")
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value * weight), 2) AS weighted_value
+    FROM events
+    LEFT JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                      ('signup', 5.0), ('error', 0.0))
+         AS w(event_type, weight) USING (event_type)
+    GROUP BY event_type
+    """,
+    tags=("streaming", "join", "enrich"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: each micro-batch of the event stream is
+    enriched against a static dimension (per-type weights) before a
+    streaming aggregation — the standard enrichment topology (stream
+    joins a slowly-changing dim snapshot; re-read per batch in a real
+    deployment, broadcast when small, exactly like a batch dim join).
+    No watermark is needed on a stream-static join — only stream-
+    stream joins hold join state. LEFT join so an unknown event type
+    degrades to weight 0, never a dropped event."""
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    ev = read_events_stream(spark, sf_dir)
+    enriched = ev.join(F.broadcast(weights), "event_type", "left").withColumn(
+        "weight", F.coalesce("weight", F.lit(0.0))
+    )
+    agg = enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+    )
+    return drain_to_table(agg, "complete")
+
+
+def latest_per_key(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """One row per ``keys`` group: the row ranked first by
+    ``order_cols`` descending (ties broken by later columns) — the
+    latest-wins collapse used by the streaming upsert sink."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fold_latest_snapshot(
+    batch: DataFrame, snap_dir: str, workdir: str, batch_id: int
+) -> None:
+    """One foreachBatch fold of ``batch`` into the latest-event-per-
+    user snapshot at ``snap_dir`` (conditional latest-wins by
+    (ts, event_id); see streaming_foreachbatch_upsert). Writes the
+    merged snapshot to a fresh dir then renames — the swap is atomic
+    at the directory level, so a reader never sees a half-written
+    snapshot."""
+    import os
+
+    latest = latest_per_key(batch, ["user_id"], ["ts", "event_id"])
+    if os.path.exists(snap_dir):
+        base = batch.sparkSession.read.parquet(snap_dir)
+        merged = latest_per_key(base.unionByName(latest), ["user_id"], ["ts", "event_id"])
+    else:
+        merged = latest
+    out = os.path.join(workdir, f"snap_{batch_id}")
+    merged.write.mode("overwrite").parquet(out)
+    if os.path.exists(snap_dir):
+        os.rename(snap_dir, os.path.join(workdir, f"old_{batch_id}"))
+    os.rename(out, snap_dir)
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM (
+        SELECT DISTINCT ON (user_id) user_id, ts, event_type, value
+        FROM events
+        ORDER BY user_id, ts DESC, event_id DESC
+    )
+    """,
+    tags=("streaming", "merge", "upsert", "scale"),
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: maintain a latest-event-per-user snapshot from
+    the event stream via ``foreachBatch`` — the streaming->lakehouse
+    upsert topology (each micro-batch folds into a keyed snapshot;
+    sinks like this are how CDC feeds land at 100 TB).
+
+    Each batch is first collapsed to its own latest row per user
+    (window row_number — bounded by batch size), then folded into the
+    persisted snapshot with CONDITIONAL latest-wins semantics: the
+    union of snapshot and batch is re-collapsed by (ts, event_id), so
+    a late-arriving batch can never regress a key (plain
+    ``merge_upsert`` replaces unconditionally — right for ordered CDC,
+    wrong for out-of-order event streams). At scale, land each fold
+    with dynamic partition overwrite so only partitions holding
+    touched keys rewrite; the demo swaps whole parquet dirs, same
+    contract. The gate drains with availableNow and returns the final
+    snapshot; the oracle is the batch latest-per-user query."""
+    import os
+    import tempfile
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    workdir = tempfile.mkdtemp(prefix="stream_upsert_")
+    snap_dir = os.path.join(workdir, "snapshot")
+
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        fold_latest_snapshot(batch, snap_dir, workdir, _batch_id)
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            ev.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(snap_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )

@@ -206,3 +206,29 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # re-emitted; 11:00 and 12:00 finalized with 1 each; 13:00 still
     # open -> not emitted
     assert got == {("10:00", 2), ("11:00", 1), ("12:00", 1)}, got
+
+
+def test_foreachbatch_upsert_out_of_order_batches(spark, tmp_path):
+    """A late batch carrying an OLDER event for a key must not regress
+    the snapshot (conditional latest-wins), while new keys and genuinely
+    newer events apply."""
+    import datetime as dt
+
+    from rdbms_scala_spark.streaming.jobs import fold_latest_snapshot
+
+    workdir = str(tmp_path)
+    snap = f"{workdir}/snapshot"
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    schema = "user_id long, ts timestamp, event_type string, value double, event_id long"
+    b1 = spark.createDataFrame(
+        [(1, t(10), "click", 1.0, 100), (1, t(20), "view", 2.0, 101), (2, t(5), "click", 3.0, 102)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(1, t(15), "purchase", 9.0, 103), (2, t(6), "view", 4.0, 104), (3, t(1), "signup", 5.0, 105)],
+        schema,
+    )
+    fold_latest_snapshot(b1, snap, workdir, 0)
+    fold_latest_snapshot(b2, snap, workdir, 1)
+    got = {r.user_id: (r.ts, r.event_id) for r in spark.read.parquet(snap).collect()}
+    assert got == {1: (t(20), 101), 2: (t(6), 104), 3: (t(1), 105)}
