@@ -589,3 +589,68 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~nprobe/K fraction of brute-force cost."""
     emb = _load_vectors(spark, sf_dir)
     return _ivf_topk(emb, kmeans_centroids(emb))
+
+
+# ---------------------------------------------------------------------------
+# embedding-corpus analytics: per-label centroids (fully oracle-checked)
+
+
+@register(
+    "embeddings_label_centroids",
+    oracle="""
+    SELECT label, dim, count(*) AS n_vecs,
+           CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS sum_q6,
+           CAST(round(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                           AS BIGINT) / count(*), 0) AS BIGINT) AS centroid_q6
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS x
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    tags=("embeddings", "analytics", "scale"),
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus, one row per
+    (label, dimension) — the corpus-statistics pass every embedding
+    pipeline runs before clustering / IVF training / drift monitoring
+    (the centroids here are exactly what seeds ``kmeans_centroids``,
+    and dimension-wise means over sliding snapshots are the standard
+    embedding-drift detector).
+
+    Scale shape: ``posexplode`` is a map-side explode (rows x dims,
+    no shuffle), and the one aggregation exchange carries only
+    (label, dim) partial sums — map-side combine collapses each task
+    to |labels| x |dims| rows regardless of corpus size, so the
+    shuffle is O(tasks x labels x dims), independent of row count.
+    At 100 TB this is the textbook "wide data, tiny aggregate" plan.
+
+    Cross-engine determinism: float sums re-associate under
+    parallelism, so the centroid is computed over integer-quantized
+    components (round(x * 1e6) as BIGINT, the same trick the LSH
+    probe ordering uses) — integer sums are exact and
+    order-independent in both engines, and the final division is a
+    single deterministic IEEE op."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(_as_double("embedding")).alias("dim", "x")
+    )
+    quantized = exploded.withColumn(
+        "q", F.round(F.col("x") * F.lit(1000000.0), 0).cast("long")
+    )
+    return (
+        quantized.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("q").alias("sum_q6"),
+        )
+        .withColumn(
+            "centroid_q6",
+            F.round(F.col("sum_q6") / F.col("n_vecs"), 0).cast("long"),
+        )
+        .orderBy("label", "dim")
+    )

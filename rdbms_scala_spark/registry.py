@@ -207,6 +207,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sampling,
     )
     from rdbms_scala_spark.sources import files as _files  # noqa: F401
+    from rdbms_scala_spark.sources import stats as _stats  # noqa: F401
     from rdbms_scala_spark.streaming import events as _events  # noqa: F401
     from rdbms_scala_spark.streaming import jobs as _jobs  # noqa: F401
 

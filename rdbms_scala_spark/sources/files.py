@@ -539,3 +539,100 @@ def compact_small_files(
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(src_dir).coalesce(n_files).write.mode("overwrite").parquet(dest_dir)
     return sum(f.endswith(".parquet") for f in os.listdir(dest_dir))
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join (the persistent hash-index analog, as a gate row)
+
+_BUCKETED_MEMO: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Materialize `orders` and `lineitem` as bucketed managed tables
+    (8 buckets on the join key), memoized per (application, sf_dir)
+    so repeated calls (driver gate + bench warm/timed passes) pay the
+    layout write once. Tables are dropped at interpreter exit — a
+    managed-table DROP removes the warehouse files, so repeated
+    applications don't accrete copies."""
+    import atexit
+    import hashlib
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key in _BUCKETED_MEMO:
+        o_name, l_name = _BUCKETED_MEMO[key]
+        return spark.table(o_name), spark.table(l_name)
+
+    from rdbms_scala_spark.catalog import load_table
+
+    suffix = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    o_name, l_name = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+
+    def _drop() -> None:
+        for t in (o_name, l_name):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass  # session already stopped; nothing to clean
+
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders"),
+        o_name,
+        bucket_by=["o_orderkey"],
+        num_buckets=8,
+        sort_by=["o_orderkey"],
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        l_name,
+        bucket_by=["l_orderkey"],
+        num_buckets=8,
+        sort_by=["l_orderkey"],
+    )
+    _BUCKETED_MEMO[key] = (o_name, l_name)
+    atexit.register(_drop)
+    return spark.table(o_name), spark.table(l_name)
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    tags=("join", "bucketed", "layout", "scale", "S2"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over CO-LOCATED bucketed layouts: both sides are
+    bucketed (and bucket-sorted) on the join key, so the sort-merge
+    join runs with ZERO exchange on either side — each task merges
+    bucket i of orders with bucket i of lineitem in place. This is
+    the persistent, distributed analog of the reference's hash index
+    (Microbase.scala:994-1006): the hash is baked into the file
+    layout once at write time and every subsequent join on the key
+    rides it for free. At 100 TB this is THE lever for repeated
+    fact-fact joins too big to broadcast and too hot to re-shuffle
+    per query (the shuffle this avoids is the largest single cost in
+    the plan). The only exchange left in the whole plan is the tiny
+    post-join re-aggregation on `o_orderpriority` (5 groups).
+    tests/test_plans.py pins exactly that plan shape; the merge hint
+    forces SMJ so a broadcast can't mask a layout regression."""
+    from pyspark.sql import functions as F
+
+    bo, bl = _bucketed_orders_lineitem(spark, sf_dir)
+    joined = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("priority")
+    )

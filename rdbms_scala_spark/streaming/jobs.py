@@ -495,3 +495,86 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         "value",
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+           p.value AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    ORDER BY view_id, purchase_id
+    """,
+    tags=("streaming", "join", "watermark", "scale"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: attribute each
+    purchase to the same user's preceding views within a 2-hour
+    window — the ad-attribution / funnel-stitch topology (the one
+    streaming join shape that holds state on BOTH sides; the
+    reference has no streaming at all, SURVEY.md §2.10).
+
+    Scale mechanics: both sides carry a watermark and the join
+    condition bounds event time from both directions
+    (``purchase_ts`` in ``[view_ts, view_ts + 2h]``), so Spark can
+    derive a state-eviction horizon for each side — without the
+    time bound, stream-stream join state grows without limit. State
+    is hash-partitioned by ``user_id`` (the equi-key), so a 1000-
+    executor run shards join state exactly like a batch shuffle
+    join; skewed users would be handled upstream by the same salting
+    used in join_skew_salted. With an availableNow drain over the
+    bounded file source, every pair is emitted (inner-join output
+    never depends on the watermark; the watermark only bounds state
+    retention), so the batch interval-join oracle is exact."""
+    ev = read_events_stream(spark, sf_dir)
+    out = view_purchase_attribution(ev)
+    return drain_to_table(out, "append").orderBy("view_id", "purchase_id")
+
+
+def view_purchase_attribution(ev: DataFrame) -> DataFrame:
+    """The stream-stream topology behind
+    ``streaming_stream_stream_join``, over any events stream —
+    factored out so tests can drive it with a multi-file source and a
+    1-file-per-trigger rate limit, proving matches survive ACROSS
+    micro-batches (join state held on both sides until the watermark
+    passes the 2-hour window)."""
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "purchase_ts >= view_ts AND "
+            "purchase_ts <= view_ts + INTERVAL 2 HOURS"
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+        "purchase_value",
+    )

@@ -273,3 +273,25 @@ def test_two_phase_skew_join_auto_threshold(spark, sf_dir):
     got = two_phase_skew_join(li, orders, "l_orderkey", "o_orderkey", hot_threshold=None).count()
     want = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
     assert got == want
+
+
+def test_bucketed_colocated_join_plan_shape(spark, sf_dir):
+    """join_bucketed_colocated: both scans must be bucketed and feed the
+    sort-merge join with NO exchange on either input — the only
+    exchanges in the whole plan are the post-join 5-group
+    re-aggregation and the final ordering. The bare join (no agg) must
+    contain no Exchange at all."""
+    from rdbms_scala_spark.plans import physical_plan
+    from rdbms_scala_spark.sources.files import (
+        _bucketed_orders_lineitem,
+        join_bucketed_colocated,
+    )
+
+    bo, bl = _bucketed_orders_lineitem(spark, sf_dir)
+    bare = physical_plan(bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey))
+    assert "SortMergeJoin" in bare
+    assert "Exchange" not in bare, f"bucketed join inputs must not shuffle:\n{bare}"
+
+    full = physical_plan(join_bucketed_colocated(spark, sf_dir))
+    assert full.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount: 8 out of 8" in full

@@ -249,3 +249,25 @@ def test_compaction_gate_query_collapses_files(spark, sf_dir):
     compact = _scratch_dir(spark, sf_dir, "compact_out")
     assert len(glob.glob(f"{frag}/*.parquet")) == 64
     assert len(glob.glob(f"{compact}/*.parquet")) <= 2
+
+
+def test_column_stats_counts_nulls_and_ndv(spark):
+    """column_stats on a frame with known nulls/duplicates: every cell
+    is hand-checkable (the registry oracle re-proves it at table
+    scale; this pins the null-count arithmetic the testdata, which is
+    null-free, cannot exercise)."""
+    from rdbms_scala_spark.sources.stats import column_stats
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (3, "a"), (None, "c")],
+        "k bigint, s string",
+    )
+    rows = {
+        r.col_name: r
+        for r in column_stats(
+            df, [("k", "CAST({v} AS STRING)"), ("s", "CAST({v} AS STRING)")]
+        ).collect()
+    }
+    k, s = rows["k"], rows["s"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct, k.min_value, k.max_value) == (5, 1, 3, "1", "3")
+    assert (s.n_rows, s.n_nulls, s.n_distinct, s.min_value, s.max_value) == (5, 1, 3, "a", "c")

@@ -232,3 +232,52 @@ def test_foreachbatch_upsert_out_of_order_batches(spark, tmp_path):
     fold_latest_snapshot(b2, snap, workdir, 1)
     got = {r.user_id: (r.ts, r.event_id) for r in spark.read.parquet(snap).collect()}
     assert got == {1: (t(20), 101), 2: (t(6), 104), 3: (t(1), 105)}
+
+
+def test_stream_stream_join_matches_across_batches(spark, sf_dir, tmp_path):
+    """Stream-stream join state must carry matches ACROSS micro-batches:
+    split events into 3 time-ordered files, one file per trigger, and
+    the drained pair set must equal the batch interval join — a view in
+    batch 0 still matches a purchase arriving in batch 2, because both
+    sides' state is retained until the watermark passes the window."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by("ts")
+    outdir = tmp_path / "events.parquet"
+    outdir.mkdir()
+    n = tbl.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        part_path = outdir / f"part-{i}.parquet"
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), part_path)
+        os.utime(part_path, (1_700_000_000 + i * 60,) * 2)
+
+    streamed = jobs.drain_to_table(
+        jobs.view_purchase_attribution(
+            jobs.read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+        ),
+        "append",
+    )
+    got = {(r.view_id, r.purchase_id) for r in streamed.collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    exp = {
+        (r.view_id, r.purchase_id)
+        for r in v.join(
+            p,
+            (F.col("vu") == F.col("pu"))
+            & (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 2 HOURS")),
+        ).collect()
+    }
+    assert exp, "batch interval join must be non-vacuous"
+    # cross-batch pairs specifically must survive
+    assert got == exp
