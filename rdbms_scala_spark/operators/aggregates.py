@@ -474,3 +474,86 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hll_per_nation_v
         """
     )
+
+
+@register(
+    "agg_count_min_sketch",
+    # Count-min estimates depend on the hash family, so the raw
+    # estimates can't hash-match DuckDB; the established sketch-oracle
+    # pattern applies (see agg_approx_distinct): exact counts are
+    # genuinely cross-checked, and the booleans encode the CM
+    # guarantee — no undercount ever, overcount <= eps * total — which
+    # the oracle emits as its TRUE ground truth.
+    oracle="""
+    SELECT event_type, count(*) AS exact_n,
+           TRUE AS no_undercount, TRUE AS within_eps
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("aggregate", "approx", "sketch", "scale"),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a RELATION: frequency estimation in fixed
+    memory, the streaming/heavy-hitter companion to the HLL and GK
+    sketches (completing the sketch family: distinct -> HLL,
+    quantiles -> GK, frequencies -> this).
+
+    Rather than an opaque binary blob, the sketch IS a DataFrame:
+    ``(row, bucket, c)`` where row indexes the DEPTH independent hash
+    functions (xxhash64 seeded by row) and bucket = hash mod WIDTH.
+    Building it is one map-side explode (x DEPTH) into a groupBy of
+    at most DEPTH x WIDTH groups — map-side combine collapses each
+    task to sketch size, so the shuffle is O(tasks x DEPTH x WIDTH),
+    independent of event volume; and because it's an ordinary count
+    aggregation, partial sketches MERGE by addition for free (the
+    property that lets 1000 executors each sketch their shard). A
+    point query is a DEPTH-row broadcast join + min.
+
+    Guarantee (depth 5, width 2048): estimate never undercounts, and
+    overcounts by more than eps*N (eps = e/width ~ 0.0013) with
+    probability < e^-depth ~ 0.7% per query — deterministic here
+    (fixed seeds), verified per-key by the gate booleans."""
+    import math
+
+    DEPTH, WIDTH = 5, 2048
+    ev = load_table(spark, sf_dir, "events")
+
+    def buckets(col: str):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(WIDTH)).alias("bucket"),
+                )
+                for i in range(DEPTH)
+            ]
+        )
+
+    sketch = (
+        ev.select(F.explode(buckets("event_type")).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    key_rows = (
+        exact.select("event_type", F.explode(buckets("event_type")).alias("rb"))
+        .select("event_type", "rb.row", "rb.bucket")
+    )
+    est = (
+        key_rows.join(sketch, ["row", "bucket"], "left")
+        .groupBy("event_type")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+    )
+    eps = math.e / WIDTH
+    return (
+        est.join(exact, "event_type")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "exact_n",
+            (F.col("est") >= F.col("exact_n")).alias("no_undercount"),
+            (F.col("est") <= F.col("exact_n") + eps * F.col("total")).alias("within_eps"),
+        )
+        .orderBy("event_type")
+    )

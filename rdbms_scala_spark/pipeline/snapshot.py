@@ -149,3 +149,159 @@ def pipeline_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CacheManager state.
     updates = modified.unionByName(inserted).localCheckpoint(eager=True)
     return merge_upsert(orders, updates, keys=["o_orderkey"], validate_unique=True)
+
+
+class SnapshotStore:
+    """Minimal versioned table: each ``commit`` writes a new immutable
+    parquet version dir and atomically publishes a one-line JSON
+    manifest; ``read(version)`` time-travels to any committed version.
+
+    This is the transaction-log kernel of the lakehouse formats
+    (Delta/Iceberg) reduced to its Spark-first essentials: data files
+    are immutable once committed, readers resolve a version through
+    its manifest only (never by listing data dirs, which can contain
+    half-written files), and the manifest publish is a single atomic
+    rename — so a reader sees either the complete version or nothing.
+    At 100 TB the same design holds with the manifest on an
+    atomic-rename store (HDFS) or a conditional-put object store;
+    data writes stay fully distributed, only the manifest touch is
+    driver-side and O(1)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.manifest_dir = os.path.join(root, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def versions(self) -> list[int]:
+        import os
+
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(self.manifest_dir)
+            if f.endswith(".json")
+        )
+
+    def commit(self, df: DataFrame) -> int:
+        """Write ``df`` as the next version; returns the version id.
+        The data write lands fully before the manifest rename makes it
+        visible — a crash in between leaves an orphan data dir (to be
+        vacuumed), never a readable half-version."""
+        import json
+        import os
+
+        vs = self.versions()
+        v = (vs[-1] + 1) if vs else 0
+        data_dir = os.path.join(self.root, f"v{v}")
+        df.write.mode("overwrite").parquet(data_dir)
+        tmp = os.path.join(self.manifest_dir, f".{v}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "path": data_dir}, fh)
+        os.rename(tmp, os.path.join(self.manifest_dir, f"{v}.json"))
+        return v
+
+    def read(self, version: int) -> DataFrame:
+        """Time-travel read: resolve ``version`` through its manifest."""
+        import json
+        import os
+
+        path = os.path.join(self.manifest_dir, f"{version}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"snapshot version {version} does not exist (have {self.versions()})")
+        with open(path) as fh:
+            return self.spark.read.parquet(json.load(fh)["path"])
+
+
+_TIME_TRAVEL_BUILT: set[tuple[str, str]] = set()
+
+
+@register(
+    "pipeline_snapshot_time_travel",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    ),
+    updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               round(o_totalprice + 1000.0, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT (SELECT max(o_orderkey) FROM orders) + x AS o_orderkey,
+               'N' AS o_orderstatus, 100.0 AS o_totalprice
+        FROM generate_series(1, 5) t(x)
+    ),
+    merged AS (
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    )
+    SELECT 0 AS version, o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM base GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 1 AS version, o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    ORDER BY version, o_orderstatus
+    """,
+    tags=("pipeline", "snapshot", "timetravel", "scale"),
+)
+def pipeline_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME TRAVEL: commit the orders snapshot as version 0,
+    apply the standard MERGE batch (see pipeline_upsert_snapshot) as
+    version 1, then read BOTH versions back through their manifests
+    and aggregate each — certifying that v0 still serves the
+    pre-merge state after v1 lands (immutable versions + manifest
+    resolution = reproducible reads, the property training-data
+    pipelines need to pin "the corpus as of run X" while ingestion
+    keeps committing). The oracle recomputes both versions' aggregates
+    from the raw table and the merge definition."""
+    from rdbms_scala_spark.sources.files import _scratch_dir
+
+    root = _scratch_dir(spark, sf_dir, "snap_store")
+    store = SnapshotStore(spark, root)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _TIME_TRAVEL_BUILT:
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+        store.commit(base)
+        modified = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == 0)
+            .select(
+                "o_orderkey",
+                F.lit("U").alias("o_orderstatus"),
+                F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+            )
+        )
+        inserted = (
+            load_table(spark, sf_dir, "orders")
+            .agg(F.max("o_orderkey").alias("mk"))
+            .select(F.explode(F.sequence(F.col("mk") + 1, F.col("mk") + 5)).alias("o_orderkey"))
+            .select(
+                "o_orderkey",
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(100.0).alias("o_totalprice"),
+            )
+        )
+        updates = modified.unionByName(inserted).localCheckpoint(eager=True)
+        store.commit(merge_upsert(store.read(0), updates, keys=["o_orderkey"]))
+        _TIME_TRAVEL_BUILT.add(key)
+
+    versions = []
+    for v in (0, 1):
+        versions.append(
+            store.read(v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select(F.lit(v).alias("version"), "o_orderstatus", "n_orders", "total_price")
+        )
+    return versions[0].unionByName(versions[1]).orderBy("version", "o_orderstatus")

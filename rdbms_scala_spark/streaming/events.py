@@ -428,3 +428,72 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("ts_us").alias("grid_us"), "value_ffill")
         .orderBy("user_id", "grid_us")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, d, n,
+               avg(n) OVER w AS mu,
+               stddev_samp(n) OVER w AS sigma,
+               count(*) OVER w AS w_n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n AS n_events,
+           round((n - mu) / sigma, 4) AS zscore,
+           CAST(abs((n - mu) / sigma) >= 1.8 AS BOOLEAN) AS is_anomaly
+    FROM scored
+    WHERE w_n = 7 AND sigma > 1e-9
+    ORDER BY event_type, day
+    """,
+    tags=("events", "anomaly", "window"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event_type, day)'s count scored
+    against its own trailing 7-day window (z-score over mean/stddev),
+    flagged when |z| >= 1.8 — the ingest-monitoring pass a training-
+    data pipeline runs on every incoming drop (a collapsed or spiking
+    source shows up here before it poisons a mixture).
+
+    Scale shape: the daily pre-aggregation collapses the corpus to
+    |types| x |days| rows BEFORE the window pass (map-side combine on
+    the groupBy), so the window — per-type, time-ordered — runs over
+    a vanishingly small frame no matter the event volume; partitions
+    are per-type, so a 1000-executor run parallelizes across types
+    and the trailing frame never re-shuffles raw events. Guards:
+    full-window days only (w_n = 7) so partial leading frames don't
+    emit unstable scores, sigma > 0 so constant weeks don't divide by
+    zero (ANSI-safe)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    scored = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter((F.col("w_n") == 7) & (F.col("sigma") > 1e-9))
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n").alias("n_events"),
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) >= 1.8).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -58,6 +58,10 @@ QUERIES = (
     "dedup_minhash_clusters",
     "scan_zorder_skipping",
     "streaming_tumbling_counts",
+    "streaming_stream_stream_join",
+    "join_bucketed_colocated",
+    "maintenance_table_stats",
+    "embeddings_label_centroids",
 )
 
 

@@ -517,3 +517,26 @@ def test_merge_upsert_row_fates_and_broadcast(spark):
         .toString()
     )
     assert not re.search(r"BroadcastHashJoin .*LeftAnti", no_hint)
+
+
+def test_snapshot_store_time_travel_and_atomic_manifest(spark, tmp_path):
+    """SnapshotStore: versions are immutable and manifest-resolved —
+    v0 reads identically after v1 commits; missing versions raise; a
+    leftover tmp manifest (simulated crash mid-publish) is invisible
+    to readers."""
+    import pytest as _pytest
+
+    from rdbms_scala_spark.pipeline.snapshot import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    assert store.versions() == []
+    v0 = store.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"))
+    v1 = store.commit(spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k long, s string"))
+    assert (v0, v1) == (0, 1)
+    assert {(r.k, r.s) for r in store.read(0).collect()} == {(1, "a"), (2, "b")}
+    assert {(r.k, r.s) for r in store.read(1).collect()} == {(1, "a"), (2, "B"), (3, "c")}
+    # crash mid-publish: tmp manifest present, rename never happened
+    (tmp_path / "store" / "_manifest" / ".2.json.tmp").write_text("{}")
+    assert store.versions() == [0, 1]
+    with _pytest.raises(ValueError, match="version 5"):
+        store.read(5)
