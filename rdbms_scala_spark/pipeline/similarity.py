@@ -654,3 +654,157 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-domain ANN, fully oracle-checked
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = 8  # dims per subspace (8 x 8 = the 64-dim corpus)
+_PQ_K = 16  # codes per subspace; codebook = subvectors of vec_id < 16
+
+_PQ_ORACLE = f"""
+    WITH corpus AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> CAST(round(x * 10000, 0) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, m, list_slice(v, m * {_PQ_DSUB} + 1, m * {_PQ_DSUB} + {_PQ_DSUB}) AS vm
+        FROM corpus, generate_series(0, {_PQ_M - 1}) t(m)
+    ),
+    cb AS (SELECT vec_id AS cent_id, m, vm AS cm FROM sub WHERE vec_id < {_PQ_K}),
+    dist AS (
+        SELECT s.vec_id, s.m, c.cent_id,
+               CAST(list_sum(list_transform(list_zip(s.vm, c.cm),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+        FROM sub s JOIN cb c USING (m)
+    ),
+    codes AS (
+        SELECT vec_id, m, cent_id AS code FROM (
+            SELECT vec_id, m, cent_id,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT s.vec_id AS query_id, c.m, c.cent_id,
+               CAST(list_sum(list_transform(list_zip(s.vm, c.cm),
+                    p -> p[1] * p[2])) AS BIGINT) AS dot_q8
+        FROM sub s JOIN cb c USING (m) WHERE s.vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(sum(l.dot_q8) AS BIGINT) AS adot_q8
+        FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.cent_id
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adot_q8, rank FROM (
+        SELECT query_id, neighbor_id, adot_q8,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adot_q8 DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+def pq_encode(spark: SparkSession, sf_dir: str):
+    """PQ building blocks over the embeddings table, all in INTEGER
+    space (components quantized to round(x * 1e4) as BIGINT before any
+    arithmetic): integer sums are exact and order-independent, so
+    codes, LUTs and scores are bit-identical across engines AND across
+    shuffle orders — the property that makes the whole ANN tier
+    oracle-checkable where float PQ implementations are not.
+
+    Returns (codes, lut): ``codes`` is the compressed index — M codes
+    per vector, here M=8 one-byte-range ints per 64-dim vector, a 32x
+    compression over float32 — built by one explode (x M) and one
+    argmin aggregate against the broadcast codebook. ``lut`` is each
+    query's per-(subspace, code) dot-product table (Q x M x K rows)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))"
+        ).alias("v"),
+    )
+    sub = emb.select(
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"), "v"
+    ).select("vec_id", "m", F.expr(f"slice(v, m * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("vm"))
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("m").alias("cm_m"), F.col("vm").alias("cm")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(vm, cm, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+    )
+    codes = (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cm_m"))
+        .select("vec_id", "m", "cent_id", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cent_id", F.struct("d2", "cent_id")).alias("code"))
+    )
+    dot = F.expr(
+        "aggregate(zip_with(vm, cm, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", "vm")
+        .join(F.broadcast(cb), F.col("m") == F.col("cm_m"))
+        .select("query_id", "m", "cent_id", dot.alias("dot_q8"))
+    )
+    return codes, lut
+
+
+@register(
+    "similarity_pq",
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "ann", "pq", "scale"),
+)
+def similarity_pq(spark: SparkSession, sf_dir: str, top_k: int = _TOP_K) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance computation): the
+    memory-compression tier of the ANN family — corpus vectors live
+    as M=8 small integer codes (32x smaller than float32), queries
+    stay exact, and each query scores every vector by summing M
+    table-lookups instead of a 64-dim dot product.
+
+    Completes the ANN ladder: brute force (exact) -> LSH / IVF
+    (candidate pruning) -> PQ (compressed-domain scan); at 100 TB
+    the production composition is IVF-PQ — IVF lists bound WHICH
+    codes a query scans, PQ bounds the BYTES per scanned vector (a
+    billion 64-dim vectors = 8 GB of codes vs 256 GB of floats, the
+    difference between in-memory and not). Scale shape: encoding is
+    one explode + argmin aggregate against the broadcast codebook
+    (map-side; shuffle carries (vec, m) argmin partials only); the
+    scan is a broadcast join of the tiny LUT (Q x 8 x 16 rows)
+    against the codes table followed by an INTEGER partial-sum
+    aggregation — map-side combined, order-independent, and exactly
+    reproduced by the DuckDB oracle (see pq_encode's quantization
+    note; deterministic codebook = subvectors of the first K vectors,
+    the same convention as similarity_ivf's centroids; seeded-KMeans
+    codebooks would drop in via kmeans_centroids exactly as
+    similarity_ivf_kmeans does).
+
+    PQ quantization intentionally collapses fine distinctions (K=16
+    codes per subspace cannot separate same-cluster members), so the
+    production read path is scan-then-rerank: take PQ's top-C
+    candidates (``top_k=C``), re-score just those C exactly, keep
+    top-k — tests/test_pipeline.py pins that composition at
+    recall ~1 where the raw PQ ranking alone sits far lower."""
+    codes, lut = pq_encode(spark, sf_dir)
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["cent_id"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dot_q8").alias("adot_q8"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adot_q8").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "adot_q8", "rank")
+        .orderBy("query_id", "rank")
+    )

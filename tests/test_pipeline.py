@@ -540,3 +540,86 @@ def test_snapshot_store_time_travel_and_atomic_manifest(spark, tmp_path):
     assert store.versions() == [0, 1]
     with _pytest.raises(ValueError, match="version 5"):
         store.read(5)
+
+
+def _write_clustered_embeddings(tmp_path):
+    """The shared planted-cluster fixture (16 well-separated unit
+    centers x 20 members, shuffled) used by the LSH/KMeans/PQ recall
+    gates — the corpus shape where the ANN premises hold."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in range(16):
+        pts = centers[c] + 0.15 * rng.normal(size=(20, 64))
+        vecs.extend(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    order = rng.permutation(len(vecs))
+    vecs = [vecs[i] for i in order]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "label": pa.array([int(i) % 10 for i in range(len(vecs))], pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_pq_scan_then_exact_rerank_recall(spark, tmp_path):
+    """PQ's production composition: the compressed scan proposes top-C
+    candidates, an exact re-rank of just those C recovers the true
+    top-k. On the clustered corpus the raw PQ ranking is mediocre BY
+    DESIGN (K=16 codes collapse same-cluster members to equal scores)
+    while scan+rerank must reach recall@10 >= 0.9 — proving the
+    compressed tier loses little once composed the way it's meant to
+    be used."""
+    from pyspark.sql import functions as F
+
+    sfd = _write_clustered_embeddings(tmp_path)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(spark, sfd).collect()
+    }
+    raw_pq = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_pq(spark, sfd).collect()
+    }
+    raw_recall = len(exact & raw_pq) / len(exact)
+    assert raw_recall >= 0.4, f"raw PQ recall {raw_recall:.2f} collapsed entirely"
+
+    cand = similarity.similarity_pq(spark, sfd, top_k=50).select(
+        "query_id", "neighbor_id"
+    )
+    emb = similarity.load_table(spark, sfd, "embeddings")
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"), similarity._as_double("embedding").alias("qv")
+    ).withColumn("qn", similarity.norm("qv"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), similarity._as_double("embedding").alias("nv")
+    ).withColumn("nn", similarity.norm("nv"))
+    from pyspark.sql import Window as W
+
+    reranked = (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cos", similarity.cosine_pre("qv", "nv", "qn", "nn"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    got = {(r.query_id, r.neighbor_id) for r in reranked.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"PQ scan+rerank recall@10 {recall:.2f}"
