@@ -78,6 +78,11 @@ EXTENSION = [
     # (partition pruning pays its layout write in the warm pass too)
     "scan_partition_pruned",
     "pipeline_upsert_snapshot",
+    # round-6: the zero-shuffle bucketed fact-fact join (pays its
+    # one-time layout write in the warm pass) and the compressed-
+    # domain PQ scan
+    "join_bucketed_colocated",
+    "similarity_pq",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

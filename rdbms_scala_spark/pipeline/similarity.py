@@ -808,3 +808,157 @@ def similarity_pq(spark: SparkSession, sf_dir: str, top_k: int = _TOP_K) -> Data
         .select("query_id", "neighbor_id", "adot_q8", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the production ANN composition, fully oracle-checked
+
+_IVF_PQ_ORACLE = f"""
+    WITH fcorpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings
+    ),
+    fcent AS (SELECT vec_id AS cent_id, fv AS cfv FROM fcorpus WHERE vec_id < {_IVF_K}),
+    assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT c.vec_id, ct.cent_id,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.fv, ct.cfv) DESC, ct.cent_id
+                   ) AS rn
+            FROM fcorpus c CROSS JOIN fcent ct
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT query_id, cent_id FROM (
+            SELECT q.vec_id AS query_id, ct.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.fv, ct.cfv) DESC, ct.cent_id
+                   ) AS rn
+            FROM fcorpus q CROSS JOIN fcent ct WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    qcorpus AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> CAST(round(x * 10000, 0) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, m, list_slice(v, m * {_PQ_DSUB} + 1, m * {_PQ_DSUB} + {_PQ_DSUB}) AS vm
+        FROM qcorpus, generate_series(0, {_PQ_M - 1}) t(m)
+    ),
+    cb AS (SELECT vec_id AS code_id, m, vm AS cm FROM sub WHERE vec_id < {_PQ_K}),
+    dist AS (
+        SELECT s.vec_id, s.m, c.code_id,
+               CAST(list_sum(list_transform(list_zip(s.vm, c.cm),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+        FROM sub s JOIN cb c USING (m)
+    ),
+    codes AS (
+        SELECT vec_id, m, code_id AS code FROM (
+            SELECT vec_id, m, code_id,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code_id) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT s.vec_id AS query_id, c.m, c.code_id,
+               CAST(list_sum(list_transform(list_zip(s.vm, c.cm),
+                    p -> p[1] * p[2])) AS BIGINT) AS dot_q8
+        FROM sub s JOIN cb c USING (m) WHERE s.vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign a USING (cent_id)
+        WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id, CAST(sum(l.dot_q8) AS BIGINT) AS adot_q8
+        FROM cand c
+        JOIN codes cd ON cd.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id AND l.m = cd.m AND l.code_id = cd.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adot_q8, rank FROM (
+        SELECT query_id, neighbor_id, adot_q8,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adot_q8 DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "similarity_ivf_pq",
+    oracle=_IVF_PQ_ORACLE,
+    tags=("similarity", "ann", "ivf", "pq", "scale"),
+)
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production composition of the two ANN levers (and
+    the layout behind every billion-scale vector index): IVF bounds
+    WHICH vectors a query scans (nprobe of K inverted lists), PQ
+    bounds the BYTES per scanned vector (8 codes instead of 64
+    floats). Cost per query drops from |N| x 256 B (brute force) to
+    ~(nprobe/K) x |N| x 8 B — the two factors multiply.
+
+    Scale shape: coarse assignment is one map-only broadcast-centroid
+    argmax (a max_by hash aggregate, the same corpus-sized path as
+    similarity_ivf); candidate selection shuffles on cent_id like IVF;
+    the PQ scoring join then touches codes ONLY for candidates, with
+    the LUT broadcast and the score an integer partial-sum aggregate.
+    Both constituent tiers are individually oracle-checked
+    (similarity_ivf, similarity_pq); this query's oracle replays the
+    full composition, so the splice — candidate pruning feeding the
+    compressed scorer — is certified too, not just the parts. As with
+    raw PQ, the production read path re-ranks the top-C exactly
+    (tests/test_pipeline.py pins that composition for PQ)."""
+    emb = _load_vectors(spark, sf_dir)
+    emb_n = emb.withColumn("vn", norm("v"))
+    cent = emb_n.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("vn").alias("cn")
+    )
+    ascored = emb_n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", cosine_pre("v", "cv", "vn", "cn").alias("ccos")
+    )
+    assign = ascored.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("ccos"), -F.col("cent_id"))).alias("cent_id")
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    probe = (
+        emb_n.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"))
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "cent_id", cosine_pre("qv", "cv", "qn", "cn").alias("ccos"))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "cent_id")
+    )
+    cand = (
+        probe.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    codes, lut = pq_encode(spark, sf_dir)
+    codes = codes.select(F.col("vec_id").alias("cvec"), F.col("m").alias("cm_m"), "code")
+    lut = lut.select(
+        F.col("query_id").alias("lq"), F.col("m").alias("lm"), F.col("cent_id").alias("lcent"), "dot_q8"
+    )
+    scored = (
+        cand.join(codes, F.col("cvec") == F.col("neighbor_id"))
+        .join(
+            F.broadcast(lut),
+            (F.col("lq") == F.col("query_id"))
+            & (F.col("lm") == F.col("cm_m"))
+            & (F.col("lcent") == F.col("code")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dot_q8").alias("adot_q8"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adot_q8").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "adot_q8", "rank")
+        .orderBy("query_id", "rank")
+    )
