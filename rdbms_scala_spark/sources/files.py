@@ -566,6 +566,7 @@ def _bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> tuple[DataFra
     import atexit
     import hashlib
     import math
+    import os
 
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _BUCKETED_MEMO:
@@ -584,6 +585,20 @@ def _bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> tuple[DataFra
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
             except Exception:
                 pass  # session already stopped; nothing to clean
+
+    # A killed process (no atexit) leaves the managed-table LOCATION on
+    # disk while the new session's catalog has no such table —
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Clear both
+    # the catalog entry and any stale location before writing.
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (o_name, l_name):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        stale = os.path.join(warehouse, t)
+        if os.path.exists(stale):
+            shutil.rmtree(stale, ignore_errors=True)
 
     write_bucketed_table(
         load_table(spark, sf_dir, "orders"),
