@@ -217,6 +217,50 @@ class SnapshotStore:
 _TIME_TRAVEL_BUILT: set[tuple[str, str]] = set()
 
 
+def _demo_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """The shared three-version demo store over `orders`: v0 = the
+    base snapshot, v1 = v0 with the standard MERGE batch applied
+    (every 10th key updated, five keys inserted), v2 = v1 with a
+    deterministic slice deleted (o_orderkey % 97 = 3). Built once per
+    (application, sf_dir); both the time-travel and the CDC-diff gate
+    queries read from it."""
+    from rdbms_scala_spark.sources.files import _scratch_dir
+
+    root = _scratch_dir(spark, sf_dir, "snap_store")
+    store = SnapshotStore(spark, root)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key in _TIME_TRAVEL_BUILT:
+        return store
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    store.commit(base)
+    modified = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+        )
+    )
+    inserted = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.max("o_orderkey").alias("mk"))
+        .select(F.explode(F.sequence(F.col("mk") + 1, F.col("mk") + 5)).alias("o_orderkey"))
+        .select(
+            "o_orderkey",
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    )
+    updates = modified.unionByName(inserted).localCheckpoint(eager=True)
+    store.commit(merge_upsert(store.read(0), updates, keys=["o_orderkey"]))
+    store.commit(store.read(1).filter(F.col("o_orderkey") % 97 != 3))
+    _TIME_TRAVEL_BUILT.add(key)
+    return store
+
+
 @register(
     "pipeline_snapshot_time_travel",
     oracle="""
@@ -260,38 +304,7 @@ def pipeline_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame
     pipelines need to pin "the corpus as of run X" while ingestion
     keeps committing). The oracle recomputes both versions' aggregates
     from the raw table and the merge definition."""
-    from rdbms_scala_spark.sources.files import _scratch_dir
-
-    root = _scratch_dir(spark, sf_dir, "snap_store")
-    store = SnapshotStore(spark, root)
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
-    if key not in _TIME_TRAVEL_BUILT:
-        base = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
-        )
-        store.commit(base)
-        modified = (
-            load_table(spark, sf_dir, "orders")
-            .filter(F.col("o_orderkey") % 10 == 0)
-            .select(
-                "o_orderkey",
-                F.lit("U").alias("o_orderstatus"),
-                F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
-            )
-        )
-        inserted = (
-            load_table(spark, sf_dir, "orders")
-            .agg(F.max("o_orderkey").alias("mk"))
-            .select(F.explode(F.sequence(F.col("mk") + 1, F.col("mk") + 5)).alias("o_orderkey"))
-            .select(
-                "o_orderkey",
-                F.lit("N").alias("o_orderstatus"),
-                F.lit(100.0).alias("o_totalprice"),
-            )
-        )
-        updates = modified.unionByName(inserted).localCheckpoint(eager=True)
-        store.commit(merge_upsert(store.read(0), updates, keys=["o_orderkey"]))
-        _TIME_TRAVEL_BUILT.add(key)
+    store = _demo_store(spark, sf_dir)
 
     versions = []
     for v in (0, 1):
@@ -305,3 +318,96 @@ def pipeline_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame
             .select(F.lit(v).alias("version"), "o_orderstatus", "n_orders", "total_price")
         )
     return versions[0].unionByName(versions[1]).orderBy("version", "o_orderstatus")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """CDC between two snapshots: one row per changed key with
+    ``op`` in (insert, update, delete) and the NEW payload (NULL for
+    deletes) — the change feed a downstream incremental consumer
+    (index refresh, dedup store, feature cache) applies instead of
+    re-reading the whole snapshot.
+
+    Spark-first shape: ONE full outer join on the key, then a
+    null-safe payload comparison (``<=>``) classifies each key;
+    unchanged keys — the overwhelming majority between adjacent
+    versions — are dropped before anything downstream runs. At
+    100 TB both sides shuffle once on the key (or zero times if the
+    snapshots share a bucketed layout — see join_bucketed_colocated);
+    payload comparison is per-row, map-side. Emitting old values too
+    would just mean keeping the left columns."""
+    payload = [c for c in new.columns if c not in keys]
+    o = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
+    cond = None
+    for k in keys:
+        c = o[f"__o_{k}"] == new[k]
+        cond = c if cond is None else cond & c
+    joined = o.join(new, cond, "full_outer")
+    changed = None
+    for c in payload:
+        d = ~(o[f"__o_{c}"].eqNullSafe(new[c]))
+        changed = d if changed is None else changed | d
+    op = (
+        F.when(o[f"__o_{keys[0]}"].isNull(), F.lit("insert"))
+        .when(new[keys[0]].isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            *[F.coalesce(new[k], o[f"__o_{k}"]).alias(k) for k in keys],
+            *[new[c].alias(c) for c in payload],
+        )
+    )
+
+
+@register(
+    "pipeline_snapshot_diff",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    ),
+    updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               round(o_totalprice + 1000.0, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT (SELECT max(o_orderkey) FROM orders) + x AS o_orderkey,
+               'N' AS o_orderstatus, 100.0 AS o_totalprice
+        FROM generate_series(1, 5) t(x)
+    ),
+    merged AS (
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    ),
+    v2 AS (SELECT * FROM merged WHERE o_orderkey % 97 <> 3)
+    SELECT CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           COALESCE(n.o_orderkey, b.o_orderkey) AS o_orderkey,
+           n.o_orderstatus AS o_orderstatus,
+           n.o_totalprice AS o_totalprice
+    FROM base b FULL OUTER JOIN v2 n USING (o_orderkey)
+    WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR b.o_totalprice IS DISTINCT FROM n.o_totalprice
+    ORDER BY op, o_orderkey
+    """,
+    tags=("pipeline", "snapshot", "cdc", "scale"),
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC gate entry: diff the demo store's v0 against v2 — two MERGE
+    generations apart — so all three ops appear and are certified
+    row-by-row: every surviving 10th key is an `update`, the five new
+    keys are `insert`s, and the `o_orderkey % 97 = 3` slice deleted in
+    v2 (including 10th keys that were updated in v1 and then deleted —
+    the update-then-delete collapse a naive log-concat would get
+    wrong) comes back as `delete`s. See :func:`snapshot_diff`."""
+    store = _demo_store(spark, sf_dir)
+    return snapshot_diff(store.read(0), store.read(2), keys=["o_orderkey"]).orderBy(
+        "op", "o_orderkey"
+    )

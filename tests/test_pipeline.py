@@ -623,3 +623,25 @@ def test_pq_scan_then_exact_rerank_recall(spark, tmp_path):
     got = {(r.query_id, r.neighbor_id) for r in reranked.collect()}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, f"PQ scan+rerank recall@10 {recall:.2f}"
+
+
+def test_snapshot_diff_classification(spark):
+    """snapshot_diff: insert/update/delete classification with
+    null-safe payload comparison — NULL->value and value->NULL are
+    updates, NULL->NULL is unchanged, and unchanged keys never
+    surface."""
+    from rdbms_scala_spark.pipeline.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (5, None), (6, "x")], "k long, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, "now"), (7, "new")], "k long, s string"
+    )
+    got = {(r.op, r.k, r.s) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        ("update", 2, "B"),
+        ("update", 5, "now"),
+        ("delete", 6, None),
+        ("insert", 7, "new"),
+    }
