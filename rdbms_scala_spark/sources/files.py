@@ -724,3 +724,58 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey"))
         ).alias("region_sum_parsed"),
     )
+
+
+_DSV2_SESSIONS: dict[str, SparkSession] = {}
+
+
+def _dsv2_session(spark: SparkSession) -> SparkSession:
+    """One DSv2-parquet session clone per application (memoized like
+    the bloom clone in operators.joins): routing parquet through the
+    v2 source enables footer-level AGGREGATE pushdown, which the
+    default v1 path never does; kept in a clone so the session-wide
+    source routing doesn't change plan shapes for every other query."""
+    app_id = spark.sparkContext.applicationId
+    s2 = _DSV2_SESSIONS.get(app_id)
+    if s2 is None:
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.sources.useV1SourceList", "")
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        _DSV2_SESSIONS.clear()  # at most one live application at a time
+        _DSV2_SESSIONS[app_id] = s2
+    return s2
+
+
+@register(
+    "scan_metadata_count",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           min(l_orderkey) AS min_key,
+           max(l_orderkey) AS max_key
+    FROM lineitem
+    """,
+    tags=("scan", "pushdown", "metadata", "scale"),
+)
+def scan_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY aggregation: COUNT/MIN/MAX answered from parquet
+    footer statistics without decoding a single data page —
+    ``PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]``
+    lands in the scan node (pinned by tests/test_plans.py). At 100 TB
+    this is the difference between a row-count/freshness probe costing
+    one footer read per file and costing a full table scan — the
+    cheapest query class there is, and the reason engines keep
+    row-group statistics at all (the same footer min/max that powers
+    the sorted/z-order skipping layouts). Requires the DSv2 parquet
+    path (see _dsv2_session); falls back transparently to a normal
+    one-pass aggregate when pushdown can't apply (filters present,
+    nested columns)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    li = _dsv2_session(spark).read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )

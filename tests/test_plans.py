@@ -295,3 +295,14 @@ def test_bucketed_colocated_join_plan_shape(spark, sf_dir):
     full = physical_plan(join_bucketed_colocated(spark, sf_dir))
     assert full.count("Bucketed: true") == 2
     assert "SelectedBucketsCount: 8 out of 8" in full
+
+
+def test_metadata_count_pushes_aggregation_to_footer(spark, sf_dir):
+    """scan_metadata_count: the whole aggregate must reach the parquet
+    scan as PushedAggregation — a metadata-only query that decodes no
+    data pages."""
+    from rdbms_scala_spark.plans import physical_plan
+    from rdbms_scala_spark.sources.files import scan_metadata_count
+
+    plan = physical_plan(scan_metadata_count(spark, sf_dir))
+    assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in plan
