@@ -1266,3 +1266,110 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. PageRank over the near-dup graph (iterative, integer-exact oracle)
+
+_PR_SCALE = 10**9
+_PR_ITERS = 5
+
+_PAGERANK_ORACLE = f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+    r0 AS (SELECT u AS doc_id, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
+    r1 AS (
+        SELECT e.v AS doc_id,
+               {(15 * _PR_SCALE) // 100} + (85 * CAST(sum(r.r // d.d) AS BIGINT)) // 100 AS r
+        FROM edges e JOIN r0 r ON r.doc_id = e.u JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    ),
+    r2 AS (
+        SELECT e.v AS doc_id,
+               {(15 * _PR_SCALE) // 100} + (85 * CAST(sum(r.r // d.d) AS BIGINT)) // 100 AS r
+        FROM edges e JOIN r1 r ON r.doc_id = e.u JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    ),
+    r3 AS (
+        SELECT e.v AS doc_id,
+               {(15 * _PR_SCALE) // 100} + (85 * CAST(sum(r.r // d.d) AS BIGINT)) // 100 AS r
+        FROM edges e JOIN r2 r ON r.doc_id = e.u JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    ),
+    r4 AS (
+        SELECT e.v AS doc_id,
+               {(15 * _PR_SCALE) // 100} + (85 * CAST(sum(r.r // d.d) AS BIGINT)) // 100 AS r
+        FROM edges e JOIN r3 r ON r.doc_id = e.u JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    ),
+    r5 AS (
+        SELECT e.v AS doc_id,
+               {(15 * _PR_SCALE) // 100} + (85 * CAST(sum(r.r // d.d) AS BIGINT)) // 100 AS r
+        FROM edges e JOIN r4 r ON r.doc_id = e.u JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    )
+    SELECT doc_id, CAST(r AS BIGINT) AS rank_q9 FROM r5 ORDER BY doc_id
+"""
+
+
+def pagerank_edges(
+    edges: DataFrame, iters: int = _PR_ITERS, scale: int = _PR_SCALE
+) -> DataFrame:
+    """PageRank over a directed edge list (u, v), computed entirely in
+    INTEGER arithmetic: ranks live at a fixed 1e9 scale, per-edge
+    contributions are integer-divided by out-degree, and the damping
+    step is (15*scale)//100 + (85*sum)//100 — every operation exact
+    and order-independent, so a 5-iteration run is bit-identical
+    across engines AND across shuffle orders (the float formulation
+    re-associates sums differently every run; this one cannot).
+
+    Scale shape per iteration: one shuffle join of ranks against the
+    edge list on the source key and one aggregation on the target key
+    — exactly a fact-fact equi-join plus a grouped sum, so everything
+    said about those ops (AQE skew split for celebrity nodes,
+    co-partitioned layouts to delete the join shuffle) applies. Deep
+    iteration counts should cut lineage with localCheckpoint every
+    few rounds exactly as connected_components_edges does; at 5
+    rounds the plan stays shallow enough not to bother."""
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(F.col("u").alias("doc_id"), F.lit(scale).cast("long").alias("r"))
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        ranks = (
+            edges.join(ranks, edges["u"] == ranks["doc_id"])
+            .join(deg, "u")
+            .select(F.col("v"), F.expr("r div d").alias("c"))
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.sum("c").alias("s"))
+            .select("doc_id", (F.lit(base) + F.expr("(85 * s) div 100")).alias("r"))
+        )
+    return ranks.select("doc_id", F.col("r").alias("rank_q9"))
+
+
+@register(
+    "graph_pagerank",
+    oracle=_PAGERANK_ORACLE,
+    tags=("graph", "pagerank", "iterative", "scale"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the trigram-Jaccard near-dup graph
+    (same edges as the connected-components closure) — centrality on
+    the duplicate graph identifies template/boilerplate hubs: a doc
+    near-dup-linked to many others is a copy nexus, and downweighting
+    hubs is a standard corpus-curation signal. The companion iterative
+    op to dedup_connected_components, with a stronger correctness
+    story: 5 damped iterations replayed EXACTLY by the DuckDB oracle
+    (chained CTEs) thanks to the integer-arithmetic formulation — an
+    iterative algorithm with a full value-hash oracle, not a
+    rows-only row."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = pairwise_jaccard(shingles_df(docs, n=3)).filter(F.col("jaccard") >= 0.7)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    return pagerank_edges(edges).orderBy("doc_id")

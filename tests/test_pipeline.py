@@ -645,3 +645,21 @@ def test_snapshot_diff_classification(spark):
         ("delete", 6, None),
         ("insert", 7, "new"),
     }
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    """pagerank_edges on a 5-node star (hub 0 <-> leaves 1..4): the
+    hub must out-rank every leaf, leaves tie exactly (integer
+    arithmetic — no float noise), and a repeated run is bit-identical."""
+    from rdbms_scala_spark.pipeline.dedup import pagerank_edges
+
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs], "u long, v long"
+    )
+    r1 = {r.doc_id: r.rank_q9 for r in pagerank_edges(edges).collect()}
+    r2 = {r.doc_id: r.rank_q9 for r in pagerank_edges(edges).collect()}
+    assert r1 == r2
+    leaves = {r1[i] for i in range(1, 5)}
+    assert len(leaves) == 1, f"leaves must tie exactly: {r1}"
+    assert r1[0] > r1[1]
