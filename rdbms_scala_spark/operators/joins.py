@@ -542,25 +542,21 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_SESSIONS: dict[str, SparkSession] = {}
-
-
 def _bloom_session(spark: SparkSession) -> SparkSession:
-    """One runtime-bloom-tuned session clone per application, reused
-    across invocations (see join_bloom_pruned's docstring)."""
-    app_id = spark.sparkContext.applicationId
-    s2 = _BLOOM_SESSIONS.get(app_id)
-    if s2 is None:
-        s2 = spark.newSession()
-        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        s2.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
-        )
-        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        _BLOOM_SESSIONS.clear()  # at most one live application at a time
-        _BLOOM_SESSIONS[app_id] = s2
-    return s2
+    """Runtime-bloom-tuned session clone (see join_bloom_pruned's
+    docstring), memoized via the shared session_clone helper."""
+    from rdbms_scala_spark.session import session_clone
+
+    return session_clone(
+        spark,
+        "bloom",
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
 
 
 @register(

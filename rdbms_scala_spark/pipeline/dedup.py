@@ -1372,4 +1372,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
-    return pagerank_edges(edges).orderBy("doc_id")
+    # The edge list is referenced once for degrees plus once per
+    # iteration; without materialization each reference re-runs the
+    # whole shingle self-join (the multi-scan trap merge_upsert's
+    # docstring warns about). One eager localCheckpoint, six uses.
+    return pagerank_edges(edges.localCheckpoint(eager=True)).orderBy("doc_id")

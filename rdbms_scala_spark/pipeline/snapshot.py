@@ -226,11 +226,20 @@ def _demo_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
     queries read from it."""
     from rdbms_scala_spark.sources.files import _scratch_dir
 
+    import shutil
+
     root = _scratch_dir(spark, sf_dir, "snap_store")
     store = SnapshotStore(spark, root)
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _TIME_TRAVEL_BUILT:
         return store
+    if store.versions():
+        # A previous build attempt died mid-way (memo not set but
+        # manifests exist): wipe and rebuild from scratch — resuming
+        # would let commit() hand out shifted version numbers and
+        # silently change what read(0..2) means.
+        shutil.rmtree(root, ignore_errors=True)
+        store = SnapshotStore(spark, root)
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )
@@ -342,10 +351,12 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
         c = o[f"__o_{k}"] == new[k]
         cond = c if cond is None else cond & c
     joined = o.join(new, cond, "full_outer")
-    changed = None
+    # Keys-only snapshots (presence tables) have no payload: every
+    # surviving key is unchanged by definition, so only membership
+    # changes classify.
+    changed = F.lit(False)
     for c in payload:
-        d = ~(o[f"__o_{c}"].eqNullSafe(new[c]))
-        changed = d if changed is None else changed | d
+        changed = changed | ~(o[f"__o_{c}"].eqNullSafe(new[c]))
     op = (
         F.when(o[f"__o_{keys[0]}"].isNull(), F.lit("insert"))
         .when(new[keys[0]].isNull(), F.lit("delete"))

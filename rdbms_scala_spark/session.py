@@ -75,3 +75,27 @@ def get_spark(app_name: str = "rdbms_scala_spark", master: str | None = None) ->
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_SESSION_CLONES: dict[tuple[str, str], SparkSession] = {}
+
+
+def session_clone(spark: SparkSession, tag: str, confs: dict[str, str]) -> SparkSession:
+    """Memoized per-(application, tag) session clone with conf
+    overrides — for queries that need session-scoped knobs (runtime
+    bloom thresholds, DSv2 source routing) without perturbing every
+    other query's plans. One clone per tag per application, reused
+    across invocations so repeat callers (driver gate + bench passes)
+    don't accumulate SQLConf/listener state in the JVM; stale entries
+    from previous applications are dropped (at most one live
+    application per process)."""
+    key = (spark.sparkContext.applicationId, tag)
+    s2 = _SESSION_CLONES.get(key)
+    if s2 is None:
+        s2 = spark.newSession()
+        for k, v in confs.items():
+            s2.conf.set(k, v)
+        for stale in [k for k in _SESSION_CLONES if k[0] != key[0]]:
+            del _SESSION_CLONES[stale]
+        _SESSION_CLONES[key] = s2
+    return s2

@@ -576,7 +576,14 @@ def _bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> tuple[DataFra
     from rdbms_scala_spark.catalog import load_table
 
     n_buckets = max(8, min(64, math.ceil(load_table(spark, sf_dir, "lineitem").count() / 1_000_000)))
-    suffix = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    # Name includes the application id (like _scratch_dir's keying):
+    # two concurrent processes share the cwd spark-warehouse, and
+    # sf-only names would let one process's pre-clean delete the
+    # other's LIVE table files mid-scan.
+    import re as _re
+
+    app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)[-12:]
+    suffix = f"{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:10]}_{app}"
     o_name, l_name = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
 
     def _drop() -> None:
@@ -726,24 +733,21 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DSV2_SESSIONS: dict[str, SparkSession] = {}
-
-
 def _dsv2_session(spark: SparkSession) -> SparkSession:
-    """One DSv2-parquet session clone per application (memoized like
-    the bloom clone in operators.joins): routing parquet through the
-    v2 source enables footer-level AGGREGATE pushdown, which the
-    default v1 path never does; kept in a clone so the session-wide
-    source routing doesn't change plan shapes for every other query."""
-    app_id = spark.sparkContext.applicationId
-    s2 = _DSV2_SESSIONS.get(app_id)
-    if s2 is None:
-        s2 = spark.newSession()
-        s2.conf.set("spark.sql.sources.useV1SourceList", "")
-        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        _DSV2_SESSIONS.clear()  # at most one live application at a time
-        _DSV2_SESSIONS[app_id] = s2
-    return s2
+    """DSv2-parquet session clone: routing parquet through the v2
+    source enables footer-level AGGREGATE pushdown, which the default
+    v1 path never does; kept in a clone (shared session_clone helper)
+    so the source routing doesn't change other queries' plan shapes."""
+    from rdbms_scala_spark.session import session_clone
+
+    return session_clone(
+        spark,
+        "dsv2",
+        {
+            "spark.sql.sources.useV1SourceList": "",
+            "spark.sql.parquet.aggregatePushdown": "true",
+        },
+    )
 
 
 @register(

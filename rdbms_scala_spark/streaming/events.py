@@ -439,18 +439,20 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT event_type, d, n,
-               avg(n) OVER w AS mu,
-               stddev_samp(n) OVER w AS sigma,
+               CAST(sum(n) OVER w AS BIGINT) AS s,
+               CAST(sum(n * n) OVER w AS BIGINT) AS q,
                count(*) OVER w AS w_n
         FROM daily
         WINDOW w AS (PARTITION BY event_type ORDER BY d
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n AS n_events,
-           round((n - mu) / sigma, 4) AS zscore,
-           CAST(abs((n - mu) / sigma) >= 1.8 AS BOOLEAN) AS is_anomaly
+           round((n - s / w_n) / sqrt((w_n * q - s * s) / (w_n * (w_n - 1)) * 1.0), 4)
+               AS zscore,
+           CAST(abs((n - s / w_n) / sqrt((w_n * q - s * s) / (w_n * (w_n - 1)) * 1.0)) >= 1.8
+               AS BOOLEAN) AS is_anomaly
     FROM scored
-    WHERE w_n = 7 AND sigma > 1e-9
+    WHERE w_n = 7 AND w_n * q - s * s > 0
     ORDER BY event_type, day
     """,
     tags=("events", "anomaly", "window"),
@@ -481,13 +483,23 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "d",
         "n",
-        F.avg("n").over(w).alias("mu"),
-        F.stddev_samp("n").over(w).alias("sigma"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("q"),
         F.count(F.lit(1)).over(w).alias("w_n"),
     )
-    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    # Moments from EXACT integer window sums (the repo's quantization
+    # convention, vs engine-internal avg/stddev_samp whose one-pass
+    # formulations can differ in the last ulp): the discriminant
+    # n*Q - S^2 is an exact integer — zero precisely for constant
+    # windows (an integer guard, no epsilon) — and the z expression
+    # below is the same IEEE op tree the oracle spells out, so
+    # round(z, 4) and the 1.8 threshold agree bit-for-bit.
+    disc = F.col("w_n") * F.col("q") - F.col("s") * F.col("s")
+    z = (F.col("n") - F.col("s") / F.col("w_n")) / F.sqrt(
+        disc / (F.col("w_n") * (F.col("w_n") - 1)) * F.lit(1.0)
+    )
     return (
-        scored.filter((F.col("w_n") == 7) & (F.col("sigma") > 1e-9))
+        scored.filter((F.col("w_n") == 7) & (disc > 0))
         .select(
             "event_type",
             F.date_format("d", "yyyy-MM-dd").alias("day"),

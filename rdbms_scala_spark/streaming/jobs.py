@@ -369,7 +369,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           round(sum(value * weight), 2) AS weighted_value
+           round(sum(value * COALESCE(weight, 0.0)), 2) AS weighted_value
     FROM events
     LEFT JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
                       ('signup', 5.0), ('error', 0.0))
@@ -408,6 +408,7 @@ def latest_per_key(df: DataFrame, keys: list[str], order_cols: list[str]) -> Dat
     latest-wins collapse used by the streaming upsert sink."""
     from pyspark.sql import Window as W
 
+    assert "__rn" not in df.columns, "latest_per_key: reserved column __rn present"
     w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -475,7 +476,16 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = read_events_stream(spark, sf_dir).select(
         "user_id", "ts", "event_type", "value", "event_id"
     )
+    import atexit
+    import shutil
+
     workdir = tempfile.mkdtemp(prefix="stream_upsert_")
+    # The returned DataFrame lazily reads snap_dir, so the workdir
+    # (snapshot + per-batch old_<n> copies) can't be deleted inline;
+    # without the atexit hook every gate/bench/test invocation left a
+    # full snapshot tree in /tmp — the same unbounded-growth
+    # pathology _scratch_dir's cleanup exists to prevent.
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     snap_dir = os.path.join(workdir, "snapshot")
 
     def fold(batch: DataFrame, _batch_id: int) -> None:

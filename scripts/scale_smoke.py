@@ -62,6 +62,7 @@ QUERIES = (
     "join_bucketed_colocated",
     "maintenance_table_stats",
     "embeddings_label_centroids",
+    "graph_pagerank",
 )
 
 

@@ -187,12 +187,15 @@ def test_zorder_2d_skipping(spark, sf_dir, tmp_path):
 
     z, u, s = (spark.read.parquet(p) for p in (z_path, u_path, s_path))
     assert z.filter(pred_2d).count() == expected  # layout never changes results
-    # 2-D predicate: z-order skips most row groups, unsorted skips none
-    assert _scan_rows_read(u.filter(pred_2d)) == total
+    # 2-D predicate: z-order skips most row groups, the unsorted layout
+    # essentially none (>= 90%, not == 100%: with 128 KB row groups an
+    # occasional random group can land outside the predicate box by
+    # luck — observed once in ~40 suite runs)
+    assert _scan_rows_read(u.filter(pred_2d)) >= total * 9 // 10
     assert _scan_rows_read(z.filter(pred_2d)) < total / 2
     # second-column-only predicate: the user_id sort is useless (every
     # row group spans the full value range) but the z layout still skips
-    assert _scan_rows_read(s.filter(pred_v)) == total
+    assert _scan_rows_read(s.filter(pred_v)) >= total * 9 // 10
     assert _scan_rows_read(z.filter(pred_v)) < total * 3 // 4
 
 
