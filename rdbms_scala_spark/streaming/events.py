@@ -509,3 +509,94 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 4)
+               AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's
+    time-ordered event sequence, count (previous type -> next type)
+    transitions and normalize per source state — the empirical Markov
+    kernel behind next-action prediction, bot detection (near-
+    deterministic rows), and funnel-shape drift monitoring.
+
+    Scale shape: the lag window shuffles once on user_id (per-user
+    frames, unbounded skew handled by AQE since no user's history is
+    more than their own event count), then the transition aggregation
+    collapses to |types|^2 rows with map-side combine; the per-source
+    normalization is a window over that tiny matrix. p_next divides
+    two exact integer counts — one deterministic IEEE division, then
+    round(4), stable cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wsrc = W.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "p_next",
+            F.round(
+                F.col("n_transitions") * F.lit(1.0) / F.sum("n_transitions").over(wsrc), 4
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, n AS mode_count FROM (
+        SELECT user_id, event_type, count(*) AS n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rn
+        FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("aggregate", "mode"),
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE per group (each user's most frequent event type, ties to
+    the alphabetically first) — the categorical summary statistic the
+    generic-aggregate family was missing. Two-level shape: the
+    (user, type) pre-aggregation combines map-side, then a max_by hash
+    aggregate picks each user's winner — no per-user sort, same
+    argmax-as-aggregate trick as the IVF assignment (max_by on
+    (count, reversed-type) with the tie inverted via the struct
+    order)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    # max_by struct: highest n, then alphabetically FIRST type; invert
+    # the string ordering by using min_by with (-n, type).
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("event_type").alias("mode_type"), F.col("n").alias("mode_count")),
+                F.struct((-F.col("n")).alias("neg"), F.col("event_type").alias("t")),
+            ).alias("m")
+        )
+        .select("user_id", "m.mode_type", "m.mode_count")
+        .orderBy("user_id")
+    )
