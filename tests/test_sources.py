@@ -173,7 +173,15 @@ def test_zorder_2d_skipping(spark, sf_dir, tmp_path):
         pytest.skip("demo predicate empty below sf0.01")
 
     z_path = str(tmp_path / "ev_z")
-    write_zordered_table(ev, z_path, ["user_id", "value"], num_files=8)
+    # 16 KB row groups: at sf0.01 each of the 8 files holds only ~1250
+    # rows (~56 KB), so the default 128 KB target degenerates to ONE
+    # group per file — 8 skip windows total, and the 2-D predicate box
+    # straddles the 3-vs-4-file boundary (5071/10000 observed once in
+    # a full-suite run vs 3672 in isolation). Finer groups restore the
+    # granularity the assertion was written against.
+    write_zordered_table(
+        ev, z_path, ["user_id", "value"], num_files=8, row_group_bytes=16 * 1024
+    )
     u_path = str(tmp_path / "ev_u")
     ev.write.option("parquet.block.size", 128 * 1024).parquet(u_path)
     s_path = str(tmp_path / "ev_s")
