@@ -138,3 +138,47 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "measure", F.round("val", 4).alias("val"))
         .orderBy("o_orderkey", "measure")
     )
+
+
+@register(
+    "functions_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(count(CAST(props->>'missing' AS BIGINT)) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("functions", "variant", "semi-structured"),
+)
+def functions_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT semi-structured type (Spark 4.0+): ``parse_json``
+    once into a binary variant value, then typed path extraction with
+    ``variant_get`` / ``try_variant_get`` — the schema-on-read column
+    class Snowflake/Delta call VARIANT. Versus per-path
+    ``get_json_object`` (see `functions_json`), the parse happens ONCE
+    per row and every extraction reads the pre-shredded binary — the
+    right trade at 100 TB where props carries many consumed fields.
+    ``try_variant_get`` on an absent path yields NULL (counted here to
+    pin the missing-path semantics) instead of erroring under ANSI.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return (
+        v.select(
+            "event_type",
+            F.variant_get("v", "$.k", "bigint").alias("k"),
+            F.try_variant_get("v", "$.missing", "bigint").alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.count("missing").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )

@@ -136,3 +136,63 @@ def pandas_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "c_custkey", F.round("bal_z", 4).alias("bal_z"))
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+_UDTF_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, j - 1 AS idx, toks[j] AS tok
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents) d,
+        LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS j) s
+    )
+    SELECT doc_id,
+           CAST(idx // 32 AS BIGINT) AS chunk_id,
+           count(*) AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+           min(CASE WHEN idx % 32 = 0 THEN tok END) AS head_token
+    FROM toks
+    GROUP BY doc_id, idx // 32
+    ORDER BY doc_id, chunk_id
+"""
+
+
+@register(
+    "udtf_word_windows",
+    oracle=_UDTF_ORACLE,
+    tags=("udf", "udtf", "lateral", "chunking"),
+)
+def udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4.0+): a user-defined TABLE function invoked
+    with LATERAL — each document row expands to one row per 32-token
+    window carrying per-window stats. This is the 1→N escape hatch
+    when the expansion logic can't be said with explode/builtins
+    (here it CAN — the DuckDB oracle replays it relationally — which
+    is what makes the entry a transport check of the UDTF surface,
+    same policy as the pandas_udf_* trio).
+
+    Scale shape: the UDTF is map-only — no shuffle, no state; Python
+    cost is per-row-batch. The declarative equivalent
+    (`text_chunk_documents`) stays JVM-side and is what you'd ship at
+    100 TB; this pins the API route for logic that genuinely needs
+    Python (real tokenizers: BPE/sentencepiece).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id bigint, n_tokens bigint, n_distinct bigint, head_token string")
+    class WordWindows:
+        def eval(self, text: str):
+            toks = (text or "").split()
+            width = 32
+            for c in range((len(toks) + width - 1) // width):
+                w = toks[c * width:(c + 1) * width]
+                yield c, len(w), len(set(w)), w[0]
+
+    spark.udtf.register("word_windows", WordWindows)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id, w.chunk_id, w.n_tokens, w.n_distinct, w.head_token
+        FROM documents, LATERAL word_windows(text) AS w
+        ORDER BY doc_id, chunk_id
+        """
+    )

@@ -614,3 +614,38 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+_LATERAL_TOP2 = """
+    SELECT n_name, top2.c_name, round(top2.c_acctbal, 2) AS c_acctbal
+    FROM nation,
+    LATERAL (
+        SELECT c_name, c_acctbal
+        FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_name
+        LIMIT 2
+    ) AS top2
+    ORDER BY n_name, c_acctbal DESC, c_name
+"""
+
+
+@register("join_lateral", oracle=_LATERAL_TOP2, tags=("join", "lateral", "subquery"))
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — per-nation top-2 customers by account
+    balance, expressed as a lateral derived table (the SQL:1999 LATERAL
+    / CROSS APPLY form; absent from the reference, whose only subquery
+    shape was an uncorrelated FROM alias, Microbase.scala:99-123).
+
+    The IDENTICAL SQL text runs on DuckDB as the oracle. Catalyst
+    decorrelates the LIMIT-per-group lateral into a window/rank plan
+    rather than re-executing the inner query per outer row — which is
+    exactly the rewrite you want at 100 TB: one shuffle on the
+    correlation key, no N-times-repeated inner scans. (The DataFrame
+    spelling of the same query is `window_topn_per_group`; this entry
+    pins the SQL-surface route.)
+    """
+    from rdbms_scala_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, names=("nation", "customer"))
+    return spark.sql(_LATERAL_TOP2)
