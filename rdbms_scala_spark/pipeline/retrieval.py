@@ -1,0 +1,308 @@
+"""Sparse lexical retrieval & language-model corpus statistics —
+BM25 search, frequency-ranked vocabulary induction, and unigram
+log-probability quality scoring over the `documents` table.
+
+The reference has no text surface at all (5 scalar types,
+Microbase.scala; SURVEY.md §1.2); these are north-star extensions a
+training-data pipeline needs: retrieval for targeted corpus curation
+/ decontamination lookups, a vocabulary with dense contiguous ids as
+tokenizer input, and an n-gram LM score as a fluency/quality signal
+(the KenLM-style filter in C4/CCNet-style pipelines).
+
+Float policy: every per-(doc, term) floating contribution is
+quantized to a BIGINT at 1e-6 resolution *before* any aggregation
+(the house trick — see `embeddings_label_centroids`,
+`similarity_pq`), so sums are exact integer arithmetic and the
+cross-engine value hash cannot drift with summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.pipeline.dedup import tokens
+from rdbms_scala_spark.registry import register
+
+# BM25 constants. Literal values are written IDENTICALLY in the Spark
+# expressions and the oracle SQL — (k1 + 1) is pre-folded to 2.2 and
+# (1 - b) to 0.25 by hand, because 1.2 + 1.0 in double arithmetic is
+# NOT the same bit pattern as the literal 2.2, and the two engines
+# must evaluate the same expression tree.
+_K1 = "1.2"
+_K1P1 = "2.2"
+_B = "0.75"
+_ONE_MINUS_B = "0.25"
+_QUERY_TERMS = ("hash", "spark", "window")
+_TOPK = 15
+
+
+def _terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+
+
+_BM25_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dlen FROM toks),
+    corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dlen) AS BIGINT) AS sum_len
+        FROM dl
+    ),
+    posting AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        WHERE tok IN ({_terms_sql()})
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS dft FROM posting GROUP BY tok
+    ),
+    contrib AS (
+        SELECT p.doc_id,
+               CAST(round(
+                   ln(1.0 + (c.n_docs - d.dft + 0.5) / (d.dft + 0.5)) *
+                   ((CAST(p.tf AS DOUBLE) * {_K1P1}) /
+                    (CAST(p.tf AS DOUBLE) + {_K1} *
+                     ({_ONE_MINUS_B} + {_B} *
+                      (CAST(l.dlen AS DOUBLE) /
+                       (CAST(c.sum_len AS DOUBLE) / c.n_docs)))))
+                   * 1e6) AS BIGINT) AS q
+        FROM posting p
+        JOIN dfreq d ON p.tok = d.tok
+        JOIN dl l ON p.doc_id = l.doc_id
+        CROSS JOIN corpus c
+    )
+    SELECT doc_id,
+           round(CAST(sum(q) AS BIGINT) / 1e6, 4) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_TOPK}
+"""
+
+
+@register(
+    "text_bm25_search",
+    oracle=_BM25_ORACLE,
+    tags=("text", "retrieval", "bm25", "inverted-index"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed term query over an inverted
+    index built on the fly: postings (doc, term, tf) -> document
+    frequencies -> per-(doc, term) BM25 contribution -> per-doc sum.
+
+    Scale shape: tokens are FILTERED to the query terms *before* the
+    postings aggregation, so the shuffle carries only matching
+    positions — at 100 TB the posting build is a near-map-only pass
+    over the scan, not a full-vocabulary aggregation. `dfreq` is
+    |query| rows and `corpus` is 1 row — both broadcast; the only
+    data-sized exchange is the per-doc contribution sum, and the
+    top-k collapses via TakeOrdered (no global sort). For a standing
+    search service you would persist `posting` bucketed by term
+    (see `sources.write_bucketed_table`); this query is the
+    build+search path a curation job runs once.
+
+    Each contribution is integer-quantized pre-sum (module
+    docstring); `n_terms_hit` counts matched query terms per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens().alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dlen"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").alias("sum_len"),
+    )
+    posting = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+
+    avgdl = F.col("sum_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf").cast("double") * F.expr(_K1P1)) / (
+        F.col("tf").cast("double")
+        + F.expr(_K1)
+        * (F.expr(_ONE_MINUS_B) + F.expr(_B) * (F.col("dlen").cast("double") / avgdl))
+    )
+    contrib = (
+        posting.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.round(idf * tf_norm * F.lit(1e6)).cast("long").alias("q"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("q") / F.lit(1e6), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_TOPK)
+    )
+
+
+_VOCAB_SIZE = 100
+
+_VOCAB_ORACLE = f"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    counted AS (
+        SELECT tok AS token, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(t) AS tok FROM toks)
+        GROUP BY tok
+    ),
+    total AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM counted),
+    ranked AS (
+        SELECT token, freq,
+               row_number() OVER (ORDER BY freq DESC, token) - 1 AS token_id,
+               CAST(sum(freq) OVER (ORDER BY freq DESC, token
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq
+        FROM counted
+    )
+    SELECT token_id, token, freq,
+           round(CAST(cum_freq AS DOUBLE) / n_total, 6) AS cum_coverage
+    FROM ranked CROSS JOIN total
+    WHERE token_id < {_VOCAB_SIZE}
+    ORDER BY token_id
+"""
+
+
+@register(
+    "text_vocab_induction",
+    oracle=_VOCAB_ORACLE,
+    tags=("text", "vocab", "tokenizer"),
+)
+def text_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with dense contiguous token ids and
+    cumulative corpus coverage — the tokenizer-construction pass
+    (vocab files, embedding-matrix row assignment, coverage-targeted
+    vocab sizing: "how many ids cover 99% of tokens?").
+
+    Scale shape: the corpus-sized work is ONE map-side-combinable
+    token count; everything after runs on the aggregated vocabulary,
+    which is orders of magnitude smaller than the corpus (≤ a few
+    million rows at 100 TB). The id-assigning window
+    (`row_number() OVER (ORDER BY freq DESC, token)`) is therefore a
+    deliberate single-partition pass over vocab-sized data — the same
+    post-aggregation-smallness argument as `sort_limit_topk` — not a
+    corpus-sized global sort. Coverage is an exact integer cumsum
+    divided once at the end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = counted.agg(F.sum("freq").alias("n_total"))
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    ranked = counted.select(
+        "token",
+        "freq",
+        (F.row_number().over(w) - 1).alias("token_id"),
+        F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_freq"),
+    )
+    return (
+        ranked.filter(F.col("token_id") < _VOCAB_SIZE)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token_id",
+            "token",
+            "freq",
+            F.round(F.col("cum_freq").cast("double") / F.col("n_total"), 6).alias(
+                "cum_coverage"
+            ),
+        )
+        .orderBy("token_id")
+    )
+
+
+_UNIGRAM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    counted AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ),
+    corpus AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS v
+        FROM counted
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(round(ln((c.c + 1.0) / (k.n_total + k.v)) * 1e6) AS BIGINT) AS q
+        FROM tok t
+        JOIN counted c ON t.token = c.token
+        CROSS JOIN corpus k
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(q) AS BIGINT) / 1e6 / count(*), 4) AS mean_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=_UNIGRAM_ORACLE,
+    tags=("text", "language-model", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus MLE
+    with add-one smoothing: ln((C(t)+1) / (N+V)) averaged over the
+    doc's tokens — the n-gram-LM fluency score (the KenLM-perplexity
+    filter of CCNet/C4, reduced to its unigram core). Low scores =
+    rare-token-heavy docs (gibberish, codes, boilerplate ids); the
+    score feeds quality gates alongside `text_quality_score`.
+
+    Scale shape: two corpus passes — one map-side-combinable unigram
+    count, then a token→model join. The model (vocabulary-sized,
+    ≪ corpus) is explicitly broadcast, so the join is map-only and
+    the only shuffle is the per-doc mean; per-token log-probs are
+    integer-quantized pre-sum (module docstring) and the mean is two
+    divisions at the end, identical expression order in the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    counted = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    corpus = counted.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    q = F.round(
+        F.log((F.col("c") + F.lit(1.0)) / (F.col("n_total") + F.col("v")))
+        * F.lit(1e6)
+    ).cast("long")
+    scored = (
+        tok.join(F.broadcast(counted), "token")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", q.alias("q"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("q") / F.lit(1e6) / F.count(F.lit(1)), 4).alias(
+                "mean_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

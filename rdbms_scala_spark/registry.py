@@ -200,6 +200,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from rdbms_scala_spark.pipeline import (  # noqa: F401
         chunking,
         dedup,
+        retrieval,
         similarity,
         snapshot,
         text,
