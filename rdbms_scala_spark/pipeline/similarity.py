@@ -976,3 +976,85 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "adot_q8", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix (X^T X) — the covariance/PCA input, computed as per-batch
+# integer GEMM partials (fully oracle-checked)
+
+_GRAM_DIM = 64
+
+_GRAM_ORACLE = f"""
+    WITH q AS (
+        SELECT list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 10000, 0) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT i.i AS i, j.j AS j, v[i.i + 1] * v[j.j + 1] AS prod
+        FROM q,
+             generate_series(0, {_GRAM_DIM - 1}) i(i),
+             generate_series(0, {_GRAM_DIM - 1}) j(j)
+        WHERE j.j >= i.i
+    )
+    SELECT i, j, CAST(sum(prod) AS BIGINT) AS gram_q
+    FROM cells
+    GROUP BY i, j
+    ORDER BY i, j
+"""
+
+
+@register(
+    "embeddings_gram_matrix",
+    oracle=_GRAM_ORACLE,
+    tags=("embeddings", "analytics", "pca", "scale"),
+)
+def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X of the embedding corpus (upper
+    triangle, one row per (i, j) dim pair) — the d x d input to
+    PCA / whitening / covariance-based drift detection; MLlib's
+    ``computeGramianMatrix`` computes exactly this shape.
+
+    Scale shape: each Arrow batch contributes ONE d x d partial via
+    an in-batch integer GEMM (``mapInPandas``; O(d^2) output per
+    batch regardless of batch row count), and the only shuffle
+    carries those d(d+1)/2-row partials — O(tasks x d^2), independent
+    of corpus size. The naive relational alternative (posexplode x
+    posexplode self-pairing) ships rows x d^2 values through the
+    exchange — 4096x more at d=64 — which is why the Python-side GEMM
+    is the right trade here even under the "builtins first" policy
+    (the DuckDB oracle IS that relational form, so the gate proves
+    the two agree).
+
+    Cross-engine determinism: components quantize to BIGINT at 1e-4
+    (PQ's scale; products ~1e8, corpus sums < 2^63 up to ~1e10 rows),
+    all sums exact integer adds; the numpy rounding is
+    sign*floor(abs+0.5) = round-half-away — matching Spark/DuckDB
+    ``round`` — NOT np.round's banker's rounding."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _GRAM_DIM
+
+    def gram_partials(batches):
+        import numpy as np
+
+        iu, ju = np.triu_indices(dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e4
+            q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            g = q.T @ q  # int64 GEMM, exact
+            yield pd.DataFrame(
+                {"i": iu, "j": ju, "partial": g[iu, ju]}
+            )
+
+    partials = emb.select("embedding").mapInPandas(
+        gram_partials, schema="i int, j int, partial long"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("partial").alias("gram_q"))
+        .orderBy("i", "j")
+    )

@@ -107,3 +107,151 @@ def maintenance_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell per column in SQL."""
     li = load_table(spark, sf_dir, "lineitem")
     return column_stats(li, _STAT_COLS).orderBy("col_name")
+
+
+_HIST_BUCKETS = 8
+
+_HISTOGRAM_ORACLE = f"""
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    bounds AS (
+        SELECT CAST(min(c) AS BIGINT) AS lo, CAST(max(c) AS BIGINT) AS hi
+        FROM cents
+    ),
+    bucketed AS (
+        SELECT least((c - lo) * {_HIST_BUCKETS} // (hi - lo + 1),
+                     {_HIST_BUCKETS - 1}) AS bucket,
+               c
+        FROM cents CROSS JOIN bounds
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(min(c) AS DOUBLE) / 100, 2) AS bucket_min,
+           round(CAST(max(c) AS DOUBLE) / 100, 2) AS bucket_max,
+           round(CAST(sum(c) AS DOUBLE) / 100, 2) AS bucket_sum
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+@register(
+    "maintenance_column_histogram",
+    oracle=_HISTOGRAM_ORACLE,
+    tags=("maintenance", "stats", "histogram", "cbo"),
+)
+def maintenance_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width column histogram of ``o_totalprice`` — the
+    distribution profile a CBO (and every data-quality dashboard)
+    keeps per numeric column, complementing `maintenance_table_stats`'
+    min/max/NDV. The money column is quantized to integer cents
+    first, so bucket boundaries are EXACT integer arithmetic —
+    ``(c - lo) * k // (hi - lo + 1)`` — with no float boundary to
+    drift between engines (an equi-HEIGHT histogram would need
+    quantile boundaries: approx_percentile's mergeable sketch at
+    100 TB; see `agg_approx_percentiles`).
+
+    Scale shape: two map-side-combinable aggregation passes (global
+    min/max, then per-bucket stats with the 1-row bounds broadcast) —
+    no sort, no window, no data-sized shuffle beyond the k-row
+    bucket aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    bounds = cents.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    # `div` = exact BIGINT floor division, mirroring DuckDB's `//` —
+    # a double `/` + floor would lose exactness past 2^53.
+    bucketed = cents.crossJoin(F.broadcast(bounds)).selectExpr(
+        f"least((c - lo) * {_HIST_BUCKETS} div (hi - lo + 1), "
+        f"CAST({_HIST_BUCKETS - 1} AS BIGINT)) AS bucket",
+        "c",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c").cast("double") / 100, 2).alias("bucket_min"),
+            F.round(F.max("c").cast("double") / 100, 2).alias("bucket_max"),
+            F.round(F.sum("c").cast("double") / 100, 2).alias("bucket_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_PSI_ORACLE = """
+    WITH cell AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS c_sl
+        FROM documents GROUP BY source, lang
+    ),
+    by_source AS (
+        SELECT source, CAST(sum(c_sl) AS BIGINT) AS c_s FROM cell GROUP BY source
+    ),
+    by_lang AS (
+        SELECT lang, CAST(sum(c_sl) AS BIGINT) AS c_l FROM cell GROUP BY lang
+    ),
+    total AS (SELECT CAST(sum(c_sl) AS BIGINT) AS c_t FROM cell),
+    terms AS (
+        SELECT cell.source,
+               CAST(round(
+                   ((CAST(c_sl AS DOUBLE) / c_s) - (CAST(c_l AS DOUBLE) / c_t)) *
+                   ln((CAST(c_sl AS DOUBLE) / c_s) / (CAST(c_l AS DOUBLE) / c_t))
+                   * 1e9) AS BIGINT) AS q
+        FROM cell
+        JOIN by_source ON cell.source = by_source.source
+        JOIN by_lang ON cell.lang = by_lang.lang
+        CROSS JOIN total
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_langs_observed,
+           round(CAST(sum(q) AS BIGINT) / 1e9, 6) AS psi
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register(
+    "maintenance_drift_psi",
+    oracle=_PSI_ORACLE,
+    tags=("maintenance", "drift", "stats"),
+)
+def maintenance_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: for each ingest
+    source, PSI of its language distribution against the whole-corpus
+    distribution — PSI = Σ (p_i − q_i)·ln(p_i/q_i) over observed
+    cells (unsmoothed: a cell enters only where the source has mass,
+    so q_i ≥ p_i·c_s/c_t > 0 and the log is finite; the conventional
+    PSI≥0.2 alarm threshold applies per source). This is the
+    batch-over-batch distribution-shift check every recurring 100 TB
+    ingest runs before a new crawl snapshot is admitted.
+
+    Scale shape: ONE corpus-sized map-side-combinable count to
+    (source, lang) cells; every subsequent margin/join/PSI step runs
+    on the tiny cell table (|sources|·|langs| rows). Per-cell terms
+    are integer-quantized at 1e-9 pre-sum (house float policy).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c_sl"))
+    by_source = cell.groupBy("source").agg(F.sum("c_sl").alias("c_s"))
+    by_lang = cell.groupBy("lang").agg(F.sum("c_sl").alias("c_l"))
+    total = cell.agg(F.sum("c_sl").alias("c_t"))
+    p = F.col("c_sl").cast("double") / F.col("c_s")
+    q = F.col("c_l").cast("double") / F.col("c_t")
+    term = F.round((p - q) * F.log(p / q) * F.lit(1e9)).cast("long")
+    terms = (
+        cell.join(by_source, "source")
+        .join(by_lang, "lang")
+        .crossJoin(F.broadcast(total))
+        .select("source", term.alias("q"))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs_observed"),
+            F.round(F.sum("q") / F.lit(1e9), 6).alias("psi"),
+        )
+        .orderBy("source")
+    )

@@ -600,3 +600,71 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "m.mode_type", "m.mode_count")
         .orderBy("user_id")
     )
+
+
+_PATTERN = "v.*c.*p"  # a view, later a click, later a purchase
+
+_PATTERN_ORACLE = f"""
+    WITH lettered AS (
+        SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS letter
+        FROM events
+    ),
+    journeys AS (
+        SELECT user_id,
+               string_agg(letter, '' ORDER BY ts, event_id) AS journey,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM lettered
+        GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CASE WHEN regexp_matches(journey, '{_PATTERN}') THEN 1 ELSE 0 END
+               AS matched,
+           md5(journey) AS journey_sig
+    FROM journeys
+    ORDER BY user_id
+"""
+
+
+@register(
+    "events_pattern_match",
+    oracle=_PATTERN_ORACLE,
+    tags=("events", "sequence", "match-recognize"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over per-user event sequences — the
+    MATCH_RECOGNIZE analog: each user's time-ordered events collapse
+    to a journey string (one letter per event type; the five types
+    have distinct initials) and a regular expression states the
+    behavioral pattern — here ``v.*c.*p``, "a view, later a click,
+    later a purchase". The full-journey md5 signature certifies the
+    exact ordered sequence cross-engine, not just the match bit.
+
+    Scale shape: one shuffle on user_id; ``collect_list`` +
+    ``array_sort`` state is bounded by a single user's history —
+    the same per-key state bound a MATCH_RECOGNIZE engine (or
+    `streaming_stateful_user_totals`) holds; for unbounded histories
+    you'd window the match per session (`events_sessionize`) first.
+    The sort key (ts, event_id) is collision-free, so the journey
+    string is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    journeys = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("letter")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("array_join(transform(array_sort(collect_list(s)), x -> x.letter), '')")
+            .alias("journey"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return journeys.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("journey").rlike(_PATTERN), 1).otherwise(0).alias("matched"),
+        F.md5("journey").alias("journey_sig"),
+    ).orderBy("user_id")
