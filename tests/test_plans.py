@@ -306,3 +306,75 @@ def test_metadata_count_pushes_aggregation_to_footer(spark, sf_dir):
 
     plan = physical_plan(scan_metadata_count(spark, sf_dir))
     assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in plan
+
+
+def test_bm25_filters_terms_before_postings_exchange(spark, sf_dir):
+    """BM25's posting build must filter exploded tokens to the query
+    terms BEFORE the (doc, term) aggregation exchange — the shuffle
+    carries only matching positions, not the full token stream — and
+    the df/corpus statistics join broadcast; the top-k must collapse
+    via TakeOrderedAndProject, not a global sort."""
+    df = SPECS["text_bm25_search"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fi = plan.find("Filter tok")
+    assert fi != -1 and " IN (" in plan[fi : plan.find("\n", fi)], plan
+    # top-down print: the postings exchange appears above (before)
+    # the IN filter, and no further exchange exists below the filter
+    post_ex = plan.find("Exchange hashpartitioning(doc_id")
+    assert post_ex != -1 and post_ex < fi, plan
+    assert plan.find("Exchange hashpartitioning", fi) == -1, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_gram_matrix_shuffles_only_partials(spark, sf_dir):
+    """The Gram matrix's corpus-sized work must stay inside
+    MapInPandas (one d x d integer GEMM partial per batch); the only
+    hash exchange aggregates those partials — there must be NO
+    exchange between the scan and the MapInPandas node, and no
+    posexplode-style Generate anywhere."""
+    df = SPECS["embeddings_gram_matrix"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    mp = plan.find("MapInPandas")
+    assert mp != -1, plan
+    # top-down print: any hashpartitioning exchange appears above
+    # (before) MapInPandas; none between MapInPandas and the scan
+    assert "Generate" not in plan, plan
+    assert plan.find("Exchange hashpartitioning", mp) == -1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_lateral_join_decorrelates_to_partial_group_limit(spark, sf_dir):
+    """The correlated LIMIT-2 lateral must decorrelate into a window
+    rank plan (no per-outer-row re-execution): WindowGroupLimit
+    Partial below the correlation-key exchange, Final above — same
+    two-level shape as the brute-force top-k."""
+    df = SPECS["join_lateral"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fi = plan.find("WindowGroupLimit")
+    assert fi != -1 and "Final" in plan[fi : plan.find("\n", fi)], plan
+    ex = plan.find("Exchange hashpartitioning(c_nationkey")
+    pi = plan.rfind("WindowGroupLimit")
+    assert pi > ex > fi and "Partial" in plan[pi : plan.find("\n", pi)], plan
+
+
+def test_unigram_model_join_is_broadcast(spark, sf_dir):
+    """The token→unigram-model join must broadcast the vocabulary-
+    sized model side so the corpus-sized token stream is never
+    shuffled for the join (its only exchange is the per-doc mean)."""
+    df = SPECS["text_unigram_logprob"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bj = plan.find("BroadcastHashJoin [token")
+    assert bj != -1, plan
+
+
+def test_histogram_is_two_aggregation_passes(spark, sf_dir):
+    """The equi-width histogram must be two map-side-combinable
+    aggregations with the 1-row bounds broadcast — no sort or window
+    over the data, no data-sized exchange beyond the k-row bucket
+    aggregate."""
+    df = SPECS["maintenance_column_histogram"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("partial_") >= 2, plan
