@@ -100,31 +100,35 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: tokens are FILTERED to the query terms *before* the
     postings aggregation, so the shuffle carries only matching
     positions — at 100 TB the posting build is a near-map-only pass
-    over the scan, not a full-vocabulary aggregation. `dfreq` is
-    |query| rows and `corpus` is 1 row — both broadcast; the only
-    data-sized exchange is the per-doc contribution sum, and the
-    top-k collapses via TakeOrdered (no global sort). For a standing
-    search service you would persist `posting` bucketed by term
-    (see `sources.write_bucketed_table`); this query is the
-    build+search path a curation job runs once.
+    over the scan, not a full-vocabulary aggregation. The document
+    length rides THROUGH the explode (max(dlen) in the same
+    aggregate), and per-term document frequency is a window over the
+    already-tiny postings — so the corpus is scanned exactly twice
+    (the 1-row corpus-stats aggregate, broadcast, and the posting
+    build), with no corpus-sized join anywhere. The top-k collapses
+    via TakeOrdered (no global sort). For a standing search service
+    you would persist `posting` bucketed by term (see
+    `sources.write_bucketed_table`); this query is the build+search
+    path a curation job runs once.
 
     Each contribution is integer-quantized pre-sum (module
     docstring); `n_terms_hit` counts matched query terms per doc.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens().alias("t"))
-    dl = toks.select("doc_id", F.size("t").alias("dlen"))
-    corpus = dl.agg(
+    corpus = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dlen").alias("sum_len"),
+        F.sum(F.size("t")).alias("sum_len"),
     )
     posting = (
-        toks.select("doc_id", F.explode("t").alias("tok"))
+        toks.select("doc_id", F.size("t").alias("dlen"), F.explode("t").alias("tok"))
         .filter(F.col("tok").isin(*_QUERY_TERMS))
         .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dlen").alias("dlen"))
     )
-    dfreq = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+    with_dft = posting.withColumn(
+        "dft", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
 
     avgdl = F.col("sum_len").cast("double") / F.col("n_docs")
     idf = F.log(
@@ -136,11 +140,8 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.expr(_K1)
         * (F.expr(_ONE_MINUS_B) + F.expr(_B) * (F.col("dlen").cast("double") / avgdl))
     )
-    contrib = (
-        posting.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .select("doc_id", F.round(idf * tf_norm * F.lit(1e6)).cast("long").alias("q"))
+    contrib = with_dft.crossJoin(F.broadcast(corpus)).select(
+        "doc_id", F.round(idf * tf_norm * F.lit(1e6)).cast("long").alias("q")
     )
     return (
         contrib.groupBy("doc_id")
