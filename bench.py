@@ -83,6 +83,10 @@ EXTENSION = [
     # domain PQ scan
     "join_bucketed_colocated",
     "similarity_pq",
+    # round-6 (cont.): inverted-index retrieval and the per-batch
+    # integer-GEMM Gram matrix — the two new corpus-pass ops
+    "text_bm25_search",
+    "embeddings_gram_matrix",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")
