@@ -557,3 +557,30 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_GROUP_BY_ALL = """
+    SELECT c_mktsegment, c_nationkey,
+           count(*) AS n,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "agg_group_by_all",
+    oracle=_GROUP_BY_ALL,
+    tags=("aggregate", "group-by-all", "sql-surface"),
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 4.x, DuckDB): the
+    analyzer derives the grouping keys from the non-aggregate select
+    items and the final order from the full output row — the modern
+    SQL ergonomics surface, identical text on both engines. Plans
+    exactly like the explicit form (`agg_grouped`): one
+    map-side-combined hash aggregate, one exchange on the derived
+    keys."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_GROUP_BY_ALL)

@@ -649,3 +649,46 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, names=("nation", "customer"))
     return spark.sql(_LATERAL_TOP2)
+
+
+# NULLs are injected deterministically (nation key 3 -> NULL on both
+# sides) because the testdata ships none; `IS NOT DISTINCT FROM`
+# parses identically on Spark (= the <=> operator) and DuckDB.
+_NULL_SAFE_JOIN = """
+    WITH c AS (
+        SELECT nullif(c_nationkey, 3) AS nk, c_custkey FROM customer
+    ),
+    s AS (
+        SELECT nullif(s_nationkey, 3) AS nk, s_suppkey FROM supplier
+    )
+    SELECT c.nk AS nation_key,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(c.nk) AS BIGINT) AS n_non_null_key_pairs
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    GROUP BY c.nk
+    ORDER BY nation_key NULLS FIRST
+"""
+
+
+@register(
+    "join_null_safe",
+    oracle=_NULL_SAFE_JOIN,
+    tags=("join", "null-safe", "sql-surface"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``IS NOT DISTINCT FROM`` / Spark's
+    ``<=>``): NULL keys match each other instead of vanishing — the
+    semantics MERGE and CDC key-matching rely on when business keys
+    are nullable. Identical SQL text on both engines; the reference
+    had no NULLs at all (SURVEY.md §8 quirk 5 territory).
+
+    Scale shape: a null-safe equality is still hashable — Spark
+    plans a hash join with the null bucket as a regular key (no
+    fallback to nested-loop); but note ALL NULL rows land in ONE
+    task's bucket, so a null-heavy key column is a skew hot-spot —
+    exactly the `join_skew_salted` treatment if NULL-share is large.
+    """
+    from rdbms_scala_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, names=("customer", "supplier"))
+    return spark.sql(_NULL_SAFE_JOIN)

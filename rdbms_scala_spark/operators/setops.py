@@ -109,3 +109,51 @@ def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("key"))
     )
     return cust.subtract(orders)
+
+
+@register(
+    "union_by_name",
+    oracle="""
+    SELECT key, round(amount, 2) AS amount, kind
+    FROM (
+        SELECT o_orderkey AS key, o_totalprice AS amount, 'order' AS kind
+        FROM orders WHERE o_orderkey <= 100
+        UNION ALL BY NAME
+        SELECT 'customer' AS kind, c_acctbal AS amount, c_custkey AS key
+        FROM customer WHERE c_custkey <= 100
+    )
+    ORDER BY kind, key
+    """,
+    tags=("setop", "union", "by-name"),
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-independent UNION (``unionByName`` / DuckDB's
+    ``UNION ALL BY NAME``): the second input's columns arrive in a
+    DIFFERENT order and are aligned by column name, not position —
+    the schema-evolution-safe way to append heterogeneous batches
+    (positional UNION would silently pair key with kind here; the
+    reference's UNION was positional-only, Microbase.scala).
+    Map-only: no shuffle beyond the final presentation sort."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 100)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("amount"),
+            F.lit("order").alias("kind"),
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            F.lit("customer").alias("kind"),
+            F.col("c_acctbal").alias("amount"),
+            F.col("c_custkey").cast("long").alias("key"),
+        )
+    )
+    return (
+        orders.unionByName(cust)
+        .select("key", F.round("amount", 2).alias("amount"), "kind")
+        .orderBy("kind", "key")
+    )

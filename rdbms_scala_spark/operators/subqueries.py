@@ -100,3 +100,59 @@ _NOT_IN_SUBQUERY = """
 def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN (null-aware anti join) — parts with no recent shipments."""
     return _sql(spark, sf_dir, _NOT_IN_SUBQUERY)
+
+
+# The IDENTICAL text runs on Spark (4.x iterative-union execution) and
+# DuckDB. Parent key = floor(custkey / 2) — an implicit binary
+# hierarchy over the real customer keys (contiguous from 0, so every
+# parent exists); floor() before the CAST because a bare double->int
+# CAST truncates on Spark but rounds-to-nearest on DuckDB. Balances are summed as exact integer
+# cents along the path.
+_RECURSIVE_CTE = """
+    WITH RECURSIVE walk AS (
+        SELECT c_custkey AS start_key,
+               c_custkey AS node,
+               0 AS depth,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS path_cents
+        FROM customer
+        WHERE c_custkey BETWEEN 2 AND 101
+        UNION ALL
+        SELECT w.start_key,
+               c.c_custkey,
+               w.depth + 1,
+               w.path_cents + CAST(round(c.c_acctbal * 100) AS BIGINT)
+        FROM walk w
+        JOIN customer c ON c.c_custkey = CAST(floor(w.node / 2) AS BIGINT)
+        WHERE w.node > 1
+    )
+    SELECT start_key,
+           CAST(max(depth) AS BIGINT) AS root_depth,
+           round(CAST(max(path_cents) AS BIGINT) / 1e2, 2) AS path_acctbal
+    FROM walk
+    GROUP BY start_key
+    ORDER BY start_key
+"""
+
+
+@register(
+    "subquery_recursive_cte",
+    oracle=_RECURSIVE_CTE,
+    tags=("subquery", "recursive-cte", "hierarchy"),
+)
+def subquery_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.x): ancestor walk up an implicit
+    binary hierarchy over customer keys, accumulating the exact
+    integer-cents balance along each path — the org-chart / BOM /
+    folder-tree traversal class the reference (and pre-4.x Spark)
+    could not express at all. The identical SQL text is the DuckDB
+    oracle.
+
+    Scale shape: Spark executes the recursion as an iterative
+    union — each step joins only the live FRONTIER (rows that still
+    have a parent) against the build side, so per-iteration work
+    shrinks geometrically here (depth ≤ log2(max key)); this is the
+    same frontier discipline as `dedup_connected_components`'s
+    alternating-star loop, but expressed declaratively. Path sums
+    are exact integer cents (house float policy).
+    """
+    return _sql(spark, sf_dir, _RECURSIVE_CTE)

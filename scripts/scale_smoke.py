@@ -63,6 +63,10 @@ QUERIES = (
     "maintenance_table_stats",
     "embeddings_label_centroids",
     "graph_pagerank",
+    "text_bm25_search",
+    "text_unigram_logprob",
+    "embeddings_gram_matrix",
+    "events_pattern_match",
 )
 
 
