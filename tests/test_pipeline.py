@@ -663,3 +663,73 @@ def test_pagerank_star_graph_ranks_hub_highest(spark):
     leaves = {r1[i] for i in range(1, 5)}
     assert len(leaves) == 1, f"leaves must tie exactly: {r1}"
     assert r1[0] > r1[1]
+
+
+def test_gram_matrix_is_symmetric_psd(spark, sf_dir):
+    """Mathematical invariants of X^T X that no per-cell oracle can
+    state: reconstructed from the upper triangle it must be symmetric
+    by construction and positive semi-definite (all eigenvalues >=
+    -tol), and its diagonal must be strictly positive (no dead
+    dimension in the corpus)."""
+    import numpy as np
+
+    from rdbms_scala_spark.pipeline.similarity import (
+        _GRAM_DIM,
+        embeddings_gram_matrix,
+    )
+
+    rows = embeddings_gram_matrix(spark, sf_dir).collect()
+    assert len(rows) == _GRAM_DIM * (_GRAM_DIM + 1) // 2
+    g = np.zeros((_GRAM_DIM, _GRAM_DIM))
+    for r in rows:
+        g[r.i, r.j] = g[r.j, r.i] = r.gram_q
+    assert (np.diag(g) > 0).all()
+    eig = np.linalg.eigvalsh(g)
+    assert eig.min() >= -1e-6 * abs(eig.max())
+
+
+def test_vocab_induction_ids_and_coverage(spark, sf_dir):
+    """Dense ids must be contiguous from 0 in frequency order, and
+    cumulative coverage must be nondecreasing and end <= 1."""
+    from rdbms_scala_spark.pipeline.retrieval import text_vocab_induction
+
+    rows = text_vocab_induction(spark, sf_dir).collect()
+    assert [r.token_id for r in rows] == list(range(len(rows)))
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    covs = [r.cum_coverage for r in rows]
+    assert all(b >= a for a, b in zip(covs, covs[1:]))
+    assert covs[-1] <= 1.0
+
+
+def test_bm25_hits_contain_query_terms(spark, sf_dir):
+    """Every retrieved doc must actually contain at least one query
+    term, with n_terms_hit counting exactly the distinct matches."""
+    from rdbms_scala_spark.catalog import load_table
+    from rdbms_scala_spark.pipeline.retrieval import _QUERY_TERMS, text_bm25_search
+
+    hits = {r.doc_id: r for r in text_bm25_search(spark, sf_dir).collect()}
+    assert hits
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(*hits.keys()))
+        .collect()
+    )
+    for d in docs:
+        toks = set(d.text.lower().split())
+        n_hit = len(toks & set(_QUERY_TERMS))
+        assert n_hit >= 1
+        assert hits[d.doc_id].n_terms_hit == n_hit
+        assert hits[d.doc_id].bm25 > 0
+
+
+def test_recursive_cte_depth_closed_form(spark, sf_dir):
+    """The ancestor walk's depth for start key k must equal
+    floor(log2(k)) — the height of k in the implicit binary
+    hierarchy (k -> k/2 -> ... -> 1)."""
+    from rdbms_scala_spark.operators.subqueries import subquery_recursive_cte
+
+    rows = subquery_recursive_cte(spark, sf_dir).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r.root_depth == r.start_key.bit_length() - 1
