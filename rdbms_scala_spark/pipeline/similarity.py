@@ -1058,3 +1058,98 @@ def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("partial").alias("gram_q"))
         .orderBy("i", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting on the similarity graph (fully oracle-checked)
+
+# 0.2, not the pairs gate's 0.3: triangles need a denser graph (at
+# 0.3 the label-blocked graph has 2 triangles — vacuous); at 0.2 it
+# has ~90 over ~170 nodes, and the nearest edge cosine sits 1.9e-5
+# from the threshold, far beyond cross-engine double noise.
+_TRI_THRESHOLD = 0.2
+
+_TRIANGLE_ORACLE = f"""
+    WITH e AS (
+        SELECT a.vec_id AS x, b.vec_id AS y
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.label = b.label
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= {_TRI_THRESHOLD}
+    ),
+    tri AS (
+        SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM e e1
+        JOIN e e2 ON e2.x = e1.y
+        JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    ),
+    corners AS (
+        SELECT a AS vec_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners
+    GROUP BY vec_id
+    ORDER BY vec_id
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("graph", "triangle", "similarity", "scale"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the similarity graph — the local
+    clustering signal that separates tight duplicate/template
+    CLUSTERS (triangle-rich) from chains of borderline matches
+    (triangle-free), and the standard feature for community detection
+    over the near-dup graph (complements `graph_pagerank`'s
+    centrality and `dedup_connected_components`' reachability).
+
+    Scale shape: edges are the label-blocked threshold pairs (the
+    `pairs_above_threshold` discipline — an equi-key join, never
+    all-pairs), canonically oriented a < b so each triangle is
+    enumerated exactly once from its lowest-id corner: the wedge join
+    (e1.y = e2.x) and the closing check (e3 = (e1.x, e2.y)) are two
+    hash-join shuffles on edge keys. The classic refinement at scale
+    — orienting by DEGREE instead of id so wedges enumerate from
+    low-degree endpoints — drops worst-case wedge counts on skewed
+    graphs; id-orientation is kept here for the deterministic oracle.
+    The edge list is localCheckpointed once (three self-references
+    would otherwise re-run the blocked similarity join three times —
+    the merge_upsert multi-scan trap)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("x"), F.col("label").alias("la"), F.col("v").alias("va")
+    ).withColumn("na", norm("va"))
+    b = emb.select(
+        F.col("vec_id").alias("y"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    ).withColumn("nb", norm("vb"))
+    e = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("x") < F.col("y")))
+        .filter(cosine_pre("va", "vb", "na", "nb") >= F.lit(_TRI_THRESHOLD))
+        .select("x", "y")
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    e2 = e.select(F.col("x").alias("b2"), F.col("y").alias("c"))
+    e3 = e.select(F.col("x").alias("a3"), F.col("y").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("vec_id"))
+        .unionByName(tri.select(F.col("b").alias("vec_id")))
+        .unionByName(tri.select(F.col("c").alias("vec_id")))
+    )
+    return (
+        corners.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("vec_id")
+    )
