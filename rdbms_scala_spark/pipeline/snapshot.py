@@ -213,6 +213,46 @@ class SnapshotStore:
         with open(path) as fh:
             return self.spark.read.parquet(json.load(fh)["path"])
 
+    def vacuum(self, retain_last: int = 2) -> dict[str, list[int] | list[str]]:
+        """Garbage-collect the store: drop every version older than
+        the newest ``retain_last`` (manifest first, THEN data — a
+        reader that raced the vacuum sees a missing-version error,
+        never a manifest pointing at deleted data), and remove orphan
+        data dirs that have no manifest at all (the leftovers of a
+        crash between data write and manifest publish, which
+        ``commit`` documents). Returns what was removed/kept.
+
+        This is the Delta/Iceberg VACUUM kernel: retention-bounded
+        time travel. At 100 TB the deletes are batched against the
+        object store and the orphan scan is a listing diff — both
+        metadata-rate operations; no data is read."""
+        import os
+        import shutil
+
+        vs = self.versions()
+        keep = set(vs[-retain_last:]) if retain_last > 0 else set()
+        removed_versions = []
+        for v in vs:
+            if v in keep:
+                continue
+            os.remove(os.path.join(self.manifest_dir, f"{v}.json"))
+            shutil.rmtree(os.path.join(self.root, f"v{v}"), ignore_errors=True)
+            removed_versions.append(v)
+        removed_orphans = []
+        for d in sorted(os.listdir(self.root)):
+            full = os.path.join(self.root, d)
+            if d == "_manifest" or not os.path.isdir(full):
+                continue
+            v = d[1:]
+            if not (d.startswith("v") and v.isdigit() and int(v) in keep):
+                shutil.rmtree(full, ignore_errors=True)
+                removed_orphans.append(d)
+        return {
+            "kept": sorted(keep),
+            "removed_versions": removed_versions,
+            "removed_orphans": removed_orphans,
+        }
+
 
 _TIME_TRAVEL_BUILT: set[tuple[str, str]] = set()
 
@@ -422,3 +462,99 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(store.read(0), store.read(2), keys=["o_orderkey"]).orderBy(
         "op", "o_orderkey"
     )
+
+
+_VACUUM_BUILT: set[tuple[str, str]] = set()
+
+
+def _vacuum_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """A dedicated store for the vacuum demo (the shared
+    `_demo_store` must KEEP all its versions — the time-travel and
+    CDC queries read v0): commits the same v0/v1/v2 chain, plants an
+    orphan data dir (simulating a crash between data write and
+    manifest publish), then vacuums down to the last two versions.
+    Built+vacuumed once per (application, sf_dir)."""
+    import os
+    import shutil
+
+    from rdbms_scala_spark.sources.files import _scratch_dir
+
+    root = _scratch_dir(spark, sf_dir, "snap_vacuum")
+    store = SnapshotStore(spark, root)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key in _VACUUM_BUILT:
+        return store
+    if store.versions() or os.path.isdir(root):
+        shutil.rmtree(root, ignore_errors=True)
+        store = SnapshotStore(spark, root)
+    demo = _demo_store(spark, sf_dir)
+    for v in (0, 1, 2):
+        store.commit(demo.read(v))
+    # the crash leftover: a data dir that never got its manifest
+    demo.read(2).limit(1).write.mode("overwrite").parquet(
+        os.path.join(root, "v99")
+    )
+    result = store.vacuum(retain_last=2)
+    assert result["kept"] == [1, 2], result
+    _VACUUM_BUILT.add(key)
+    return store
+
+
+@register(
+    "pipeline_snapshot_vacuum",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    ),
+    updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               round(o_totalprice + 1000.0, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT (SELECT max(o_orderkey) FROM orders) + x AS o_orderkey,
+               'N' AS o_orderstatus, 100.0 AS o_totalprice
+        FROM generate_series(1, 5) t(x)
+    ),
+    merged AS (
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    ),
+    v2 AS (SELECT * FROM merged WHERE o_orderkey % 97 != 3)
+    SELECT 1 AS version, o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 2 AS version, o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM v2 GROUP BY o_orderstatus
+    ORDER BY version, o_orderstatus
+    """,
+    tags=("pipeline", "snapshot", "vacuum", "maintenance"),
+)
+def pipeline_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-bounded VACUUM over the versioned snapshot store:
+    v0/v1/v2 committed, an orphan data dir planted (the crash
+    leftover ``commit`` documents), then ``vacuum(retain_last=2)``
+    removes v0 AND the orphan — after which this query reads the two
+    SURVIVING versions through their manifests and aggregates each.
+    The oracle recomputes both versions from the raw table and the
+    merge/delete definitions — certifying that vacuum destroyed
+    nothing it should have kept. The destructive half (v0 gone,
+    orphan gone, racing reader gets a clean missing-version error)
+    is pinned in tests/test_pipeline.py."""
+    store = _vacuum_store(spark, sf_dir)
+    versions = []
+    for v in (1, 2):
+        versions.append(
+            store.read(v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select(F.lit(v).alias("version"), "o_orderstatus", "n_orders", "total_price")
+        )
+    return versions[0].unionByName(versions[1]).orderBy("version", "o_orderstatus")

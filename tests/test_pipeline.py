@@ -733,3 +733,22 @@ def test_recursive_cte_depth_closed_form(spark, sf_dir):
     assert len(rows) == 100
     for r in rows:
         assert r.root_depth == r.start_key.bit_length() - 1
+
+
+def test_snapshot_vacuum_destroys_only_expired(spark, sf_dir):
+    """After vacuum(retain_last=2): v0 and the orphan data dir are
+    gone from disk, a v0 read raises the clean missing-version error,
+    and the surviving versions still read through their manifests."""
+    import os
+
+    import pytest as _pytest
+
+    from rdbms_scala_spark.pipeline.snapshot import _vacuum_store
+
+    store = _vacuum_store(spark, sf_dir)
+    assert store.versions() == [1, 2]
+    assert not os.path.isdir(os.path.join(store.root, "v0"))
+    assert not os.path.isdir(os.path.join(store.root, "v99"))
+    with _pytest.raises(ValueError, match="does not exist"):
+        store.read(0)
+    assert store.read(1).count() > store.read(2).count()
