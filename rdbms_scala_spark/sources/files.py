@@ -783,3 +783,74 @@ def scan_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
     )
+
+
+_SCHEMA_MERGE_BUILT: set[tuple[str, str]] = set()
+
+
+def _schema_evolution_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet batches with EVOLVED schemas under one scratch
+    root: batch a (even order keys) predates the ``o_orderstatus``
+    column; batch b (odd keys) carries it — the append-only schema
+    widening every long-lived ingest dataset accumulates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = _scratch_dir(spark, sf_dir, "schema_merge")
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key in _SCHEMA_MERGE_BUILT:
+        return root
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    ).write.mode("overwrite").parquet(os.path.join(root, "batch=a"))
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    ).write.mode("overwrite").parquet(os.path.join(root, "batch=b"))
+    _SCHEMA_MERGE_BUILT.add(key)
+    return root
+
+
+@register(
+    "scan_schema_merge",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(round(o_totalprice, 2)), 2) AS total_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY o_orderstatus NULLS FIRST
+    """,
+    tags=("scan", "schema-evolution", "source"),
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (``mergeSchema``): two parquet batches
+    written at different schema epochs — the older one lacks
+    ``o_orderstatus`` entirely — scan as ONE relation whose schema is
+    the union, with the missing column NULL-filled for old files.
+    This is the append-only widening path every long-lived dataset
+    takes (add a column, never rewrite history); the aggregate pins
+    that old-batch rows surface as NULL status and every row of both
+    epochs arrives exactly once.
+
+    Scale note: mergeSchema reconciles footers at planning time —
+    cost scales with file COUNT, not data size, so at 100 TB you
+    either pin the merged schema explicitly in the reader (schema
+    evolution resolved once, stored in a catalog) or keep per-epoch
+    manifests (`SnapshotStore`); the per-query footer sweep here is
+    the zero-infrastructure form."""
+    from pyspark.sql import functions as F
+
+    root = _schema_evolution_layout(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(F.col("o_orderstatus").asc_nulls_first())
+    )
