@@ -134,7 +134,14 @@ _FLAGSHIPS: dict[str, list[str]] = {
     # q9 first: one driver-green row certifies the whole derived-
     # partsupp machinery (the round-4 TPC-H completion)
     "tpch": ["tpch_q9", "tpch_q1", "tpch_q3"],
-    "pipeline": ["pipeline_training_manifest"],
+    "pipeline": ["pipeline_training_manifest", "pipeline_upsert_snapshot"],
+    # round-6 families: scale-path members lead future regression
+    # prefixes once certified
+    "graph": ["graph_pagerank", "graph_triangle_count"],
+    "maintenance": ["maintenance_table_stats", "maintenance_drift_psi"],
+    "embeddings": ["embeddings_gram_matrix", "embeddings_label_centroids"],
+    "scan": ["scan_zorder_skipping", "scan_partition_pruned", "scan_metadata_count"],
+    "functions": ["functions_variant", "functions_array"],
 }
 
 
