@@ -1274,6 +1274,8 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_SCALE = 10**9
 _PR_ITERS = 5
 
+_PAGERANK_MAX_DF = 100
+
 _PAGERANK_ORACLE = f"""
     WITH pairs AS ({_JACCARD_ORACLE}),
     edges AS (
@@ -1368,7 +1370,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative algorithm with a full value-hash oracle, not a
     rows-only row."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = pairwise_jaccard(shingles_df(docs, n=3)).filter(F.col("jaccard") >= 0.7)
+    # Edge derivation uses a TIGHT df cap (vs the 5000 default): a
+    # shingle shared by >100 docs carries no >=0.7-Jaccard signal —
+    # it only floods the inverted-index join with noise pairs
+    # (sum(df^2) row explosion; the x64 smoke's marker artifact
+    # produced per-copy shingles with df ~5000 and the uncapped join
+    # OOM'd the JVM). The cap never binds at oracle scales (max df:
+    # 7 at sf0.01, 25 at sf0.1 — tests/test_pipeline.py pins the
+    # headroom), so the gate's exact-replay oracle is unaffected.
+    pairs = pairwise_jaccard(shingles_df(docs, n=3), max_df=_PAGERANK_MAX_DF).filter(
+        F.col("jaccard") >= 0.7
+    )
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )

@@ -752,3 +752,25 @@ def test_snapshot_vacuum_destroys_only_expired(spark, sf_dir):
     with _pytest.raises(ValueError, match="does not exist"):
         store.read(0)
     assert store.read(1).count() > store.read(2).count()
+
+
+def test_pagerank_edge_df_cap_has_gate_headroom(spark, sf_dir):
+    """graph_pagerank derives its edges under a tight shingle-df cap
+    (noise-pair suppression at scale). The cap must NOT bind at
+    oracle scales or the exact-replay oracle would diverge — pin
+    comfortable headroom between the corpus's max shingle df and the
+    cap."""
+    from rdbms_scala_spark.pipeline.dedup import (
+        _PAGERANK_MAX_DF,
+        shingles_df,
+    )
+
+    docs = dedup.load_table(spark, sf_dir, "documents")
+    max_df = (
+        shingles_df(docs, n=3)
+        .groupBy("shingle")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_df * 4 <= _PAGERANK_MAX_DF, (max_df, _PAGERANK_MAX_DF)
