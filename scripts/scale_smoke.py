@@ -205,6 +205,15 @@ def main() -> None:
         "  grid phase replicates it S ways — the demo config, not the",
         "  operator; the join_skew_salted_auto row (per-reducer-budget",
         "  threshold, the production stance) shows the real curve.",
+        "- token-stream ops (text_unigram_logprob, text_bm25_search,",
+        "  graph_pagerank's shingle edge derivation): the marker",
+        "  interleave DOUBLES each copy's token count, so these ops see",
+        "  ~128x data at x64 — unigram's 13x (and pagerank's 8.5x,",
+        "  dominated by edge derivation, not the 5 rank iterations) are",
+        "  strongly sublinear against that. pagerank's derivation only",
+        "  survives x64 because of its tight shingle-df cap: marker",
+        "  trigrams ('c<i> w c<i>') reach df ~5000 per copy and the",
+        "  uncapped sum(df^2) join OOM'd the JVM before the cap landed.",
         "",
         f"Rows: {json.dumps(rows)}",
         "",
