@@ -692,3 +692,109 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, names=("customer", "supplier"))
     return spark.sql(_NULL_SAFE_JOIN)
+
+
+_NEAREST_TOL_US = 21_600_000_000  # 6 hours
+
+_ASOF_NEAREST_ORACLE = f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    cand AS (
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS purchase_ts_us,
+               epoch_us(c.ts) AS click_ts_us,
+               abs(epoch_us(p.ts) - epoch_us(c.ts)) AS delta_us
+        FROM p JOIN c ON p.user_id = c.user_id
+        WHERE abs(epoch_us(p.ts) - epoch_us(c.ts)) <= {_NEAREST_TOL_US}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY event_id
+                   ORDER BY delta_us, click_ts_us) AS rn
+        FROM cand
+    )
+    SELECT event_id, user_id, purchase_ts_us, click_ts_us, delta_us
+    FROM ranked WHERE rn = 1
+    ORDER BY event_id
+"""
+
+
+@register(
+    "join_asof_nearest",
+    oracle=_ASOF_NEAREST_ORACLE,
+    tags=("join", "asof", "nearest", "scale"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join with tolerance: each purchase matched
+    to the same user's temporally closest click within ±6 h, in
+    EITHER direction (ties -> the earlier click) — the sensor-fusion /
+    feature-attribution variant of `join_asof`'s backward-only match
+    (pandas merge_asof direction='nearest'; DuckDB ASOF is
+    backward-only, so the oracle ranks candidates explicitly).
+
+    Scale shape: same union-then-window discipline as `join_asof` —
+    ONE shuffle on user_id, one ordered pass computing BOTH the last
+    preceding and first following click per purchase (two frames over
+    the same window sort), then an arithmetic pick of the nearer
+    side. Never builds the per-pair candidate set the oracle's join
+    materializes (quadratic in events-per-user); deltas are exact
+    integer microseconds.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    # clicks sort BEFORE purchases at equal ts (kind 0 < 1), so a
+    # same-instant click lands in the preceding frame with delta 0.
+    w = W.partitionBy("user_id").orderBy("ts", "kind")
+    merged = (
+        clicks.union(purchases)
+        .withColumn(
+            "prev_click_ts",
+            F.last("click_ts", ignorenulls=True).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn(
+            "next_click_ts",
+            F.first("click_ts", ignorenulls=True).over(
+                w.rowsBetween(W.currentRow, W.unboundedFollowing)
+            ),
+        )
+    )
+    pts = F.unix_micros("ts")
+    d_prev = F.when(
+        F.col("prev_click_ts").isNotNull(), pts - F.unix_micros("prev_click_ts")
+    )
+    d_next = F.when(
+        F.col("next_click_ts").isNotNull(), F.unix_micros("next_click_ts") - pts
+    )
+    prev_ok = d_prev.isNotNull() & (d_prev <= F.lit(_NEAREST_TOL_US))
+    next_ok = d_next.isNotNull() & (d_next <= F.lit(_NEAREST_TOL_US))
+    # ties -> the earlier (preceding) click, matching the oracle's
+    # (delta, click_ts) rank order
+    take_prev = prev_ok & (~next_ok | (d_prev <= d_next))
+    chosen = F.when(take_prev, F.col("prev_click_ts")).otherwise(
+        F.col("next_click_ts")
+    )
+    return (
+        merged.filter((F.col("kind") == 1) & (prev_ok | next_ok))
+        .select(
+            "event_id",
+            "user_id",
+            pts.alias("purchase_ts_us"),
+            F.unix_micros(chosen).alias("click_ts_us"),
+            F.abs(pts - F.unix_micros(chosen)).alias("delta_us"),
+        )
+        .orderBy("event_id")
+    )

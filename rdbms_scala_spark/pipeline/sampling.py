@@ -324,3 +324,64 @@ def sample_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round("w", 4).alias("keep_weight"))
         .orderBy("doc_id")
     )
+
+
+_SPLIT_VAL_FROM = "2000-01-01 00:00:00"
+_SPLIT_TEST_FROM = "2001-01-01 00:00:00"
+
+_TIME_SPLIT_ORACLE = f"""
+    SELECT CASE WHEN o_orderdate < TIMESTAMP '{_SPLIT_VAL_FROM}' THEN 'train'
+                WHEN o_orderdate < TIMESTAMP '{_SPLIT_TEST_FROM}' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS first_date,
+           CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS last_date,
+           round(sum(round(o_totalprice, 2)), 2) AS total_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY split DESC
+"""
+
+
+@register(
+    "sample_split_by_time",
+    oracle=_TIME_SPLIT_ORACLE,
+    tags=("sample", "split", "temporal"),
+)
+def sample_split_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/val/test split: everything before the val
+    cutoff trains, a held-out recent year validates, the newest
+    months test — the split discipline for forecasting / recommender
+    / eval-freshness workloads where a RANDOM split (see
+    `sample_train_val_test`) leaks the future into training. Cutoffs
+    are fixed timestamps, so the assignment is reproducible on any
+    engine and append-stable: new data can only land in (or after)
+    the test window, never reshuffle history.
+
+    Scale shape: map-only assignment + one tiny grouped aggregate —
+    and because the split predicate is a raw column comparison, a
+    date-partitioned layout (`scan_partition_pruned`) serves each
+    split via partition pruning with no assignment pass at all.
+    ORDER BY split DESC = train/val/test (reverse-alphabetical
+    happens to be chronological here)."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = (
+        F.when(F.col("o_orderdate") < F.lit(_SPLIT_VAL_FROM).cast("timestamp"), "train")
+        .when(F.col("o_orderdate") < F.lit(_SPLIT_TEST_FROM).cast("timestamp"), "val")
+        .otherwise("test")
+    )
+    return (
+        orders.select(
+            split.alias("split"),
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("p2"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+            F.round(F.sum("p2"), 2).alias("total_price"),
+        )
+        .orderBy(F.col("split").desc())
+    )

@@ -108,10 +108,13 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "window_share_of_group", "window_topn_per_group",
 })
 
-# Round-5 used this slot to defer freshly-registered queries behind
-# the four-round-old backlog; the backlog cleared in r5, so nothing
-# defers entering round 6.
-_TIER1_DEFER: frozenset[str] = frozenset()
+# Tier-0 is FULL for round 6 (47 entries ≤ the ~50-row prefix), so
+# late round-6 additions defer to tier 1: pytest/oracle-green now,
+# rotated into the driver prefix in round 7 (the round-5 playbook).
+_TIER1_DEFER: frozenset[str] = frozenset({
+    "join_asof_nearest",
+    "sample_split_by_time",
+})
 
 # Within-family ordering for the interleave: each family's
 # highest-signal queries lead (the scale-path / most-complex member,
