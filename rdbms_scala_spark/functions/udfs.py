@@ -181,7 +181,14 @@ def udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_id bigint, n_tokens bigint, n_distinct bigint, head_token string")
     class WordWindows:
         def eval(self, text: str):
-            toks = (text or "").split()
+            import re
+
+            # Mirror the oracle's string_split_regex(trim(text), '\s+')
+            # EXACTLY, including edges the fixtures don't exercise:
+            # DuckDB trim() strips spaces only (not tabs/newlines) and
+            # splitting '' yields [''] — a bare str.split() would
+            # silently diverge on an empty or tab-prefixed document.
+            toks = re.split(r"\s+", (text or "").strip(" "))
             width = 32
             for c in range((len(toks) + width - 1) // width):
                 w = toks[c * width:(c + 1) * width]

@@ -339,7 +339,7 @@ _TIME_SPLIT_ORACLE = f"""
            round(sum(round(o_totalprice, 2)), 2) AS total_price
     FROM orders
     GROUP BY 1
-    ORDER BY split DESC
+    ORDER BY first_date
 """
 
 
@@ -362,8 +362,8 @@ def sample_split_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     and because the split predicate is a raw column comparison, a
     date-partitioned layout (`scan_partition_pruned`) serves each
     split via partition pruning with no assignment pass at all.
-    ORDER BY split DESC = train/val/test (reverse-alphabetical
-    happens to be chronological here)."""
+    Rows order chronologically (by each split's first date):
+    train, val, test."""
     orders = load_table(spark, sf_dir, "orders")
     split = (
         F.when(F.col("o_orderdate") < F.lit(_SPLIT_VAL_FROM).cast("timestamp"), "train")
@@ -383,5 +383,5 @@ def sample_split_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
             F.round(F.sum("p2"), 2).alias("total_price"),
         )
-        .orderBy(F.col("split").desc())
+        .orderBy("first_date")
     )

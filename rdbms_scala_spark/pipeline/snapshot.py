@@ -480,13 +480,13 @@ def _vacuum_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
     from rdbms_scala_spark.sources.files import _scratch_dir
 
     root = _scratch_dir(spark, sf_dir, "snap_vacuum")
-    store = SnapshotStore(spark, root)
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _VACUUM_BUILT:
-        return store
-    if store.versions() or os.path.isdir(root):
-        shutil.rmtree(root, ignore_errors=True)
-        store = SnapshotStore(spark, root)
+        return SnapshotStore(spark, root)
+    # Unconditional wipe: a stale dir from a died earlier attempt
+    # would shift commit()'s version numbering.
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
     demo = _demo_store(spark, sf_dir)
     for v in (0, 1, 2):
         store.commit(demo.read(v))

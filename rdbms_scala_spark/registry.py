@@ -55,11 +55,12 @@ def _family(name: str) -> str:
 # checks only a ~50-entry prefix of the registry per round, so entries
 # in this set yield no new information if they lead; the interleave
 # demotes them to a second tier so every never-driver-checked query
-# gets a driver-issued row first. Round 6 grew the registry 142->176,
-# so its tier-0 queue is 44 entries (the 6 round-5 deferrals, the
-# fixed `multimodal_features`, the 3 sketch queries, and the 34
-# round-6 additions) — the ~50-row prefix certifies all of them with
-# the remaining slots regression-covering the leading flagships.
+# gets a driver-issued row first. Round 6 grew the registry 142->181,
+# so its tier-0 queue is 47 entries (the 6 round-5 deferrals, the
+# fixed `multimodal_features`, the 3 sketch queries, and the round-6
+# additions minus the 2 in _TIER1_DEFER) — the ~50-row prefix
+# certifies all 47 with the remaining slots regression-covering the
+# leading flagships.
 _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_collect_sorted", "agg_corr_covar", "agg_cube", "agg_distinct",
     "agg_grouped", "agg_grouping_sets", "agg_having",
@@ -155,9 +156,9 @@ def _interleaved(registry: dict[str, "QuerySpec"]) -> dict[str, "QuerySpec"]:
     entries per round, and the prefix has been nearly identical every
     round), so whatever leads is what gets driver-certified. Tier 0 is
     every query WITHOUT a full driver-green row in any prior round
-    (``_DRIVER_GREEN``) — 44 after round 6's additions, so the
-    50-entry prefix certifies all of them with the remaining slots as
-    flagship regression rows. Tier 1 is the already-certified rest, flagships
+    (``_DRIVER_GREEN``) — 47 after round 6's additions (2 more sit in
+    ``_TIER1_DEFER``), so the 50-entry prefix certifies all of them
+    with the remaining slots as flagship regression rows. Tier 1 is the already-certified rest, flagships
     first, for regression coverage in any longer prefix. Both tiers
     are round-robined across families so every prefix stays
     family-balanced.
