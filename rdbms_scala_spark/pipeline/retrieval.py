@@ -307,3 +307,94 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_KEYWORDS_PER_DOC = 3
+
+_TFIDF_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks),
+    tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS f,
+               CAST(max(n) AS BIGINT) AS dlen
+        FROM (SELECT doc_id, unnest(t) AS tok, len(t) AS n FROM toks)
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS d FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               CAST(round(
+                   (CAST(tf.f AS DOUBLE) / tf.dlen) *
+                   ln((c.n_docs + 1.0) / (df.d + 1.0))
+                   * 1e9) AS BIGINT) AS q
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN corpus c
+    ),
+    ranked AS (
+        SELECT doc_id, tok, q,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY q DESC, tok) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS keyword,
+           round(q / 1e9, 6) AS tfidf
+    FROM ranked WHERE rank <= {_KEYWORDS_PER_DOC}
+    ORDER BY doc_id, rank
+"""
+
+
+@register(
+    "text_keyword_tfidf",
+    oracle=_TFIDF_ORACLE,
+    tags=("text", "tfidf", "keywords", "retrieval"),
+)
+def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top-3 most
+    distinctive terms per doc under tf/|d| · ln((N+1)/(df+1)) —
+    the complement of `text_bm25_search` (corpus-level query scoring
+    vs doc-level term salience); keywords feed topic tagging, index
+    pruning, and boilerplate detection (docs whose top keywords are
+    corpus-ubiquitous terms score near zero).
+
+    Scale shape: one token-explode pass builds per-doc tf with dlen
+    riding through the explode (the BM25 discipline); df re-aggregates
+    the much-smaller tf relation; the model join broadcasts df
+    (vocabulary-sized). The per-doc top-3 executes as a two-level
+    WindowGroupLimit (partial below the doc_id exchange — the
+    `similarity_topk_bruteforce` plan shape). Scores are
+    integer-quantized at 1e-9 BEFORE ranking, so the rank order
+    (q DESC, token) is exact integer comparison — no float tie can
+    order differently across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", tokens().alias("t"))
+        .select("doc_id", F.size("t").alias("n"), F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"), F.max("n").alias("dlen"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    q = F.round(
+        (F.col("f").cast("double") / F.col("dlen"))
+        * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("d") + F.lit(1.0)))
+        * F.lit(1e9)
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "tok", q.alias("q"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("q").desc(), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KEYWORDS_PER_DOC)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("tok").alias("keyword"),
+            F.round(F.col("q") / F.lit(1e9), 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )

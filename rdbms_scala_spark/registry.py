@@ -115,6 +115,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 _TIER1_DEFER: frozenset[str] = frozenset({
     "join_asof_nearest",
     "sample_split_by_time",
+    "text_keyword_tfidf",
 })
 
 # Within-family ordering for the interleave: each family's
