@@ -541,3 +541,88 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "trigram")
         .limit(20)
     )
+
+
+_DATASET_CARD_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+               md5(lower(trim(text))) AS fp
+        FROM documents
+    )
+    SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM toks
+        UNION ALL
+        SELECT 'n_tokens', CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) FROM toks
+        UNION ALL
+        SELECT 'avg_tokens_per_doc',
+               round(CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) / count(*), 4)
+        FROM toks
+        UNION ALL
+        SELECT 'duplicate_rate',
+               round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+        FROM toks
+        UNION ALL
+        SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM toks
+        UNION ALL
+        SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM toks
+    )
+    ORDER BY metric
+"""
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=_DATASET_CARD_ORACLE,
+    tags=("pipeline", "dataset-card", "stats"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card statistics block every corpus release ships
+    (HF dataset cards, Dolma/C4 papers): document and token counts,
+    mean document length, exact-duplicate rate, and language/source
+    cardinalities — in long (metric, value) form so downstream
+    dashboards ingest it schema-free. Complements
+    `maintenance_table_stats` (per-COLUMN profile of a relational
+    table) with the corpus-level profile of the text table.
+
+    Scale shape: ONE pass over documents computes per-doc token
+    counts and fingerprints map-only; every metric is then a
+    map-side-combinable aggregate (the three DISTINCTs are
+    fingerprint/lang/source — at 100 TB swap the exact distinct
+    fingerprint count for approx_count_distinct, the
+    `agg_approx_distinct` machinery, to avoid the full-width
+    exchange). Value column is uniformly DOUBLE: counts are exact
+    integers below 2^53, ratios rounded in-query."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        F.size(tokens()).alias("n_tok"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.count_distinct("fp").alias("n_fp"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    return (
+        agg.select(
+            F.explode(
+                F.create_map(
+                    F.lit("n_docs"), F.col("n_docs").cast("double"),
+                    F.lit("n_tokens"), F.col("n_tokens").cast("double"),
+                    F.lit("avg_tokens_per_doc"),
+                    F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 4),
+                    F.lit("duplicate_rate"),
+                    F.round(
+                        F.lit(1.0) - F.col("n_fp").cast("double") / F.col("n_docs"), 6
+                    ),
+                    F.lit("n_langs"), F.col("n_langs").cast("double"),
+                    F.lit("n_sources"), F.col("n_sources").cast("double"),
+                )
+            ).alias("metric", "value")
+        )
+        .orderBy("metric")
+    )

@@ -116,6 +116,7 @@ _TIER1_DEFER: frozenset[str] = frozenset({
     "join_asof_nearest",
     "sample_split_by_time",
     "text_keyword_tfidf",
+    "pipeline_dataset_card",
 })
 
 # Within-family ordering for the interleave: each family's
