@@ -668,3 +668,89 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("journey").rlike(_PATTERN), 1).otherwise(0).alias("matched"),
         F.md5("journey").alias("journey_sig"),
     ).orderBy("user_id")
+
+
+_RFM_REF_TS = "2002-01-01 00:00:00"
+
+_RFM_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(date_diff('day', max(ts), TIMESTAMP '{_RFM_REF_TS}')
+                    AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(CASE WHEN event_type = 'purchase'
+                              THEN round(value, 2) ELSE 0 END), 2) AS monetary
+        FROM events
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, recency_days, frequency, monetary,
+               ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+               ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+               ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+        FROM per_user
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN f_score <= 2 THEN 'low_engagement'
+                ELSE 'regular' END AS segment
+    FROM scored
+    ORDER BY user_id
+"""
+
+
+@register(
+    "events_rfm_segments",
+    oracle=_RFM_ORACLE,
+    tags=("events", "rfm", "segmentation"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) behavioral segmentation:
+    per-user last-activity age, event count, and purchase value
+    collapse to three ntile(5) quintile scores and a rule-based
+    segment label — the canonical marketing/engagement cohorting
+    that every event warehouse serves.
+
+    Scale shape: ONE corpus-sized map-side-combinable aggregate to
+    per-user rows; the quintile windows then run over the USER table
+    (orders of magnitude smaller — the post-aggregation-smallness
+    argument of `text_vocab_induction`; at extreme user counts swap
+    ntile for approx_percentile cut points, the
+    `agg_approx_percentiles` machinery). Determinism: ntile frames
+    are fully tie-broken (metric, user_id), recency is exact integer
+    days against a fixed reference timestamp, and monetary sums
+    pre-rounded cents."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = F.lit(_RFM_REF_TS).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(ref, F.max("ts")).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.round("value", 2)
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("monetary"),
+    )
+    r_w = W.orderBy(F.col("recency_days").desc(), "user_id")
+    f_w = W.orderBy("frequency", "user_id")
+    m_w = W.orderBy("monetary", "user_id")
+    scored = per_user.select(
+        "*",
+        F.ntile(5).over(r_w).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when(F.col("f_score") <= 2, "low_engagement")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", segment).orderBy("user_id")
