@@ -584,3 +584,82 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_GROUP_BY_ALL)
+
+
+_WEIGHTED_MEDIAN_ORACLE = """
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(round(l_quantity) AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, price_c, wt,
+               CAST(sum(wt) OVER (PARTITION BY l_returnflag
+                                  ORDER BY price_c
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        FROM w
+    )
+    SELECT l_returnflag,
+           round(CAST(min(price_c) AS BIGINT) / 1e2, 2) AS weighted_median_price,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_weighted_median",
+    oracle=_WEIGHTED_MEDIAN_ORACLE,
+    tags=("aggregate", "weighted-median", "quantile"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group (price weighted by quantity): the
+    lower weighted median = the smallest value whose cumulative
+    weight reaches half the group total — the robust central-tendency
+    statistic behind volume-weighted price analytics and
+    size-weighted length statistics (neither engine ships a weighted
+    median aggregate; both derive it from the same cumulative-weight
+    window, so the gate certifies the derivation).
+
+    Determinism: prices quantized to integer cents and weights to
+    integer units BEFORE the cumulative sum, so every comparison
+    (cw*2 >= tw) is exact integer arithmetic. Equal-price rows'
+    relative order does not matter: ROWS cumulative sums differ
+    within a tie run, but the FIRST row crossing half-total always
+    carries the same price value, and min(price_c) over the crossing
+    set is order-independent.
+
+    Scale shape: one shuffle on the group key, one ordered window
+    pass per group (the per-group sort an exact quantile inherently
+    needs), then a tiny aggregate; at extreme group widths swap to
+    the mergeable GK sketch (`agg_approx_percentiles`) — weighted,
+    by feeding each row weight-many times or a weighted-sketch
+    variant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round("l_quantity").cast("long").alias("wt"),
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("l_returnflag").orderBy("price_c")
+    cum = w.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(win.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cw"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("price_c") / F.lit(1e2), 2).alias("weighted_median_price"),
+            F.min("tw").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

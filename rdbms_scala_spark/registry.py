@@ -55,10 +55,10 @@ def _family(name: str) -> str:
 # checks only a ~50-entry prefix of the registry per round, so entries
 # in this set yield no new information if they lead; the interleave
 # demotes them to a second tier so every never-driver-checked query
-# gets a driver-issued row first. Round 6 grew the registry 142->184,
+# gets a driver-issued row first. Round 6 grew the registry 142->185,
 # so its tier-0 queue is 47 entries (the 6 round-5 deferrals, the
 # fixed `multimodal_features`, the 3 sketch queries, and the round-6
-# additions minus the 5 in _TIER1_DEFER) — the ~50-row prefix
+# additions minus the 6 in _TIER1_DEFER) — the ~50-row prefix
 # certifies all 47 with the remaining slots regression-covering the
 # leading flagships.
 _DRIVER_GREEN: frozenset[str] = frozenset({
@@ -118,6 +118,7 @@ _TIER1_DEFER: frozenset[str] = frozenset({
     "text_keyword_tfidf",
     "pipeline_dataset_card",
     "events_rfm_segments",
+    "agg_weighted_median",
 })
 
 # Within-family ordering for the interleave: each family's
