@@ -683,17 +683,42 @@ _RFM_ORACLE = f"""
         FROM events
         GROUP BY user_id
     ),
+    cuts AS (
+        SELECT quantile_cont(-recency_days, 0.2) AS r1,
+               quantile_cont(-recency_days, 0.4) AS r2,
+               quantile_cont(-recency_days, 0.6) AS r3,
+               quantile_cont(-recency_days, 0.8) AS r4,
+               quantile_cont(frequency, 0.2) AS f1,
+               quantile_cont(frequency, 0.4) AS f2,
+               quantile_cont(frequency, 0.6) AS f3,
+               quantile_cont(frequency, 0.8) AS f4,
+               quantile_cont(monetary, 0.2) AS m1,
+               quantile_cont(monetary, 0.4) AS m2,
+               quantile_cont(monetary, 0.6) AS m3,
+               quantile_cont(monetary, 0.8) AS m4
+        FROM per_user
+    ),
     scored AS (
         SELECT user_id, recency_days, frequency, monetary,
-               ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
-               ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
-               ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
-        FROM per_user
+               CAST(1 + (CASE WHEN -recency_days > r1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN -recency_days > r2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN -recency_days > r3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN -recency_days > r4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r_score,
+               CAST(1 + (CASE WHEN frequency > f1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN frequency > f2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN frequency > f3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN frequency > f4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f_score,
+               CAST(1 + (CASE WHEN monetary > m1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN monetary > m2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN monetary > m3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN monetary > m4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS m_score
+        FROM per_user CROSS JOIN cuts
     )
     SELECT user_id, recency_days, frequency, monetary,
-           CAST(r_score AS BIGINT) AS r_score,
-           CAST(f_score AS BIGINT) AS f_score,
-           CAST(m_score AS BIGINT) AS m_score,
+           r_score, f_score, m_score,
            CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
                 WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
                 WHEN f_score <= 2 THEN 'low_engagement'
@@ -711,19 +736,26 @@ _RFM_ORACLE = f"""
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) behavioral segmentation:
     per-user last-activity age, event count, and purchase value
-    collapse to three ntile(5) quintile scores and a rule-based
-    segment label — the canonical marketing/engagement cohorting
-    that every event warehouse serves.
+    collapse to three quintile scores and a rule-based segment label
+    — the canonical marketing/engagement cohorting that every event
+    warehouse serves.
 
     Scale shape: ONE corpus-sized map-side-combinable aggregate to
-    per-user rows; the quintile windows then run over the USER table
-    (orders of magnitude smaller — the post-aggregation-smallness
-    argument of `text_vocab_induction`; at extreme user counts swap
-    ntile for approx_percentile cut points, the
-    `agg_approx_percentiles` machinery). Determinism: ntile frames
-    are fully tie-broken (metric, user_id), recency is exact integer
-    days against a fixed reference timestamp, and monetary sums
-    pre-rounded cents."""
+    per-user rows, then ONE global ``percentile`` aggregate yields
+    the 4 quintile cut points per metric, broadcast-cross-joined back
+    so scoring is a map-side comparison — no global window touches
+    the per-user table (the `sample_quality_top_fraction` pattern;
+    the previous ntile(5) formulation funneled every user through a
+    single-partition WindowExec three times). At extreme user counts
+    swap the exact percentile for ``approx_percentile`` (same plan
+    shape, sketch-merge combine). Determinism: Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    type-7 definition on identical inputs; recency/frequency are
+    integers so ``v > cut`` comparisons carry ≥0.2-wide margins, and
+    monetary cuts interpolate strictly between adjacent sorted
+    values, so no data point sits within float error of a cut.
+    Cut-point semantics (unlike ntile) give tied metric values tied
+    scores — the behaviorally-correct choice."""
     ev = load_table(spark, sf_dir, "events")
     ref = F.lit(_RFM_REF_TS).cast("timestamp")
     per_user = ev.groupBy("user_id").agg(
@@ -738,14 +770,29 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("monetary"),
     )
-    r_w = W.orderBy(F.col("recency_days").desc(), "user_id")
-    f_w = W.orderBy("frequency", "user_id")
-    m_w = W.orderBy("monetary", "user_id")
-    scored = per_user.select(
-        "*",
-        F.ntile(5).over(r_w).cast("long").alias("r_score"),
-        F.ntile(5).over(f_w).cast("long").alias("f_score"),
-        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    cuts = per_user.agg(
+        F.expr(f"percentile(-recency_days, {qs})").alias("r_cuts"),
+        F.expr(f"percentile(frequency, {qs})").alias("f_cuts"),
+        F.expr(f"percentile(monetary, {qs})").alias("m_cuts"),
+    )
+
+    def quintile(metric, cuts_col: str):
+        score = F.lit(1)
+        for i in range(1, 5):
+            score = score + F.when(
+                metric > F.element_at(F.col(cuts_col), i), 1
+            ).otherwise(0)
+        return score.cast("long")
+
+    scored = per_user.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        quintile(-F.col("recency_days"), "r_cuts").alias("r_score"),
+        quintile(F.col("frequency"), "f_cuts").alias("f_score"),
+        quintile(F.col("monetary"), "m_cuts").alias("m_score"),
     )
     segment = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
