@@ -51,75 +51,81 @@ def _family(name: str) -> str:
 
 
 # Queries that already earned a full rows+schema+hash green row in a
-# driver correctness gate (union of CORRECTNESS_r01..r05). The driver
-# checks only a ~50-entry prefix of the registry per round, so entries
-# in this set yield no new information if they lead; the interleave
-# demotes them to a second tier so every never-driver-checked query
-# gets a driver-issued row first. Round 6 grew the registry 142->185,
-# so its tier-0 queue is 47 entries (the 6 round-5 deferrals, the
-# fixed `multimodal_features`, the 3 sketch queries, and the round-6
-# additions minus the 6 in _TIER1_DEFER) — the ~50-row prefix
-# certifies all 47 with the remaining slots regression-covering the
-# leading flagships.
+# driver correctness gate (union of CORRECTNESS_r01..r06: 177 names).
+# The driver checks only a ~50-entry prefix of the registry per
+# round, so entries in this set yield no new information if they
+# lead; the interleave demotes them to a second tier so every
+# never-driver-checked query gets a driver-issued row first. Round-7
+# tier 0: the six round-6 deferrals, `similarity_ivf_kmeans` and
+# `multimodal_features` (rows-only in r6, upgraded to real oracles
+# this round, so they re-certify), plus round-7 additions.
 _DRIVER_GREEN: frozenset[str] = frozenset({
-    "agg_collect_sorted", "agg_corr_covar", "agg_cube", "agg_distinct",
-    "agg_grouped", "agg_grouping_sets", "agg_having",
-    "agg_minmax_dates", "agg_percentiles", "agg_rollup", "agg_stats",
-    "agg_ungrouped", "case_when", "csv_source_roundtrip",
+    "agg_approx_distinct", "agg_approx_percentiles", "agg_collect_sorted",
+    "agg_corr_covar", "agg_count_min_sketch", "agg_cube", "agg_distinct",
+    "agg_group_by_all", "agg_grouped", "agg_grouping_sets", "agg_having",
+    "agg_hll_mergeable", "agg_minmax_dates", "agg_mode_per_group",
+    "agg_percentiles", "agg_rollup", "agg_stats", "agg_ungrouped",
+    "case_when", "csv_corrupt_records", "csv_source_roundtrip",
     "date_expressions", "dedup_connected_components",
     "dedup_contamination_check", "dedup_embedding_cosine",
     "dedup_exact_docs", "dedup_incremental", "dedup_levenshtein",
-    "dedup_minhash_clusters", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "distinct_values",
-    "events_funnel", "events_gap_fill", "events_hopping",
-    "events_retention_cohorts", "events_rollup_multires",
-    "events_session_window", "events_sessionize", "events_tumbling",
-    "except_keys", "explode_token_counts", "filter_predicates",
-    "functions_array", "functions_conditional", "functions_datetime",
-    "functions_json", "functions_math", "functions_string",
-    "intersect_keys", "join_anti", "join_asof", "join_broadcast_dim",
-    "join_cross", "join_full_outer", "join_inner_equi",
-    "join_left_outer", "join_non_equi", "join_range_binned",
-    "join_self", "join_semi", "join_skew_salted",
-    "json_source_roundtrip", "multimodal_decode",
-    "multimodal_frame_sample", "multimodal_ingest",
-    "pandas_udf_grouped_agg", "pandas_udf_grouped_map",
-    "pandas_udf_scalar", "pipeline_training_manifest",
-    "pivot_event_type", "project_expressions",
+    "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "distinct_values", "embeddings_gram_matrix",
+    "embeddings_label_centroids", "events_anomaly_zscore", "events_funnel",
+    "events_gap_fill", "events_hopping", "events_markov_transitions",
+    "events_pattern_match", "events_retention_cohorts",
+    "events_rollup_multires", "events_session_window", "events_sessionize",
+    "events_tumbling", "except_keys", "explode_token_counts",
+    "filter_predicates", "functions_array", "functions_conditional",
+    "functions_datetime", "functions_json", "functions_math",
+    "functions_string", "functions_variant", "graph_pagerank",
+    "graph_triangle_count", "intersect_keys", "join_anti", "join_asof",
+    "join_bloom_pruned", "join_broadcast_dim", "join_bucketed_colocated",
+    "join_cross", "join_full_outer", "join_inner_equi", "join_lateral",
+    "join_left_outer", "join_non_equi", "join_null_safe",
+    "join_range_binned", "join_self", "join_semi", "join_skew_salted",
+    "join_skew_salted_auto", "json_source_roundtrip",
+    "maintenance_column_histogram", "maintenance_compact_small_files",
+    "maintenance_drift_psi", "maintenance_table_stats",
+    "multimodal_decode", "multimodal_frame_sample", "multimodal_ingest",
+    "orc_source_roundtrip", "pandas_udf_grouped_agg",
+    "pandas_udf_grouped_map", "pandas_udf_scalar",
+    "pipeline_snapshot_diff", "pipeline_snapshot_time_travel",
+    "pipeline_snapshot_vacuum", "pipeline_training_manifest",
+    "pipeline_upsert_snapshot", "pivot_event_type", "project_expressions",
     "sample_deterministic_hash", "sample_domain_mixture",
     "sample_per_group_cap", "sample_quality_top_fraction",
-    "sample_quality_weighted", "sample_train_val_test", "scan_project",
-    "similarity_ivf", "similarity_lsh_ann",
-    "similarity_pairs_above_threshold", "similarity_topk_bruteforce",
-    "sort_limit_topk", "streaming_dedup", "streaming_hopping_counts",
+    "sample_quality_weighted", "sample_train_val_test",
+    "scan_metadata_count", "scan_partition_pruned", "scan_point_lookup",
+    "scan_project", "scan_schema_merge", "scan_zorder_skipping",
+    "similarity_ivf", "similarity_ivf_pq", "similarity_lsh_ann",
+    "similarity_pairs_above_threshold", "similarity_pq",
+    "similarity_topk_bruteforce", "sort_limit_topk", "streaming_dedup",
+    "streaming_foreachbatch_upsert", "streaming_hopping_counts",
     "streaming_session_window", "streaming_stateful_user_totals",
+    "streaming_static_enrich", "streaming_stream_stream_join",
     "streaming_tumbling_counts", "subquery_exists_correlated",
     "subquery_from", "subquery_in", "subquery_not_in",
-    "subquery_scalar", "text_chunk_documents", "text_fingerprint",
-    "text_language_id", "text_length_buckets", "text_ngram_topk",
-    "text_pack_sequences", "text_pii_scrub", "text_quality_score",
-    "text_regex_tokens", "text_repetition_ratio", "text_token_count",
-    "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22",
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q9", "union_all", "union_distinct", "unpivot_order_measures",
-    "window_distribution_ranks", "window_lag_lead", "window_moving_avg",
-    "window_range_frame", "window_rank_dense", "window_running_revenue",
-    "window_share_of_group", "window_topn_per_group",
+    "subquery_recursive_cte", "subquery_scalar", "text_bm25_search",
+    "text_chunk_documents", "text_fingerprint", "text_language_id",
+    "text_length_buckets", "text_ngram_topk", "text_pack_sequences",
+    "text_pii_scrub", "text_quality_score", "text_regex_tokens",
+    "text_repetition_ratio", "text_token_count", "text_unigram_logprob",
+    "text_vocab_induction", "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "udtf_word_windows", "union_all", "union_by_name", "union_distinct",
+    "unpivot_order_measures", "window_distribution_ranks",
+    "window_lag_lead", "window_moving_avg", "window_range_frame",
+    "window_rank_dense", "window_running_revenue", "window_share_of_group",
+    "window_topn_per_group",
 })
 
-# Tier-0 is FULL for round 6 (47 entries ≤ the ~50-row prefix), so
-# late round-6 additions defer to tier 1: pytest/oracle-green now,
-# rotated into the driver prefix in round 7 (the round-5 playbook).
-_TIER1_DEFER: frozenset[str] = frozenset({
-    "join_asof_nearest",
-    "sample_split_by_time",
-    "text_keyword_tfidf",
-    "pipeline_dataset_card",
-    "events_rfm_segments",
-    "agg_weighted_median",
-})
+# Round 7: empty. The six round-6 deferrals rotated into tier 0 and
+# lead the r7 prefix (the round-5/6 playbook); new round-7 additions
+# land in tier 0 directly while it stays under the ~50-row prefix.
+_TIER1_DEFER: frozenset[str] = frozenset()
 
 # Within-family ordering for the interleave: each family's
 # highest-signal queries lead (the scale-path / most-complex member,
