@@ -558,37 +558,181 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(emb, cent)
 
 
-def kmeans_centroids(emb: DataFrame, k: int = _IVF_K, seed: int = 42) -> DataFrame:
-    """Coarse centroids from seeded MLlib KMeans over the ``v`` column.
-    The model is tiny (k x dim doubles) and comes back to the driver as
-    a literal DataFrame that broadcasts into the assignment pass — at
-    scale, fit on a sample (KMeans cost is per-iteration linear in
-    rows) and the downstream structure is unchanged."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+_LLOYD_ITERS = 5
+_LLOYD_Q = "1e4"  # q4 component quantization, the PQ-oracle scale
 
-    feats = emb.select(array_to_vector(F.col("v")).alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
-    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    return emb.sparkSession.createDataFrame(centers, "cent_id long, cv array<double>")
+
+def lloyd_centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _LLOYD_ITERS) -> DataFrame:
+    """Coarse centroids from a deterministic distributed k-means: the
+    first ``k`` corpus vectors seed Lloyd's algorithm for a fixed
+    ``iters`` rounds, entirely in integer-quantized space (components
+    to round(x * 1e4) as BIGINT) so every step — squared-L2 argmin
+    assignment (ties to the lowest cent_id) and the floor-of-mean
+    centroid update — is exact, order-independent integer arithmetic
+    that DuckDB replays verbatim in chained CTEs (the
+    ``graph_pagerank`` playbook applied to clustering; MLlib's KMeans
+    gives the same Lloyd structure but an SQL-irreproducible k-means||
+    init, which is what kept this query rows-only until round 7).
+
+    Scale shape per iteration: assignment is a map-only pass against
+    the broadcast k x dim centroid table collapsed by one ``min_by``
+    hash aggregate; the update is a (cent_id, dim)-keyed sum — map-side
+    combine caps the exchange at tasks x k x dim rows — whose k x dim
+    result returns to the driver as the next model state, exactly the
+    aggregated-model round-trip MLlib itself performs. At 100 TB, fit
+    on a deterministic md5 sample (Lloyd cost is linear in rows) and
+    keep the downstream structure unchanged. Empty clusters keep their
+    previous centroid on both engines."""
+    import math
+
+    spark = emb.sparkSession
+    qcorpus = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(v, x -> CAST(round(x * {_LLOYD_Q}, 0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    cents = [
+        (int(r.vec_id), [int(q) for q in r.qv])
+        for r in qcorpus.filter(F.col("vec_id") < k).collect()
+    ]
+    d2 = F.expr(
+        "aggregate(zip_with(qv, qc, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(cents, "cent_id long, qc array<bigint>")
+        assign = (
+            qcorpus.crossJoin(F.broadcast(cent_df))
+            .select("vec_id", "qv", "cent_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cent_id", F.struct("d2", "cent_id")).alias("cent_id"),
+                F.first("qv").alias("qv"),
+            )
+        )
+        sums = (
+            assign.select("cent_id", F.posexplode("qv").alias("dim", "x"))
+            .groupBy("cent_id", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in sums:
+            upd.setdefault(int(r.cent_id), {})[int(r.dim)] = math.floor(r.s / r.n)
+        cents = [
+            (cid, [upd[cid][d] for d in range(len(qc))]) if cid in upd else (cid, qc)
+            for cid, qc in cents
+        ]
+    return spark.createDataFrame(cents, "cent_id long, qc array<bigint>").select(
+        "cent_id", F.expr(f"transform(qc, q -> q / {_LLOYD_Q})").alias("cv")
+    )
+
+
+def _lloyd_oracle() -> str:
+    """DuckDB replay of :func:`lloyd_centroids` + :func:`_ivf_topk`:
+    ``iters`` chained (assign, centroid-update) CTE pairs in the same
+    integer-quantized space, then the ``_IVF_ORACLE`` probe/score/rank
+    body over the resulting centroids."""
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(p.qv, c.qc), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    )
+    steps = []
+    for i in range(_LLOYD_ITERS):
+        steps.append(f"""
+    assign{i} AS (
+        SELECT vec_id, qv, cent_id FROM (
+            SELECT p.vec_id, p.qv, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY {dist}, c.cent_id
+                   ) AS rn
+            FROM qcorpus p CROSS JOIN cent{i} c
+        ) WHERE rn = 1
+    ),
+    cent{i + 1} AS (
+        SELECT c.cent_id, coalesce(u.qc, c.qc) AS qc
+        FROM cent{i} c LEFT JOIN (
+            SELECT cent_id, list(q ORDER BY dim) AS qc FROM (
+                SELECT cent_id, dim,
+                       CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS q
+                FROM (
+                    SELECT cent_id, generate_subscripts(qv, 1) AS dim,
+                           unnest(qv) AS x
+                    FROM assign{i}
+                )
+                GROUP BY cent_id, dim
+            ) GROUP BY cent_id
+        ) u ON c.cent_id = u.cent_id
+    )""")
+    iteration_ctes = ",".join(steps)
+    return f"""
+    WITH qcorpus AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * {_LLOYD_Q}, 0) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    cent0 AS (
+        SELECT vec_id AS cent_id, qv AS qc FROM qcorpus WHERE vec_id < {_IVF_K}
+    ),{iteration_ctes},
+    cent AS (
+        SELECT cent_id, list_transform(qc, q -> q / {_LLOYD_Q}) AS cv
+        FROM cent{_LLOYD_ITERS}
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+        SELECT vec_id, v, cent_id FROM (
+            SELECT c.vec_id, c.v, ct.cent_id,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id
+                   ) AS rn
+            FROM corpus c CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT query_id, qv, cent_id FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, ct.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cent_id
+                   ) AS rn
+            FROM corpus q CROSS JOIN cent ct WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qv, a.v) AS cos
+        FROM probe p JOIN assign a USING (cent_id)
+        WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, round(cos, 3) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
 
 
 @register(
     "similarity_ivf_kmeans",
-    # Centroids come from MLlib's optimizer — not reproducible in SQL,
-    # so no cross-engine oracle; tests/test_pipeline.py gates recall
-    # (>= 0.9 on a planted clustered corpus, where the IVF premise —
-    # neighbors share clusters — actually holds).
-    oracle=None,
+    oracle=_lloyd_oracle(),
     tags=("similarity", "ann", "ivf", "kmeans", "scale"),
 )
 def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over seeded-KMeans coarse centroids — the production
-    variant: real clustering concentrates each query's true neighbors
-    into few lists, so ``nprobe`` of K lists retains high recall at a
-    ~nprobe/K fraction of brute-force cost."""
+    """IVF ANN over k-means coarse centroids — the production variant:
+    real clustering concentrates each query's true neighbors into few
+    lists, so ``nprobe`` of K lists retains high recall at a
+    ~nprobe/K fraction of brute-force cost. Centroids come from the
+    deterministic integer-space Lloyd fit (:func:`lloyd_centroids`),
+    so the full pipeline — clustering included — is oracle-checked
+    against DuckDB; recall on a planted clustered corpus is gated in
+    tests/test_pipeline.py."""
     emb = _load_vectors(spark, sf_dir)
-    return _ivf_topk(emb, kmeans_centroids(emb))
+    return _ivf_topk(emb, lloyd_centroids(emb))
 
 
 # ---------------------------------------------------------------------------
