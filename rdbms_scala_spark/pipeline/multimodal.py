@@ -214,12 +214,25 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+def _feature_seed(doc_id: int, meta: dict) -> str:
+    """Canonical seed string for the fake embedding: the doc id plus
+    every field the real container decode produced, '|'-joined. Built
+    from *decoded* metadata (not raw payload bytes) so an ANSI-SQL
+    oracle can reproduce the seed arithmetically — sha256 of this
+    string is then engine-independent (DuckDB's ``sha256`` and
+    hashlib agree byte-for-byte)."""
+    return (
+        f"{doc_id}|{meta['mime']}|{meta['width']}|{meta['height']}"
+        f"|{meta['sample_rate']}|{meta['duration_us']}|{meta['brand']}"
+    )
+
+
+def _fake_features(seed: str, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic fake embedding: sha256-seeded values in [0, 1).
     Stands in for an image/audio embedding *model* (the only part of
     the pipeline with no stdlib implementation); the container decode
-    around it is real (see parse_media_header)."""
-    h = hashlib.sha256(payload).digest()
+    that produces the seed is real (see parse_media_header)."""
+    h = hashlib.sha256(seed.encode()).digest()
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
@@ -297,32 +310,29 @@ def multimodal_features_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via Arrow-batched
     ``mapInPandas``: real stdlib container decode (mime + parsed
     metadata ride along with the vector) plus the deterministic fake
-    embedding standing in for a model call.
+    embedding standing in for a model call, seeded by the decoded
+    metadata (:func:`_feature_seed`).
 
     Library form: returns ``features array<double>`` for programmatic
     use (similarity search, training pipelines). The REGISTERED
-    ``multimodal_features`` query wraps this with a hash-stable string
-    projection because the driver's cross-engine canonicalizer cannot
-    hash array cells (same convention as ``agg_collect_sorted``)."""
+    ``multimodal_features`` query emits the full decoded metadata and
+    a hex signature of the same vector instead, so every column is a
+    scalar the driver hash canonicalizes AND derivable in ANSI SQL."""
     docs = load_table(spark, sf_dir, "documents")
     src = docs.select("doc_id")
-    dim = FEATURE_DIM
     pkg_root = _PKG_ROOT
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib
         import sys
 
         if pkg_root not in sys.path:
             sys.path.insert(0, pkg_root)
         from rdbms_scala_spark.pipeline.multimodal import (
+            _fake_features,
+            _feature_seed,
             parse_media_header,
             synth_payload,
         )
-
-        def fake_features(payload: bytes) -> list[float]:
-            h = _hashlib.sha256(payload).digest()
-            return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
         for pdf in batches:
             payloads = [synth_payload(int(d)) for d in pdf["doc_id"]]
@@ -332,7 +342,10 @@ def multimodal_features_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "mime": [m["mime"] for m in metas],
                     "n_bytes": [len(p) for p in payloads],
-                    "features": [fake_features(p) for p in payloads],
+                    "features": [
+                        _fake_features(_feature_seed(int(d), m))
+                        for d, m in zip(pdf["doc_id"], metas)
+                    ],
                 }
             )
 
@@ -342,27 +355,110 @@ def multimodal_features_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _features_oracle() -> str:
+    """Full cross-engine oracle for ``multimodal_features``: every
+    metadata column re-derived arithmetically (proving the stdlib
+    containers round-trip through the real parsers, as in
+    ``multimodal_decode``), and the feature signature reproduced as
+    sha256 over the same canonical seed — 8 big-endian uint32 hex
+    chunks, exactly the bytes the fake embedding divides by 2^32."""
+    chunks = ", ".join(
+        f"substring(sha, {8 * i + 1}, 8)" for i in range(FEATURE_DIM)
+    )
+    return f"""
+    WITH meta AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 24 ELSE -1 END AS width,
+               CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16 ELSE -1 END AS height,
+               CASE WHEN doc_id % 3 = 1
+                    THEN [8000, 16000, 22050, 44100][(doc_id % 4) + 1]
+                    ELSE -1 END AS sample_rate,
+               CASE WHEN doc_id % 3 = 1
+                    THEN (100 + doc_id % 400) * 1000000
+                         // [8000, 16000, 22050, 44100][(doc_id % 4) + 1]
+                    WHEN doc_id % 3 = 2 THEN (1000 + doc_id % 5000) * 1000
+                    ELSE -1 END AS duration_us,
+               CASE WHEN doc_id % 3 = 2 THEN 'isom' ELSE '' END AS brand
+        FROM documents
+    ),
+    hashed AS (
+        SELECT *,
+               sha256(doc_id || '|' || mime || '|' || width || '|' || height
+                      || '|' || sample_rate || '|' || duration_us || '|' || brand)
+               AS sha
+        FROM meta
+    )
+    SELECT doc_id, mime,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(duration_us AS BIGINT) AS duration_us,
+           brand,
+           concat_ws(',', {chunks}) AS features_sig
+    FROM hashed
+    """
+
+
 @register(
     "multimodal_features",
-    oracle=None,  # embedding half is the deterministic sha256 fake;
-    # tests assert shape/determinism and that decode metadata is real
+    oracle=_features_oracle(),
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate form of :func:`multimodal_features_array`: projects the
-    vector to ``features_sig`` — each dim fixed to 6 decimals and
-    comma-joined — so every output column is a scalar the driver's
-    order-insensitive value hash can canonicalize (array cells crash
-    its pandas ``sort_values``; see ``agg_collect_sorted`` for the
-    repo convention)."""
-    arr = multimodal_features_array(spark, sf_dir)
-    return arr.select(
-        "doc_id",
-        "mime",
-        "n_bytes",
-        F.concat_ws(
-            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
-        ).alias("features_sig"),
+    """Gate form of the multimodal feature-extraction pass: one
+    Arrow-batched ``mapInPandas`` decode emits the full parsed
+    metadata (real stdlib container decode) plus ``features_sig`` —
+    the fake embedding's sha256 state as comma-joined 8-hex-char
+    chunks (chunk i, read as a big-endian uint32 / 2^32, IS dimension
+    i of :func:`multimodal_features_array`'s vector). Hex chunks
+    rather than formatted floats keep the signature integer-exact, so
+    the DuckDB oracle (:func:`_features_oracle`) covers every output
+    column — this query was rows-only until round 7."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id")
+    pkg_root = _PKG_ROOT
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from rdbms_scala_spark.pipeline.multimodal import (
+            _feature_seed,
+            parse_media_header,
+            synth_payload,
+        )
+
+        def sig(seed: str) -> str:
+            hx = _hashlib.sha256(seed.encode()).hexdigest()
+            return ",".join(hx[8 * i : 8 * i + 8] for i in range(FEATURE_DIM))
+
+        for pdf in batches:
+            metas = [parse_media_header(synth_payload(int(d))) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "duration_us": [m["duration_us"] for m in metas],
+                    "brand": [m["brand"] for m in metas],
+                    "features_sig": [
+                        sig(_feature_seed(int(d), m))
+                        for d, m in zip(pdf["doc_id"], metas)
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        extract,
+        schema="doc_id long, mime string, width long, height long, "
+        "sample_rate long, duration_us long, brand string, features_sig string",
     )
 
 

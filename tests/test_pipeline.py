@@ -304,8 +304,9 @@ def test_multimodal_features_deterministic(spark, sf_dir):
 
 def test_multimodal_features_gate_form_hash_stable(spark, sf_dir):
     """The registered query must emit only scalar columns (the driver
-    canonicalizer cannot hash array cells) and its string signature
-    must round-trip the array values at 6-decimal precision."""
+    canonicalizer cannot hash array cells) and its hex signature must
+    round-trip the array values EXACTLY (chunk i as big-endian uint32
+    / 2^32 is dimension i of the library form's vector)."""
     rows = multimodal.multimodal_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
     arrs = multimodal.multimodal_features_array(spark, sf_dir).orderBy("doc_id").limit(5).collect()
     for gate, arr in zip(rows, arrs):
@@ -313,7 +314,7 @@ def test_multimodal_features_gate_form_hash_stable(spark, sf_dir):
         parts = gate.features_sig.split(",")
         assert len(parts) == multimodal.FEATURE_DIM
         for s, v in zip(parts, arr.features):
-            assert abs(float(s) - v) < 5e-7
+            assert int(s, 16) / 2**32 == v
 
 
 def test_exact_dedup_covers_all_docs(spark, sf_dir):
