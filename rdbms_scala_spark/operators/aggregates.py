@@ -483,7 +483,11 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern applies (see agg_approx_distinct): exact counts are
     # genuinely cross-checked, and the booleans encode the CM
     # guarantee — no undercount ever, overcount <= eps * total — which
-    # the oracle emits as its TRUE ground truth.
+    # the oracle emits as its TRUE ground truth. within_eps is only
+    # PROBABILISTIC (~0.7%/key failure odds for a fresh hash family)
+    # but deterministic per fixture under the fixed xxhash64 seeds;
+    # if a future fixture/scale change flips it, triage as data (pick
+    # new seeds or widen to 2*eps), not as a code regression.
     oracle="""
     SELECT event_type, count(*) AS exact_n,
            TRUE AS no_undercount, TRUE AS within_eps

@@ -247,7 +247,13 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 2. exact n-gram Jaccard near-dup (correctness anchor)
 
-_JACCARD_ORACLE = """
+def _jaccard_pairs_sql(max_df: int) -> str:
+    """Trigram-Jaccard >=0.7 pair derivation in DuckDB SQL, with the
+    shingle-df cap MIRRORED from :func:`pairwise_jaccard` (dropped
+    from both the inverted index and the per-doc sizes) so oracle and
+    implementation stay equivalent by construction at ANY corpus
+    scale — not just ones where the cap happens not to bind."""
+    return f"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
         FROM documents
@@ -256,9 +262,14 @@ _JACCARD_ORACLE = """
         SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
         FROM toks WHERE len(t) >= 3
     ),
-    sh AS (
+    sh0 AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
         FROM idx
+    ),
+    sdf AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (
+        SELECT s.doc_id, s.shingle
+        FROM sh0 s JOIN sdf d USING (shingle) WHERE d.df <= {max_df}
     ),
     sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -273,6 +284,9 @@ _JACCARD_ORACLE = """
     JOIN sz y ON y.doc_id = doc_b
     WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= 0.7
 """
+
+
+_JACCARD_ORACLE = _jaccard_pairs_sql(MAX_SHINGLE_DF)
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup", "neardup"))
@@ -1276,8 +1290,12 @@ _PR_ITERS = 5
 
 _PAGERANK_MAX_DF = 100
 
+# Pair derivation mirrors graph_pagerank's TIGHT df cap (not the
+# 5000 default), so oracle agreement no longer rests on the fixture
+# invariant "max shingle df < 100" — they are equivalent by
+# construction at any scale.
 _PAGERANK_ORACLE = f"""
-    WITH pairs AS ({_JACCARD_ORACLE}),
+    WITH pairs AS ({_jaccard_pairs_sql(_PAGERANK_MAX_DF)}),
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION ALL

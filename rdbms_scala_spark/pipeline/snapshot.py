@@ -186,9 +186,15 @@ class SnapshotStore:
 
     def commit(self, df: DataFrame) -> int:
         """Write ``df`` as the next version; returns the version id.
-        The data write lands fully before the manifest rename makes it
-        visible — a crash in between leaves an orphan data dir (to be
-        vacuumed), never a readable half-version."""
+        The data write lands fully before the manifest publish makes
+        it visible — a crash in between leaves an orphan data dir (to
+        be vacuumed), never a readable half-version. Publish is an
+        exclusive ``os.link`` of the fully-written temp manifest, so
+        two racing committers that both allocated version N cannot
+        silently clobber each other (rename would): the loser gets
+        ``FileExistsError`` and must retry with a fresh version —
+        the optimistic-concurrency kernel of Delta's commit
+        protocol."""
         import json
         import os
 
@@ -199,7 +205,12 @@ class SnapshotStore:
         tmp = os.path.join(self.manifest_dir, f".{v}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump({"version": v, "path": data_dir}, fh)
-        os.rename(tmp, os.path.join(self.manifest_dir, f"{v}.json"))
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(self.manifest_dir, f"{v}.json"))
+        finally:
+            os.unlink(tmp)
         return v
 
     def read(self, version: int) -> DataFrame:
@@ -213,7 +224,9 @@ class SnapshotStore:
         with open(path) as fh:
             return self.spark.read.parquet(json.load(fh)["path"])
 
-    def vacuum(self, retain_last: int = 2) -> dict[str, list[int] | list[str]]:
+    def vacuum(
+        self, retain_last: int = 2, orphan_retention_s: float = 24 * 3600
+    ) -> dict[str, list[int] | list[str]]:
         """Garbage-collect the store: drop every version older than
         the newest ``retain_last`` (manifest first, THEN data — a
         reader that raced the vacuum sees a missing-version error,
@@ -222,12 +235,22 @@ class SnapshotStore:
         crash between data write and manifest publish, which
         ``commit`` documents). Returns what was removed/kept.
 
+        The orphan sweep only touches dirs whose mtime is older than
+        ``orphan_retention_s`` (default 24 h, mirroring Delta/Iceberg
+        VACUUM retention): a concurrent IN-FLIGHT commit — data
+        written, manifest not yet published — is indistinguishable
+        from a crash orphan by listing alone, and the age guard is
+        what keeps vacuum from deleting data its manifest is about to
+        reference. Pass 0 only when no committer can be live (e.g.
+        crash recovery).
+
         This is the Delta/Iceberg VACUUM kernel: retention-bounded
         time travel. At 100 TB the deletes are batched against the
         object store and the orphan scan is a listing diff — both
         metadata-rate operations; no data is read."""
         import os
         import shutil
+        import time
 
         vs = self.versions()
         keep = set(vs[-retain_last:]) if retain_last > 0 else set()
@@ -239,12 +262,15 @@ class SnapshotStore:
             shutil.rmtree(os.path.join(self.root, f"v{v}"), ignore_errors=True)
             removed_versions.append(v)
         removed_orphans = []
+        now = time.time()
         for d in sorted(os.listdir(self.root)):
             full = os.path.join(self.root, d)
             if d == "_manifest" or not os.path.isdir(full):
                 continue
             v = d[1:]
             if not (d.startswith("v") and v.isdigit() and int(v) in keep):
+                if now - os.path.getmtime(full) < orphan_retention_s:
+                    continue
                 shutil.rmtree(full, ignore_errors=True)
                 removed_orphans.append(d)
         return {
@@ -494,7 +520,9 @@ def _vacuum_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
     demo.read(2).limit(1).write.mode("overwrite").parquet(
         os.path.join(root, "v99")
     )
-    result = store.vacuum(retain_last=2)
+    # orphan_retention_s=0: the demo's "crash" orphan is seconds old
+    # and no committer is live — the crash-recovery stance.
+    result = store.vacuum(retain_last=2, orphan_retention_s=0.0)
     assert result["kept"] == [1, 2], result
     _VACUUM_BUILT.add(key)
     return store
