@@ -1254,16 +1254,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: edges are the label-blocked threshold pairs (the
     `pairs_above_threshold` discipline — an equi-key join, never
-    all-pairs), canonically oriented a < b so each triangle is
-    enumerated exactly once from its lowest-id corner: the wedge join
-    (e1.y = e2.x) and the closing check (e3 = (e1.x, e2.y)) are two
-    hash-join shuffles on edge keys. The classic refinement at scale
-    — orienting by DEGREE instead of id so wedges enumerate from
-    low-degree endpoints — drops worst-case wedge counts on skewed
-    graphs; id-orientation is kept here for the deterministic oracle.
-    The edge list is localCheckpointed once (three self-references
-    would otherwise re-run the blocked similarity join three times —
-    the merge_upsert multi-scan trap)."""
+    all-pairs), then DEGREE-oriented — each undirected edge points
+    from its (degree, id)-smaller endpoint to the larger — before the
+    wedge self-join. Under degree orientation every node's out-degree
+    is O(sqrt(m)) regardless of its true degree, so wedge fan-out is
+    bounded even on skewed graphs (a degree-D hub contributes D^2
+    wedges under id orientation but only ~m wedges total under degree
+    orientation — the standard compact-forward refinement); the
+    closing check is one hash join of wedges against oriented edges.
+    The triangle SET is orientation-independent (any total order
+    yields exactly one enumeration per triangle from its minimum
+    corner), so per-node counts — and the id-oriented DuckDB oracle —
+    are unchanged. Both the raw edge list and the oriented relation
+    are localCheckpointed (multiple self-references would otherwise
+    re-run the blocked similarity join — the merge_upsert multi-scan
+    trap)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
@@ -1279,13 +1284,34 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "y")
         .localCheckpoint(eager=True)
     )
-    e1 = e.select(F.col("x").alias("a"), F.col("y").alias("b"))
-    e2 = e.select(F.col("x").alias("b2"), F.col("y").alias("c"))
-    e3 = e.select(F.col("x").alias("a3"), F.col("y").alias("c3"))
-    tri = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
+    deg = (
+        e.select(F.col("x").alias("n"))
+        .unionByName(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x"
+    ).join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = ed.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    # wedge (v1, v2) ordered by the same (degree, id) total order =
+    # exactly the orientation of the closing edge if it exists
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    close = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(close, ["v1", "v2"]).select(
+        F.col("u").alias("a"), F.col("v1").alias("b"), F.col("v2").alias("c")
     )
     corners = (
         tri.select(F.col("a").alias("vec_id"))
