@@ -1,0 +1,439 @@
+"""Modern-SQL surface pins, round 7: aggregate FILTER clauses,
+ordered string aggregation, arg-extreme aggregates, boolean
+aggregates, multiset set-ops (INTERSECT/EXCEPT ALL), bitwise
+operators, window value functions, gaps-and-islands, and calendar
+dimension generation.
+
+The reference's surface stops at basic aggregates and UNION
+(Microbase.scala §aggregate/§setop); these queries pin the modern
+surface a production engine adds on top, each with a DuckDB oracle
+running semantically-identical ANSI SQL (identical text where the
+dialects agree). Cross-engine conventions follow the registry
+docstring: identical aliases both sides, money rounded to 2, ratios
+to 4, DuckDB sums cast back to BIGINT (HUGEINT otherwise), xor()
+spelled as a function in DuckDB (its ``^`` is power).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# aggregate surface
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_fulfilled,
+           round(sum(round(o_totalprice, 2)) FILTER (WHERE o_orderstatus = 'O'), 2)
+               AS open_value,
+           CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_large
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "filter-clause", "sql-surface"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate FILTER (WHERE ...) clauses — the ANSI form of
+    conditional aggregation (one pass, N differently-filtered
+    aggregates; the pre-SQL:2003 workaround is sum(CASE WHEN ...)).
+    All four aggregates evaluate in the same hash-aggregate operator
+    with map-side partials; the filters are per-row predicates inside
+    the aggregate, not separate scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("count(*) FILTER (WHERE o_orderstatus = 'F')").alias("n_fulfilled"),
+            F.round(
+                F.expr(
+                    "sum(round(o_totalprice, 2)) FILTER (WHERE o_orderstatus = 'O')"
+                ),
+                2,
+            ).alias("open_value"),
+            F.expr("count(*) FILTER (WHERE o_totalprice > 150000)").alias("n_large"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nation_list
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    tags=("aggregate", "string-agg", "sql-surface"),
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): collapse a
+    group to a deterministic delimited string. Spark spells it
+    collect_list -> array_sort -> concat_ws; the explicit sort is
+    what makes the result shuffle-order-independent (collect_list
+    alone is nondeterministic under parallelism — same discipline as
+    `agg_collect_sorted`). Group state is bounded by group size, so
+    keep it for small dimensions (here: nations per region)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nation_list"
+            ),
+        )
+        .orderBy("region")
+    )
+
+
+@register(
+    "agg_arg_extremes",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey, c_custkey,
+               CAST(round(c_acctbal * 1e2, 0) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(arg_max(c_custkey, cents * 10000000 + c_custkey) AS BIGINT)
+               AS richest_custkey,
+           max(cents) / 1e2 AS top_balance,
+           CAST(arg_min(c_custkey, cents * 10000000 + c_custkey) AS BIGINT)
+               AS poorest_custkey,
+           min(cents) / 1e2 AS bottom_balance
+    FROM c
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("aggregate", "arg-extremes", "sql-surface"),
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (DuckDB: arg_max / arg_min): the value of one
+    column at another column's extreme, in ONE hash aggregate — no
+    self-join back, no per-group sort (the classic top-1-per-group
+    shortcut; `similarity._ivf_topk` uses the same operator on its
+    corpus-sized path). Determinism: the ordering key is integer
+    cents * 1e7 + custkey — unique per row, so ties cannot exist and
+    both engines must agree."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * F.lit(1e2), 0).cast("long").alias("cents"),
+    )
+    key = F.col("cents") * F.lit(10000000) + F.col("c_custkey")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_custkey", key).alias("richest_custkey"),
+            (F.max("cents") / F.lit(1e2)).alias("top_balance"),
+            F.min_by("c_custkey", key).alias("poorest_custkey"),
+            (F.min("cents") / F.lit(1e2)).alias("bottom_balance"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "agg_bool_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+               AS n_large
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "boolean", "sql-surface"),
+)
+def agg_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates bool_and / bool_or (ANSI EVERY / ANY) plus
+    count_if — the assertion-style aggregates data-quality checks are
+    built from ("every row in the partition satisfies X"). All
+    map-side combinable (AND/OR are associative+commutative)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_large"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multiset set operations
+
+
+@register(
+    "intersect_all_keys",
+    oracle="""
+    SELECT k, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS k FROM supplier
+    )
+    GROUP BY k
+    ORDER BY k
+    """,
+    tags=("setop", "multiset", "sql-surface"),
+)
+def intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (each key survives
+    min(n_left, n_right) times), completing the set-op family next to
+    the distinct-semantics `intersect_keys`. Spark plans this as one
+    aggregation counting per-side multiplicities then replicating —
+    a single shuffle on the row value, no join."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    return (
+        cust.intersectAll(supp)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )
+
+
+@register(
+    "except_all_keys",
+    oracle="""
+    SELECT k, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS k FROM supplier
+    )
+    GROUP BY k
+    ORDER BY k
+    """,
+    tags=("setop", "multiset", "sql-surface"),
+)
+def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (each key survives
+    max(0, n_left - n_right) times), the bag complement of
+    `except_keys`' distinct semantics."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    return (
+        cust.exceptAll(supp)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bitwise operator family
+
+
+@register(
+    "functions_bitwise",
+    oracle="""
+    SELECT c_custkey,
+           c_custkey & 15 AS k_and,
+           c_custkey | 16 AS k_or,
+           xor(c_custkey, 9) AS k_xor,
+           c_custkey << 2 AS k_shl,
+           c_custkey >> 1 AS k_shr,
+           CAST(bit_count(c_custkey) AS BIGINT) AS k_bits
+    FROM customer
+    WHERE c_custkey <= 64
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "bitwise", "sql-surface"),
+)
+def functions_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family: AND / OR / XOR / shifts / popcount —
+    the toolkit for flag columns, hash mixing, and bitmap-index
+    arithmetic (the repo's SimHash and count-min implementations use
+    exactly these JVM-side ops). Dialect note: DuckDB's ``^`` is
+    exponentiation, so XOR is the xor() function there; Spark's ``^``
+    is the bitwise operator."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 64)
+    return cust.select(
+        "c_custkey",
+        F.expr("c_custkey & 15").alias("k_and"),
+        F.expr("c_custkey | 16").alias("k_or"),
+        F.expr("c_custkey ^ 9").alias("k_xor"),
+        F.expr("shiftleft(c_custkey, 2)").alias("k_shl"),
+        F.expr("shiftright(c_custkey, 1)").alias("k_shr"),
+        F.bit_count("c_custkey").cast("long").alias("k_bits"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# window value functions & gaps-and-islands
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice) OVER w, 2) AS last_price,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "value-functions", "sql-surface"),
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit
+    full-partition frame — the value-function trio completing the
+    ranking (`window_rank_dense`) and offset (`window_lag_lead`)
+    families. The explicit ROWS UNBOUNDED...UNBOUNDED frame matters:
+    last_value under the default frame (UNBOUNDED PRECEDING..CURRENT
+    ROW) degenerates to the current row, the classic window-frame
+    bug. Deterministic: the order key (o_orderdate, o_orderkey) is
+    unique per partition."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM ud
+    ),
+    islands AS (
+        SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        FROM runs GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS max_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM islands
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "gaps-islands", "sql-surface"),
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks via
+    the classic day-minus-row_number grouping constant. The window is
+    PARTITIONED by user (per-key state only — contrast the global
+    ntile this repo just retired from `events_rfm_segments`), so it
+    scales with the per-user day count, not the corpus. Days are
+    epoch-day integers so the island constant is exact integer
+    arithmetic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    runs = ud.withColumn("grp", F.col("d") - F.row_number().over(w))
+    islands = runs.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("max_streak"),
+            F.sum("len").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# calendar dimension generation
+
+
+@register(
+    "date_dim_generate",
+    oracle="""
+    SELECT strftime(d, '%Y-%m-%d') AS date_str,
+           CAST(isodow(d) AS BIGINT) AS iso_dow,
+           CAST(week(d) AS BIGINT) AS iso_week,
+           CAST(month(d) AS BIGINT) AS month,
+           CAST(quarter(d) AS BIGINT) AS quarter,
+           d = last_day(d) AS is_month_end,
+           CAST(day(last_day(d)) AS BIGINT) AS days_in_month
+    FROM generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY) t(d)
+    ORDER BY date_str
+    """,
+    tags=("date", "dimension", "generate", "sql-surface"),
+)
+def date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation from thin air: sequence() +
+    explode builds the date spine every warehouse joins against
+    (DuckDB/Postgres spell it generate_series) — no source table at
+    all, the one relation a 100 TB pipeline materializes ONCE and
+    broadcasts everywhere. ISO conventions pinned cross-engine:
+    Spark weekday()+1 == DuckDB isodow (Monday=1), weekofyear ==
+    week (ISO week). Dates emitted as strings per house convention
+    (the driver canonicalizer hashes strings, not engine-native date
+    cells)."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"), F.lit("2024-03-31").cast("date")
+            )
+        ).alias("d")
+    )
+    return spine.select(
+        F.date_format("d", "yyyy-MM-dd").alias("date_str"),
+        (F.weekday("d") + 1).cast("long").alias("iso_dow"),
+        F.weekofyear("d").cast("long").alias("iso_week"),
+        F.month("d").cast("long").alias("month"),
+        F.quarter("d").cast("long").alias("quarter"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+        F.dayofmonth(F.last_day("d")).cast("long").alias("days_in_month"),
+    ).orderBy("date_str")
