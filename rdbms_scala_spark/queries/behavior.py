@@ -1,0 +1,386 @@
+"""Behavioral / product-analytics queries over the events and orders
+tables, round 7: active-user stickiness, conversion latency, activity
+seasonality, inter-event cadence, lifetime-value deciles, and
+market-basket association — the analytics layer an event warehouse
+serves on top of the relational core (the reference engine stops at
+GROUP BY; Microbase.scala has no window or behavioral surface at
+all).
+
+Scale discipline shared by every query here: corpus-sized passes are
+map-side-combinable aggregates or per-key windows; anything global
+(decile cut points, corpus totals) is ONE tiny aggregate broadcast
+back (the `events_rfm_segments` / `sample_quality_top_fraction`
+pattern) — no global windows, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rdbms_scala_spark.catalog import load_table
+from rdbms_scala_spark.registry import register
+
+
+@register(
+    "events_dau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    dau AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ),
+    contrib AS (
+        SELECT user_id, unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS wd
+        FROM ud
+    ),
+    wau AS (
+        SELECT CAST(wd AS DATE) AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY 1
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           dau.dau AS dau,
+           wau.wau AS wau,
+           round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+    """,
+    tags=("events", "engagement", "scale"),
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    canonical engagement dashboard triple. Rolling DISTINCT counts
+    don't decompose over window frames, so WAU is computed by the
+    contribution trick: each (user, active-day) row fans out to the 7
+    window-days it contributes to (a map-side explode, x7), then ONE
+    distinct-count per window day — two shuffles total, both keyed by
+    day, no per-day re-scan. At 100 TB swap the exact distinct for
+    `agg_hll_mergeable`'s sketch union and the shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("wd"),
+    )
+    wau = contrib.groupBy(F.col("wd").alias("d")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_time_to_conversion",
+    oracle="""
+    WITH signups AS (
+        SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conversions AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM events e JOIN signups s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id,
+           CAST(date_diff('second', s.signup_ts, c.purchase_ts) AS BIGINT)
+               AS secs_to_convert,
+           CAST(date_diff('hour', s.signup_ts, c.purchase_ts) AS BIGINT)
+               AS hours_to_convert
+    FROM signups s JOIN conversions c ON s.user_id = c.user_id
+    ORDER BY s.user_id
+    """,
+    tags=("events", "conversion", "funnel"),
+)
+def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, the latency from first signup to
+    first subsequent purchase — the funnel-latency metric product
+    teams track next to the step-conversion rates of `events_funnel`.
+    Two per-user min-aggregates and one key-co-partitioned join; the
+    signup relation is per-user (small) and reused across both sides
+    of the same user_id exchange. Latencies are whole seconds/hours
+    (boundary-crossing counts, identical truncation semantics in both
+    engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conversions = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    secs = F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+    return (
+        signups.join(conversions, "user_id")
+        .select(
+            "user_id",
+            secs.alias("secs_to_convert"),
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("hour", "purchase_ts"))
+                    - F.unix_timestamp(F.date_trunc("hour", "signup_ts"))
+                )
+                / F.lit(3600)
+            )
+            .cast("long")
+            .alias("hours_to_convert"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_hourly_profile",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(round(value, 2)), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hour
+    """,
+    tags=("events", "seasonality"),
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity profile — the seasonality
+    heatmap behind load forecasting and anomaly baselines (pair with
+    `events_anomaly_zscore`, whose residuals should be read against
+    exactly this expected-load surface). One map-side-combinable
+    aggregate over at most 7x24 groups; ISO dow convention pinned as
+    in `date_dim_generate`."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum(F.round("value", 2)), 2).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@register(
+    "events_interevent_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) AS BIGINT) AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap_s) AS BIGINT) * 1.0 / count(gap_s), 4) AS avg_gap_s,
+           round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "cadence", "window"),
+)
+def events_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event cadence: lag() gaps in whole seconds,
+    aggregated to count / mean / p90 / max — the signal behind
+    session-timeout calibration (`events_sessionize`'s 30-minute gap
+    is exactly a p-high of this distribution) and bot detection
+    (inhumanly uniform cadence). Per-user window + per-user exact
+    percentile: both keyed by user_id, one exchange total; the gap
+    values are integers so the p90 interpolation is the engine-stable
+    integer-lattice case."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.sum("gap_s") / F.count("gap_s"), 4).alias("avg_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.9D)"), 4).alias("p90_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "customer_ltv_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               round(sum(round(o_totalprice, 2)), 2) AS ltv
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT quantile_cont(ltv, 0.1) AS c1, quantile_cont(ltv, 0.2) AS c2,
+               quantile_cont(ltv, 0.3) AS c3, quantile_cont(ltv, 0.4) AS c4,
+               quantile_cont(ltv, 0.5) AS c5, quantile_cont(ltv, 0.6) AS c6,
+               quantile_cont(ltv, 0.7) AS c7, quantile_cont(ltv, 0.8) AS c8,
+               quantile_cont(ltv, 0.9) AS c9
+        FROM spend
+    ),
+    scored AS (
+        SELECT custkey, ltv,
+               CAST(1 + (CASE WHEN ltv > c1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN ltv > c2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN ltv > c3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN ltv > c4 THEN 1 ELSE 0 END)
+                      + (CASE WHEN ltv > c5 THEN 1 ELSE 0 END)
+                      + (CASE WHEN ltv > c6 THEN 1 ELSE 0 END)
+                      + (CASE WHEN ltv > c7 THEN 1 ELSE 0 END)
+                      + (CASE WHEN ltv > c8 THEN 1 ELSE 0 END)
+                      + (CASE WHEN ltv > c9 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS decile
+        FROM spend CROSS JOIN cuts
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(min(ltv), 2) AS min_ltv,
+           round(max(ltv), 2) AS max_ltv,
+           round(sum(ltv), 2) AS total_ltv
+    FROM scored
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    tags=("customer", "ltv", "quantile", "scale"),
+)
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: per-customer order spend
+    bucketed by 9 decile cut points, reported as per-decile
+    population and value mass (the concentration curve behind
+    "top decile drives X% of revenue"). Cut points are ONE exact
+    `percentile` aggregate broadcast back — the scale-safe quantile
+    bucketing this repo standardized on in `events_rfm_segments`; no
+    row ever passes through a global window. Cut-point comparisons
+    sit strictly between adjacent sorted spend values, so both
+    engines agree (see the RFM docstring for the argument)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("ltv")
+    )
+    qs = ", ".join(f"0.{i}D" for i in range(1, 10))
+    cuts = spend.agg(F.expr(f"percentile(ltv, array({qs}))").alias("cuts"))
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + F.when(
+            F.col("ltv") > F.element_at(F.col("cuts"), i), 1
+        ).otherwise(0)
+    scored = spend.crossJoin(F.broadcast(cuts)).select(
+        "custkey", "ltv", decile.cast("long").alias("decile")
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("ltv"), 2).alias("min_ltv"),
+            F.round(F.max("ltv"), 2).alias("max_ltv"),
+            F.round(F.sum("ltv"), 2).alias("total_ltv"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "basket_brand_pairs",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+    per_brand AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY brand
+    ),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_both,
+           round(n_both * 1.0 / t.n_orders, 4) AS support,
+           round((n_both * t.n_orders) * 1.0 / (x.n * y.n), 4) AS lift
+    FROM pairs
+    JOIN per_brand x ON x.brand = brand_a
+    JOIN per_brand y ON y.brand = brand_b
+    CROSS JOIN tot t
+    WHERE n_both >= 20
+    ORDER BY brand_a, brand_b
+    """,
+    tags=("basket", "association", "scale"),
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over order contents: brand pairs
+    co-purchased in the same order, with support and lift — the
+    A-priori first pass (frequent 2-itemsets) every recommender
+    bootstrap runs. Scale shape: the pair join is keyed on orderkey
+    with fan-out bounded by basket size (TPC-H: ≤7 lines), never
+    all-pairs across orders; the brand dimension is broadcast; lift's
+    numerator/denominator are pure integer products with ONE final
+    division, so no float-association divergence. The n_both floor
+    prunes the noise tail (and at 100 TB is what keeps the output
+    itemset-sized)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = ob.agg(F.count_distinct("okey").alias("n_orders"))
+    per_brand = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    a = ob.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 20)
+    )
+    x = per_brand.select(F.col("brand").alias("brand_a"), F.col("n").alias("na"))
+    y = per_brand.select(F.col("brand").alias("brand_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(x), "brand_a")
+        .join(F.broadcast(y), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_orders"), 4).alias("support"),
+            F.round(
+                (F.col("n_both") * F.col("n_orders"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

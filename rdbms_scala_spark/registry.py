@@ -209,7 +209,7 @@ def all_queries() -> dict[str, QuerySpec]:
     return the full registry, interleaved across query families."""
     # Imports are deferred so `import rdbms_scala_spark` stays cheap.
     from rdbms_scala_spark.queries import tpch, tpch_ext, tpch_ps  # noqa: F401
-    from rdbms_scala_spark.queries import sql_surface  # noqa: F401
+    from rdbms_scala_spark.queries import behavior, sql_surface  # noqa: F401
     from rdbms_scala_spark.functions import scalar, semi_structured, udfs  # noqa: F401
     from rdbms_scala_spark.operators import (  # noqa: F401
         relational,
