@@ -12,11 +12,11 @@ whitespace (see pipeline.dedup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from rdbms_scala_spark.catalog import load_table
-from rdbms_scala_spark.pipeline.dedup import tokens
+from rdbms_scala_spark.pipeline.dedup import shingles_df, tokens
 from rdbms_scala_spark.registry import register
 
 _STOP_EN = ("the", "a", "and", "of", "is", "to", "in", "it")
@@ -625,4 +625,193 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("metric", "value")
         )
         .orderBy("metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 7: BPE merge statistics, shingle novelty, character entropy
+
+
+@register(
+    "text_bpe_merge_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    words AS (SELECT unnest(t) AS w FROM toks),
+    pairs AS (
+        SELECT substring(w, i, 2) AS pair
+        FROM (
+            SELECT w, unnest(range(1, length(w))) AS i
+            FROM words WHERE length(w) >= 2
+        )
+    ),
+    counts AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+        FROM counts
+    ) WHERE rk <= 40
+    ORDER BY rk
+    """,
+    tags=("text", "bpe", "tokenizer"),
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration: corpus-wide adjacent
+    character-pair frequencies within words, top-40 — exactly the
+    statistic a byte-pair-encoding tokenizer trainer computes to pick
+    its next merge rule (repeat with the merged symbol to grow the
+    vocab; `text_vocab_induction` is the word-level sibling).
+
+    Scale shape: the pair explode is map-side (xW chars per word, no
+    shuffle), the count is one map-side-combinable aggregate over an
+    alphabet^2-bounded key space (<=26^2 for [a-z] corpora — the
+    group state is tiny no matter the corpus), and the top-40 window
+    runs on that aggregated table (post-aggregation smallness, the
+    `text_vocab_induction` argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens()).alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.col("n").desc(), "pair")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 40)
+        .orderBy("rk")
+    )
+
+
+@register(
+    "text_shingle_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE f.first_doc = s.doc_id) AS BIGINT)
+               AS n_novel,
+           round(count(*) FILTER (WHERE f.first_doc = s.doc_id) * 1.0 / count(*), 4)
+               AS novelty
+    FROM sh s JOIN firsts f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("text", "novelty", "dedup", "scale"),
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct
+    trigrams whose corpus-wide FIRST occurrence (minimum doc_id —
+    ingestion order) is this document — the additive-information
+    signal curation pipelines use to rank near-duplicates beyond the
+    binary keep/drop of `dedup_*` (a doc can evade the 0.7-Jaccard
+    gate yet contribute almost nothing new).
+
+    Scale shape: one min-aggregate over the shingle index (map-side
+    combinable) and one join back on shingle — both keyed by the
+    uniformly-distributed shingle, then a per-doc count. No pairwise
+    anything: cost is O(corpus shingles), not O(pairs), which is why
+    novelty scoring scales where exact pairwise Jaccard needs LSH."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs, n=3, distinct=True)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+            F.round(
+                F.count_if(F.col("first_doc") == F.col("doc_id")) / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+        FROM chars GROUP BY source, ch
+    ),
+    totals AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM counts GROUP BY source
+    ),
+    terms AS (
+        SELECT c.source, t.n, t.n_distinct,
+               c.c * CAST(round(ln(c.c * 1.0 / t.n) * 1e6, 0) AS BIGINT) AS cq
+        FROM counts c JOIN totals t ON c.source = t.source
+    )
+    SELECT source, n AS n_chars, n_distinct,
+           round(-CAST(sum(cq) AS BIGINT) / n / 1e6, 4) AS entropy_nats
+    FROM terms
+    GROUP BY source, n, n_distinct
+    ORDER BY source
+    """,
+    tags=("text", "entropy", "quality"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-distribution Shannon entropy (nats) —
+    the cheap gibberish/encoding-noise detector: natural prose sits
+    near ~2.9 nats over [a-z], while base64 blobs, hex dumps, and
+    repeated boilerplate pull sharply higher or lower. Complements
+    `text_quality_score`'s length/punct ratios with a
+    distributional signal.
+
+    Scale: one map-side explode to (source, char) counts (<=26 keys
+    per source after map-side combine), then arithmetic on the tiny
+    aggregate. Cross-engine floats via the `text_unigram_logprob`
+    discipline: each ln(p) term is integer-quantized at 1e6 BEFORE
+    the weighted sum, so the sum is exact integer arithmetic and the
+    final entropy is two divisions in identical order."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "source",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]', 0)")).alias("ch"),
+    )
+    counts = chars.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    q = F.round(F.log(F.col("c") / F.col("n")) * F.lit(1e6), 0).cast("long")
+    terms = counts.join(totals, "source").select(
+        "source", "n", "n_distinct", (F.col("c") * q).alias("cq")
+    )
+    return (
+        terms.groupBy("source", "n", "n_distinct")
+        .agg(F.sum("cq").alias("sum_cq"))
+        .select(
+            "source",
+            F.col("n").alias("n_chars"),
+            "n_distinct",
+            F.round(-F.col("sum_cq") / F.col("n") / F.lit(1e6), 4).alias(
+                "entropy_nats"
+            ),
+        )
+        .orderBy("source")
     )
