@@ -1323,3 +1323,166 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: range search + spectral power iteration
+
+_RANGE_THRESHOLD = 0.15
+
+
+@register(
+    "similarity_range_search",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 3) AS cosine
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {{n_queries}}
+      AND list_cosine_similarity(q.embedding::DOUBLE[],
+                                 c.embedding::DOUBLE[]) >= {{threshold}}
+    ORDER BY query_id, neighbor_id
+    """.format(n_queries=_N_QUERIES, threshold=_RANGE_THRESHOLD),
+    tags=("similarity", "range-search", "scale"),
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (epsilon-ball) search: ALL corpus neighbors within a
+    cosine radius of each query — the other half of the ANN API
+    surface next to top-k (`similarity_topk_bruteforce`): radius
+    queries back recall-safe dedup candidates and RAG retrieval
+    floors, where top-k silently truncates dense neighborhoods and
+    pads sparse ones.
+
+    Scale shape: the query set broadcasts (map-only scoring pass over
+    the corpus, one row out per within-radius hit — no shuffle at
+    all until the output ordering); norms are hoisted per side. For
+    corpus-x-corpus radius joins, swap the broadcast for the
+    LSH-bucketed candidate path (`similarity_lsh_ann`) — identical
+    downstream filter."""
+    emb = _load_vectors(spark, sf_dir).withColumn("vn", norm("v"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    cos = cosine_pre("qv", "v", "qn", "vn")
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(cos >= F.lit(_RANGE_THRESHOLD))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 3).alias("cosine"),
+        )
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+_POWER_ITERS = 3
+_POWER_SCALE = 100000  # |x| bound per iteration: 64 * |G|max * 1e5 < 2^63
+
+
+def _power_iteration_oracle() -> str:
+    """DuckDB replay of :func:`embeddings_power_iteration`: the
+    relational Gram CTE (as in ``_GRAM_ORACLE``) symmetrized, then
+    ``_POWER_ITERS`` chained matvec+rescale iteration pairs in the
+    same integer arithmetic."""
+    steps = []
+    for t in range(_POWER_ITERS):
+        steps.append(f"""
+    y{t} AS (
+        SELECT g.i AS i, CAST(sum(g.g * x.v) AS BIGINT) AS y
+        FROM gsym g JOIN x{t} x ON g.j = x.i
+        GROUP BY g.i
+    ),
+    m{t} AS (
+        SELECT CAST(max(abs(y)) AS BIGINT) // {_POWER_SCALE} + 1 AS d FROM y{t}
+    ),
+    x{t + 1} AS (
+        SELECT y.i, CAST(floor(CAST(y.y AS DOUBLE) / m.d) AS BIGINT) AS v
+        FROM y{t} y CROSS JOIN m{t} m
+    )""")
+    iteration_ctes = ",".join(steps)
+    return f"""
+    WITH q AS (
+        SELECT list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 10000, 0) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT i.i AS i, j.j AS j, v[i.i + 1] * v[j.j + 1] AS prod
+        FROM q,
+             generate_series(0, {_GRAM_DIM - 1}) i(i),
+             generate_series(0, {_GRAM_DIM - 1}) j(j)
+        WHERE j.j >= i.i
+    ),
+    gup AS (
+        SELECT i, j, CAST(sum(prod) AS BIGINT) AS g
+        FROM cells GROUP BY i, j
+    ),
+    gsym AS (
+        SELECT i, j, g FROM gup
+        UNION ALL
+        SELECT j AS i, i AS j, g FROM gup WHERE i <> j
+    ),
+    x0 AS (
+        SELECT i AS i, CAST({_POWER_SCALE} AS BIGINT) AS v
+        FROM generate_series(0, {_GRAM_DIM - 1}) t(i)
+    ),{iteration_ctes}
+    SELECT CAST(i AS BIGINT) AS dim, v AS component_q
+    FROM x{_POWER_ITERS}
+    ORDER BY dim
+"""
+
+
+@register(
+    "embeddings_power_iteration",
+    oracle=_power_iteration_oracle(),
+    tags=("embeddings", "pca", "spectral", "iterative", "scale"),
+)
+def embeddings_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-eigenvector estimate of the embedding Gram matrix via
+    fixed-count power iteration — the first principal direction that
+    seeds PCA whitening, spectral drift monitors, and low-rank
+    compression of embedding stores. The third member of the repo's
+    iterative-with-exact-oracle family (`graph_pagerank` = damped
+    walks, `lloyd_centroids` = clustering, this = spectral): every
+    iteration is an integer matvec (exact, order-independent sums)
+    followed by a rescale whose divisor derives from ONE max
+    aggregate, so DuckDB replays all of it in chained CTEs.
+
+    Scale shape: G comes from `embeddings_gram_matrix`'s mapInPandas
+    GEMM (shuffle O(tasks x d^2), corpus-size-free) and is
+    checkpointed once; each iteration is then a d^2-row broadcast
+    join against the 64-row vector and a d-row aggregate — driver
+    state is the d-vector itself, exactly the model-roundtrip shape
+    MLlib's own power iteration uses. Overflow headroom: |y| <=
+    d * |G|max * 1e5; int64 holds through the x64 smoke corpus, and
+    beyond that the rescale constant drops a digit (documented, not
+    silent)."""
+    import math
+
+    gup = embeddings_gram_matrix(spark, sf_dir).localCheckpoint(eager=True)
+    gsym = gup.select("i", "j", F.col("gram_q").alias("g")).unionByName(
+        gup.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("gram_q").alias("g")
+        )
+    )
+    x = {i: _POWER_SCALE for i in range(_GRAM_DIM)}
+    for _ in range(_POWER_ITERS):
+        x_df = spark.createDataFrame(
+            [(i, v) for i, v in x.items()], "j int, v long"
+        )
+        y_rows = (
+            gsym.join(F.broadcast(x_df), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("y"))
+            .collect()
+        )
+        y = {int(r.i): int(r.y) for r in y_rows}
+        d = max(abs(v) for v in y.values()) // _POWER_SCALE + 1
+        x = {i: math.floor(v / d) for i, v in y.items()}
+    return spark.createDataFrame(
+        sorted(x.items()), "dim long, component_q long"
+    ).orderBy("dim")
