@@ -1427,3 +1427,44 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
     return pagerank_edges(edges).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# 10. degree distribution of the near-dup graph (round 7)
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u FROM pairs
+        UNION ALL
+        SELECT doc_b AS u FROM pairs
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY u)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    ORDER BY degree
+    """,
+    tags=("graph", "degree", "scale"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the trigram-Jaccard near-dup graph — the
+    shape diagnostic read BEFORE running the iterative graph ops: a
+    heavy tail here is what motivates `graph_pagerank`'s hub scores,
+    predicts `dedup_connected_components`' giant-component risk, and
+    calibrates `graph_triangle_count`'s degree orientation. Two
+    count aggregates over the shared materialized pair relation
+    (`cached_jaccard_pairs` — free if any other graph query ran this
+    session); output is at most max-degree rows."""
+    pairs = cached_jaccard_pairs(spark, sf_dir)
+    nodes = pairs.select(F.col("doc_a").alias("u")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"))
+    )
+    deg = nodes.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )

@@ -385,3 +385,104 @@ def sample_split_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: fixed-n stratified sampling + epoch-seeded reshuffling
+
+_STRAT_N = 5
+
+
+@register(
+    "sample_stratified_fixed_n",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {_STRAT_N}
+    ORDER BY source, rk
+    """,
+    tags=("sample", "stratified", "deterministic"),
+)
+def sample_stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-n stratified sample: exactly N documents per source,
+    chosen by md5 order — the eval-set builder ("50 random docs from
+    every domain") complementing `sample_per_group_cap` (which caps)
+    and `sample_domain_mixture` (which reweights). The md5 ordering
+    key makes the draw deterministic, append-stable per stratum, and
+    engine-independent; the window is PARTITIONED by source, so the
+    per-reducer state is one stratum, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _STRAT_N)
+        .orderBy("source", "rk")
+    )
+
+
+_EPOCH_TOP = 20
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT e.epoch, doc_id,
+               md5(e.epoch || ':' || doc_id) AS h
+        FROM documents CROSS JOIN (VALUES (0), (1)) e(epoch)
+    ),
+    r AS (
+        SELECT epoch, doc_id, h,
+               row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS rk
+        FROM h
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rk AS BIGINT) AS rk, doc_id
+    FROM r WHERE rk <= {_EPOCH_TOP}
+    ORDER BY epoch, rk
+    """,
+    tags=("sample", "shuffle", "training", "deterministic"),
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-seeded deterministic reshuffle: ordering the corpus by
+    md5(epoch || ':' || doc_id) gives every training epoch a
+    different but fully reproducible permutation (the data-order
+    seed of an LLM training run — resumable mid-epoch because the
+    order is a pure function, not RNG state). Emitted: the first
+    {_EPOCH_TOP} docs of epochs 0 and 1, demonstrating the
+    permutations differ.
+
+    Scale shape: per-epoch heads go through orderBy+limit, which
+    Spark plans as TakeOrderedAndProject — a distributed top-k
+    (per-partition heaps + one k-row merge), NOT a global sort; the
+    full-epoch form is a sortWithinPartitions over md5-range file
+    splits, still no global exchange."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    heads = []
+    for epoch in (0, 1):
+        h = F.md5(F.concat_ws(":", F.lit(str(epoch)), F.col("doc_id").cast("string")))
+        heads.append(
+            docs.select(
+                F.lit(epoch).cast("long").alias("epoch"), "doc_id", h.alias("h")
+            )
+            .orderBy("h", "doc_id")
+            .limit(_EPOCH_TOP)
+        )
+    from pyspark.sql import Window as W
+
+    top = heads[0].unionByName(heads[1])
+    w = W.partitionBy("epoch").orderBy("h", "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
+        .select("epoch", "rk", "doc_id")
+        .orderBy("epoch", "rk")
+    )

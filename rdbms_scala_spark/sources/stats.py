@@ -255,3 +255,63 @@ def maintenance_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: hot-key skew report
+
+
+@register(
+    "maintenance_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM per_key
+    ),
+    top AS (
+        SELECT key, n FROM per_key ORDER BY n DESC, key LIMIT 10
+    )
+    SELECT t.key, t.n,
+           round(t.n / x.total, 4) AS share,
+           round((t.n * x.n_keys) * 1.0 / x.total, 4) AS skew_ratio
+    FROM top t CROSS JOIN tot x
+    ORDER BY t.n DESC, t.key
+    """,
+    tags=("maintenance", "skew", "diagnostics", "scale"),
+)
+def maintenance_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew report for a join/shuffle key: the 10 heaviest
+    l_suppkey values with their row share and skew ratio
+    (count ÷ mean count) — the diagnostic that decides BETWEEN this
+    repo's skew strategies (ratio ~1: plain shuffle; moderate: AQE
+    skew split; extreme: `join_skew_salted_auto`'s salting). Shapes:
+    one map-side-combinable count per key, a 2-value global
+    aggregate broadcast back, and a top-10 via TakeOrderedAndProject
+    — the whole report costs one pass over the fact table. The skew
+    ratio's numerator is a pure integer product with one final
+    division (cross-engine stable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per_key.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = per_key.orderBy(F.col("n").desc(), "key").limit(10)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total"), 4).alias("share"),
+            F.round((F.col("n") * F.col("n_keys")) / F.col("total"), 4).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "key")
+    )
