@@ -815,3 +815,101 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_quality_funnel",
+    oracle="""
+    WITH flags AS (
+        SELECT d.doc_id,
+               d.n_chars >= 100 AS b_len,
+               d.lang = 'en' AS b_lang,
+               len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) >= 30
+                   AS b_tok,
+               d.doc_id = k.keeper AS b_uniq
+        FROM documents d
+        JOIN (
+            SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keeper
+            FROM documents GROUP BY 1
+        ) k ON md5(lower(trim(d.text))) = k.fp
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(count(*) FILTER (WHERE b_len) AS BIGINT) AS n1,
+               CAST(count(*) FILTER (WHERE b_len AND b_lang) AS BIGINT) AS n2,
+               CAST(count(*) FILTER (WHERE b_len AND b_lang AND b_tok)
+                    AS BIGINT) AS n3,
+               CAST(count(*) FILTER (WHERE b_len AND b_lang AND b_tok AND b_uniq)
+                    AS BIGINT) AS n4
+        FROM flags
+    )
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage, n0 AS n_surviving FROM agg
+        UNION ALL
+        SELECT 1, 'min_length', n1 FROM agg
+        UNION ALL
+        SELECT 2, 'lang_en', n2 FROM agg
+        UNION ALL
+        SELECT 3, 'min_tokens', n3 FROM agg
+        UNION ALL
+        SELECT 4, 'exact_dedup', n4 FROM agg
+    )
+    ORDER BY stage_id
+    """,
+    tags=("pipeline", "quality", "funnel", "observability"),
+)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel observability: cumulative survivor counts
+    through the standard gate sequence (length -> language -> token
+    floor -> exact dedup) — the drop-off report every corpus build
+    publishes next to its dataset card (`pipeline_dataset_card`), and
+    the first place a mis-tuned gate shows up (one stage suddenly
+    eating 40% of the corpus).
+
+    Scale shape: gate flags are one map-side pass (the dedup flag
+    joins the md5-fingerprint keeper relation, the `dedup_exact_docs`
+    aggregate, on its uniform hash key); all five cumulative counts
+    come out of ONE aggregate over the flags (FILTER-clause
+    composition — `agg_filter_clause` machinery), then a constant
+    5-row unpivot."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    keepers = docs.groupBy(fp.alias("fp")).agg(F.min("doc_id").alias("keeper"))
+    flags = (
+        docs.select("doc_id", "n_chars", "lang", "text", fp.alias("fp"))
+        .join(keepers, "fp")
+        .select(
+            (F.col("n_chars") >= 100).alias("b_len"),
+            (F.col("lang") == "en").alias("b_lang"),
+            (F.size(tokens()) >= 30).alias("b_tok"),
+            (F.col("doc_id") == F.col("keeper")).alias("b_uniq"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if(F.col("b_len")).alias("n1"),
+        F.count_if(F.col("b_len") & F.col("b_lang")).alias("n2"),
+        F.count_if(F.col("b_len") & F.col("b_lang") & F.col("b_tok")).alias("n3"),
+        F.count_if(
+            F.col("b_len") & F.col("b_lang") & F.col("b_tok") & F.col("b_uniq")
+        ).alias("n4"),
+    )
+    stages = [
+        (0, "raw", "n0"),
+        (1, "min_length", "n1"),
+        (2, "lang_en", "n2"),
+        (3, "min_tokens", "n3"),
+        (4, "exact_dedup", "n4"),
+    ]
+    rows = [
+        agg.select(
+            F.lit(sid).cast("long").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.col(col).alias("n_surviving"),
+        )
+        for sid, name, col in stages
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_id")

@@ -384,3 +384,112 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7, batch B: attribution + log-scale value histogram
+
+
+@register(
+    "events_attribution_first_touch",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                   lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               arg_min(event_type, k) AS first_touch,
+               bool_or(event_type = 'purchase') AS converted
+        FROM keyed GROUP BY user_id
+    )
+    SELECT first_touch,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE converted) AS BIGINT) AS n_converted,
+           round(count(*) FILTER (WHERE converted) * 1.0 / count(*), 4)
+               AS conversion_rate
+    FROM per_user
+    GROUP BY first_touch
+    ORDER BY first_touch
+    """,
+    tags=("events", "attribution", "funnel"),
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's FIRST event type claims
+    credit for whether they ever purchased — the simplest of the
+    attribution models (last-touch / linear / time-decay all reduce
+    to variations of this per-user extreme-or-weighted aggregate).
+    One min_by + bool_or pass per user, then a channel-sized rollup.
+    Determinism: the ordering key is a fixed-width timestamp string
+    plus zero-padded event_id — lexicographic order == (ts, event_id)
+    order, giving composite-key arg_min to engines (DuckDB) whose
+    arg_min takes only scalar keys."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.concat_ws(
+        "|",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min_by("event_type", k).alias("first_touch"),
+        F.bool_or(F.col("event_type") == "purchase").alias("converted"),
+    )
+    return (
+        per_user.groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count_if(F.col("converted")).alias("n_converted"),
+            F.round(F.count_if(F.col("converted")) / F.count(F.lit(1)), 4).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("first_touch")
+    )
+
+
+@register(
+    "events_value_log_histogram",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type,
+               CAST(round(value * 1e2, 0) AS BIGINT) AS c
+        FROM events
+    )
+    SELECT event_type,
+           CAST(length(bin(c)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(c) AS BIGINT) AS min_cents,
+           CAST(max(c) AS BIGINT) AS max_cents
+    FROM cents
+    GROUP BY event_type, length(bin(c))
+    ORDER BY event_type, bucket
+    """,
+    tags=("events", "histogram", "log-scale"),
+)
+def events_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-scale value histogram: bucket = bit length of the value
+    in integer cents (length(bin(c)) == floor(log2(c)) + 1) — the
+    doubling-bucket histogram for long-tailed monetary/latency
+    distributions, where `maintenance_column_histogram`'s equi-width
+    bins put 99% of rows in bin one. The bit-length trick keeps the
+    bucket function in EXACT integer arithmetic: floor(log2(x)) via
+    floating log flips at exact powers of two per libm, bin-string
+    length cannot."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1e2), 0).cast("long").alias("c"),
+    )
+    return (
+        cents.groupBy(
+            "event_type", F.length(F.bin("c")).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -437,3 +437,199 @@ def date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") == F.last_day("d")).alias("is_month_end"),
         F.dayofmonth(F.last_day("d")).cast("long").alias("days_in_month"),
     ).orderBy("date_str")
+
+
+# ---------------------------------------------------------------------------
+# round 7, batch B: multi-distinct, robust stats, star join, null ordering
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+               AS n_months,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "multi-distinct", "sql-surface"),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT ...) over DIFFERENT columns in one
+    grouped aggregate — the query shape that forces Spark's Expand
+    rewrite (each input row replicates once per distinct clause with
+    a grouping id, then one aggregation pass dedups all clauses
+    simultaneously). One shuffle despite three distinct columns;
+    the naive alternative is one self-aggregation per clause."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count_distinct(F.date_format("o_orderdate", "yyyy-MM")).alias(
+                "n_months"
+            ),
+            F.count_distinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_median_mad",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 1e2, 0) AS BIGINT) AS c
+        FROM orders
+    ),
+    med AS (
+        SELECT o_orderpriority, quantile_cont(c, 0.5) AS med_c
+        FROM cents GROUP BY o_orderpriority
+    ),
+    dev AS (
+        SELECT c.o_orderpriority, abs(c.c - m.med_c) AS d, m.med_c
+        FROM cents c JOIN med m ON c.o_orderpriority = m.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           round(med_c / 1e2, 2) AS median_price,
+           round(quantile_cont(d, 0.5) / 1e2, 2) AS mad_price
+    FROM dev
+    GROUP BY o_orderpriority, med_c
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "robust-stats", "sql-surface"),
+)
+def agg_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread
+    estimator that outlier detectors prefer over stddev (one whale
+    order doubles a stddev band but barely moves MAD; pair with
+    `events_anomaly_zscore` for the classical version). Two grouped
+    exact percentiles with a broadcast join between them; prices live
+    as integer cents through both so the interpolation lattice is
+    engine-stable (`events_rfm_segments`' argument), with ONE final
+    /1e2 display division."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * F.lit(1e2), 0).cast("long").alias("c"),
+    )
+    med = cents.groupBy("o_orderpriority").agg(
+        F.expr("percentile(c, 0.5D)").alias("med_c")
+    )
+    dev = cents.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", "med_c", F.abs(F.col("c") - F.col("med_c")).alias("d")
+    )
+    return (
+        dev.groupBy("o_orderpriority", "med_c")
+        .agg(F.expr("percentile(d, 0.5D)").alias("mad_c"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("med_c") / F.lit(1e2), 2).alias("median_price"),
+            F.round(F.col("mad_c") / F.lit(1e2), 2).alias("mad_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "join_star_schema",
+    oracle="""
+    SELECT n.n_name AS supplier_nation, p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size < 15
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, p.p_brand
+    ORDER BY supplier_nation, brand
+    """,
+    tags=("join", "star-schema", "broadcast", "scale"),
+)
+def join_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical star join: one fact table against three
+    dimension tables at once, every dimension explicitly broadcast —
+    the fact table is scanned ONCE and never shuffled before
+    aggregation (three map-side hash joins back to back inside one
+    codegen stage), vs. three shuffle joins if the dims were treated
+    as peers. The selective dim predicate (p_size < 15) prunes fact
+    rows at the first join, before the wider dims attach — the
+    manual form of the bloom-pushdown `join_bloom_pruned` pins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supplier_nation"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("supplier_nation", "brand")
+    )
+
+
+@register(
+    "window_nulls_ordering",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_acctbal < 0 THEN NULL
+                    ELSE round(c_acctbal, 2) END AS bal
+        FROM customer
+    )
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, bal,
+           CAST(row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY bal ASC NULLS FIRST, c_custkey) AS BIGINT)
+               AS rk_nulls_first,
+           CAST(row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY bal ASC NULLS LAST, c_custkey) AS BIGINT)
+               AS rk_nulls_last
+    FROM c
+    ORDER BY c_custkey
+    """,
+    tags=("window", "nulls-ordering", "sql-surface"),
+)
+def window_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST / NULLS LAST ordering pinned through window ranks
+    (rank columns make ordering semantics VALUE-visible, surviving
+    the driver's order-insensitive hash). Dialect trap worth pinning:
+    in ascending order Spark and DuckDB both default to NULLS FIRST —
+    but Postgres/Oracle default NULLS LAST, so portable SQL must say
+    it explicitly; negative balances stand in as the missing data."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("bal"),
+    )
+    w_nf = W.partitionBy("nationkey").orderBy(
+        F.col("bal").asc_nulls_first(), "c_custkey"
+    )
+    w_nl = W.partitionBy("nationkey").orderBy(
+        F.col("bal").asc_nulls_last(), "c_custkey"
+    )
+    return cust.select(
+        "c_custkey",
+        "nationkey",
+        "bal",
+        F.row_number().over(w_nf).cast("long").alias("rk_nulls_first"),
+        F.row_number().over(w_nl).cast("long").alias("rk_nulls_last"),
+    ).orderBy("c_custkey")
