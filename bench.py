@@ -87,6 +87,14 @@ EXTENSION = [
     # integer-GEMM Gram matrix — the two new corpus-pass ops
     "text_bm25_search",
     "embeddings_gram_matrix",
+    # round-7: the de-globalized RFM cut-point rewrite (was the one
+    # perf-weak op), pagerank over the shared materialized pair
+    # relation (first pass pays the derivation, warm passes show the
+    # cache), the Gram power iteration, and the DAU/WAU explode
+    "events_rfm_segments",
+    "graph_pagerank",
+    "embeddings_power_iteration",
+    "events_dau_stickiness",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

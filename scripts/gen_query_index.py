@@ -20,10 +20,16 @@ def main() -> None:
     lines = [
         "# QUERIES — registry index (generated)",
         "",
-        f"{len(specs)} registered queries, {n_oracle} with DuckDB oracles",
-        "(rest are rows-only: hash-seed-, sketch- or stub-dependent, each",
-        "covered by a recall/equivalence test). Regenerate with",
-        "`python scripts/gen_query_index.py`.",
+        f"{len(specs)} registered queries, {n_oracle} with DuckDB oracles"
+        + ("." if n_oracle == len(specs) else ""),
+    ]
+    if n_oracle < len(specs):
+        lines += [
+            "(rest are rows-only: hash-seed-, sketch- or stub-dependent, each",
+            "covered by a recall/equivalence test).",
+        ]
+    lines += [
+        "Regenerate with `python scripts/gen_query_index.py`.",
         "",
         "| query | oracle | tags | what it does |",
         "|---|---|---|---|",

@@ -67,6 +67,17 @@ QUERIES = (
     "text_unigram_logprob",
     "embeddings_gram_matrix",
     "events_pattern_match",
+    # round 7: degree-oriented triangles (wedge bound vs skew),
+    # cut-point RFM (the de-globalized rewrite), Gram power iteration,
+    # the DAU/WAU contribution explode, first-occurrence novelty,
+    # basket pair join (order-bounded fan-out), and decile bucketing
+    "graph_triangle_count",
+    "events_rfm_segments",
+    "embeddings_power_iteration",
+    "events_dau_stickiness",
+    "text_shingle_novelty",
+    "basket_brand_pairs",
+    "customer_ltv_deciles",
 )
 
 
