@@ -10,7 +10,11 @@ from rdbms_scala_spark.registry import all_queries
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
 sf = "/root/testdata/sf0.1"
 specs = all_queries()
-names = ["tpch_q1","tpch_q3","tpch_q5","tpch_q6","tpch_q9","tpch_q18","join_skew_salted","join_asof","join_range_binned","similarity_ivf","similarity_topk_bruteforce","similarity_lsh_ann","dedup_minhash_lsh","dedup_contamination_check","text_pack_sequences","scan_partition_pruned","scan_point_lookup","scan_zorder_skipping","join_bloom_pruned","pipeline_upsert_snapshot","join_bucketed_colocated","maintenance_table_stats","embeddings_label_centroids","text_bm25_search","embeddings_gram_matrix","join_lateral","subquery_recursive_cte","join_asof_nearest"]
+names = ["tpch_q1","tpch_q3","tpch_q5","tpch_q6","tpch_q9","tpch_q18","join_skew_salted","join_asof","join_range_binned","similarity_ivf","similarity_topk_bruteforce","similarity_lsh_ann","dedup_minhash_lsh","dedup_contamination_check","text_pack_sequences","scan_partition_pruned","scan_point_lookup","scan_zorder_skipping","join_bloom_pruned","pipeline_upsert_snapshot","join_bucketed_colocated","maintenance_table_stats","embeddings_label_centroids","text_bm25_search","embeddings_gram_matrix","join_lateral","subquery_recursive_cte","join_asof_nearest",
+# round 7: the rewritten RFM (must show NO single-partition window),
+# the star join (three broadcasts, one codegen span), the multiset
+# set-op Expand, the multi-distinct Expand, and the basket pair join
+"events_rfm_segments","join_star_schema","intersect_all_keys","agg_multi_distinct","basket_brand_pairs"]
 out = io.StringIO()
 out.write("""# PLANS — physical plans of headline queries (generated)
 

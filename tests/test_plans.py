@@ -381,3 +381,43 @@ def test_histogram_is_two_aggregation_passes(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("partial_") >= 2, plan
+
+
+def test_rfm_has_no_global_window(spark, sf_dir):
+    """Round-7 rewrite pin: RFM quintile scoring must contain NO
+    window operator at all — scores come from percentile cut points
+    broadcast-cross-joined back (the previous ntile formulation put
+    the whole user table through a single-partition WindowExec three
+    times)."""
+    df = SPECS["events_rfm_segments"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "percentile" in plan, plan
+
+
+def test_ltv_deciles_have_no_global_window(spark, sf_dir):
+    """Same discipline for the LTV decile bucketing: cut points via
+    one percentile aggregate + broadcast, zero window operators."""
+    df = SPECS["customer_ltv_deciles"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_star_schema_join_broadcasts_every_dim(spark, sf_dir):
+    """The star join must broadcast all three dimensions (no
+    SortMergeJoin, no fact-table shuffle before the aggregate): the
+    fact scan feeds three back-to-back BroadcastHashJoins."""
+    df = SPECS["join_star_schema"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_multi_distinct_uses_single_expand(spark, sf_dir):
+    """Three COUNT(DISTINCT) columns must compile to ONE Expand-based
+    aggregation, not one aggregation pass per distinct clause."""
+    df = SPECS["agg_multi_distinct"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1, plan
