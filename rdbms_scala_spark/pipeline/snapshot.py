@@ -160,12 +160,16 @@ class SnapshotStore:
     (Delta/Iceberg) reduced to its Spark-first essentials: data files
     are immutable once committed, readers resolve a version through
     its manifest only (never by listing data dirs, which can contain
-    half-written files), and the manifest publish is a single atomic
-    rename — so a reader sees either the complete version or nothing.
-    At 100 TB the same design holds with the manifest on an
-    atomic-rename store (HDFS) or a conditional-put object store;
-    data writes stay fully distributed, only the manifest touch is
-    driver-side and O(1)."""
+    half-written files), and the manifest publish is an EXCLUSIVE
+    atomic link of the fully-written temp file — a reader sees either
+    the complete version or nothing, and of two racing committers for
+    the same version exactly one wins (the loser gets
+    ``FileExistsError`` and retries with a fresh version — optimistic
+    concurrency, not last-writer-wins). At 100 TB the same design
+    holds with the manifest on an atomic-create store (HDFS) or a
+    conditional-put (If-None-Match) object store; data writes stay
+    fully distributed, only the manifest touch is driver-side and
+    O(1)."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         import os

@@ -775,3 +775,59 @@ def test_pagerank_edge_df_cap_has_gate_headroom(spark, sf_dir):
         .collect()[0][0]
     )
     assert max_df * 4 <= _PAGERANK_MAX_DF, (max_df, _PAGERANK_MAX_DF)
+
+
+def test_snapshot_commit_race_loses_loudly(spark, tmp_path):
+    """Two committers racing for the same version number must NOT
+    silently clobber each other: the second publish of version N
+    raises FileExistsError (exclusive-link publish), and the winning
+    manifest still reads back intact."""
+    import pytest as _pytest
+
+    from rdbms_scala_spark.pipeline.snapshot import SnapshotStore
+
+    a = SnapshotStore(spark, str(tmp_path / "store"))
+    b = SnapshotStore(spark, str(tmp_path / "store"))
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    df2 = spark.range(9).withColumnRenamed("id", "k")
+    assert a.commit(df1) == 0
+    # b computed its version BEFORE a's commit landed -> both try v1
+    assert a.commit(df1) == 1
+    with _pytest.raises(FileExistsError):
+        # simulate the stale-version race: force b to publish v1 again
+        import json
+        import os
+
+        data_dir = os.path.join(b.root, "v1_racer")
+        df2.write.mode("overwrite").parquet(data_dir)
+        tmp = os.path.join(b.manifest_dir, ".1.json.tmp2")
+        with open(tmp, "w") as fh:
+            json.dump({"version": 1, "path": data_dir}, fh)
+        try:
+            os.link(tmp, os.path.join(b.manifest_dir, "1.json"))
+        finally:
+            os.unlink(tmp)
+    # winner's manifest untouched: v1 still reads a's 5-row commit
+    assert a.read(1).count() == 5
+
+
+def test_snapshot_vacuum_retention_protects_fresh_orphans(spark, tmp_path):
+    """A fresh orphan dir (in-flight commit lookalike) must survive a
+    default-retention vacuum and be removed only when the caller
+    explicitly opts into zero retention (crash recovery)."""
+    import os
+
+    from rdbms_scala_spark.pipeline.snapshot import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    df = spark.range(4).withColumnRenamed("id", "k")
+    store.commit(df)
+    store.commit(df)
+    orphan = os.path.join(store.root, "v99")
+    df.write.mode("overwrite").parquet(orphan)
+    kept = store.vacuum(retain_last=2)  # default 24 h retention
+    assert "v99" not in kept["removed_orphans"]
+    assert os.path.isdir(orphan)
+    swept = store.vacuum(retain_last=2, orphan_retention_s=0.0)
+    assert "v99" in swept["removed_orphans"]
+    assert not os.path.isdir(orphan)
