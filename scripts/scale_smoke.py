@@ -157,6 +157,13 @@ def amplify(spark, k: int) -> str:
         for p in parts[1:]:
             u = u.unionByName(p)
         u.coalesce(max(1, k // 2)).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    # Static dimension tables pass through unamplified: dims don't
+    # scale with the fact tables in this model (basket/star ops join
+    # them broadcast), they just need to exist in the tier dir.
+    for name in ("part", "supplier", "nation", "region", "customer"):
+        spark.read.parquet(f"{BASE}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{name}.parquet")
     return out
 
 
