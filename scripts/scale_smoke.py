@@ -113,13 +113,25 @@ def amplify(spark, k: int) -> str:
                 text_i.alias("text"),
             ).withColumn("n_chars", F.length("text"))
         )
+        # Per-copy CIRCULAR ROTATION of the components (copy 0
+        # pristine): rotation preserves every within-copy inner
+        # product exactly (per-copy similarity structure constant),
+        # while cross-copy cosine drops to the autocorrelation of a
+        # near-random vector ~ 0 — so threshold-graph ops (triangle
+        # count, pairs-above-threshold) see k independent copies, not
+        # a k-times-denser graph. (The first version nudged ONE
+        # component by 0.001*i: cross-copy cosine stayed ~1, the
+        # similarity graph densified quadratically in k, and
+        # graph_triangle_count hit 105 s at x16 measuring the data's
+        # own edge growth, not the engine — the same trap the text
+        # marker interleave fixes.)
         e_parts.append(
             emb.select(
                 (F.col("vec_id") + i * n_vecs).alias("vec_id"),
                 F.col("label"),
                 F.expr(
-                    f"transform(embedding, (x, j) -> CASE WHEN j = 0 "
-                    f"THEN CAST(x + {i} * 0.001 AS FLOAT) ELSE x END)"
+                    f"transform(sequence(0, size(embedding) - 1), "
+                    f"j -> element_at(embedding, ((j + {i}) % size(embedding)) + 1))"
                 ).alias("embedding"),
             )
         )
