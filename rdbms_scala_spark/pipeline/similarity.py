@@ -1253,8 +1253,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     centrality and `dedup_connected_components`' reachability).
 
     Scale shape: edges are the label-blocked threshold pairs (the
-    `pairs_above_threshold` discipline — an equi-key join, never
-    all-pairs), then DEGREE-oriented — each undirected edge points
+    `pairs_above_threshold` discipline — an equi-key join on label,
+    never all-pairs ACROSS labels; within a label it is the exact
+    scoring tier, O((n/L)^2) by design, so at 100 TB the edge
+    relation comes from the LSH/IVF candidate tiers instead and
+    everything below this line is unchanged), then DEGREE-oriented — each undirected edge points
     from its (degree, id)-smaller endpoint to the larger — before the
     wedge self-join. Under degree orientation every node's out-degree
     is O(sqrt(m)) regardless of its true degree, so wedge fan-out is

@@ -67,11 +67,18 @@ QUERIES = (
     "text_unigram_logprob",
     "embeddings_gram_matrix",
     "events_pattern_match",
-    # round 7: degree-oriented triangles (wedge bound vs skew),
-    # cut-point RFM (the de-globalized rewrite), Gram power iteration,
-    # the DAU/WAU contribution explode, first-occurrence novelty,
-    # basket pair join (order-bounded fan-out), and decile bucketing
-    "graph_triangle_count",
+    # round 7: cut-point RFM (the de-globalized rewrite), Gram power
+    # iteration, the DAU/WAU contribution explode, first-occurrence
+    # novelty, basket pair join (order-bounded fan-out), and decile
+    # bucketing. graph_triangle_count is deliberately NOT here: its
+    # wedge+closing joins are degree-bounded (round-7 orientation
+    # rewrite), but its EDGE DERIVATION is the documented exact tier —
+    # an all-pairs-within-label threshold scoring that is O((n/L)^2)
+    # by design (x4 data -> ~16x scoring work; measured 2.6 s -> 18.9 s
+    # at x1 -> x4 with per-copy-rotated, non-densifying embeddings).
+    # At 100 TB the edge relation comes from the LSH/IVF candidate
+    # tiers instead (similarity_lsh_ann / similarity_ivf, both smoked
+    # here) and the triangle stages above it stay linear-in-edges.
     "events_rfm_segments",
     "embeddings_power_iteration",
     "events_dau_stickiness",
