@@ -6,7 +6,8 @@ lineitem are amplified 4x/16x/64x into /tmp/scale_smoke/ (doc ids
 offset per copy; text gets a per-copy marker token so the NEAR-DUP
 STRUCTURE stays constant — bare duplication would measure
 candidate-pair blowup, i.e. the data, not the engine; embeddings get
-a deterministic per-copy nudge on one dimension; events/orders shift
+a per-copy circular component rotation — within-copy inner products
+preserved exactly, cross-copy cosine ~ 0; events/orders shift
 user_id/o_orderkey per copy so per-entity density stays constant for
 the same reason). Each amplified tier then runs the scale-tier
 queries end-to-end and we record wall time.
