@@ -493,3 +493,88 @@ def events_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+_CONCURRENCY_WINDOW_US = 5 * 60 * 1000000  # each event counts as 5 min active
+
+
+@register(
+    "events_concurrent_sessions",
+    oracle=f"""
+    WITH deltas AS (
+        SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS t,
+               CAST(1 AS BIGINT) AS delta, event_id
+        FROM events
+        UNION ALL
+        SELECT CAST(ts AS DATE) AS day,
+               epoch_us(ts) + {_CONCURRENCY_WINDOW_US} AS t,
+               CAST(-1 AS BIGINT) AS delta, event_id
+        FROM events
+    ),
+    swept AS (
+        SELECT day, delta,
+               sum(delta) OVER (
+                   PARTITION BY day ORDER BY t, delta, event_id
+               ) AS live
+        FROM deltas
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_events,
+           CAST(max(live) AS BIGINT) AS peak_concurrent
+    FROM swept
+    GROUP BY day
+    ORDER BY day
+    """,
+    tags=("events", "concurrency", "sweep-line"),
+)
+def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the classic sweep line: every
+    event opens a 5-minute activity interval, intervals become
+    +1/-1 deltas, and the running sum's maximum is the day's peak
+    concurrent load — the capacity-planning number behind connection
+    pools and autoscaling thresholds, and the interval-overlap
+    pattern that no plain GROUP BY can express.
+
+    Determinism: the sweep orders by (t, delta, event_id) — a unique
+    composite, with ends (-1) processed before starts (+1) at equal
+    timestamps so touching intervals don't double-count. Scale: the
+    window is PARTITIONED by day (intervals are attributed to their
+    start day), so per-reducer state is one day's deltas; at higher
+    volume partition by (day, hour) and stitch boundary offsets with
+    a second pass — the standard segmented-sweep refinement."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).cast("long").alias("delta"),
+        "event_id",
+    )
+    ends = ev.select(
+        F.to_date("ts").alias("day"),
+        (F.unix_micros("ts") + F.lit(_CONCURRENCY_WINDOW_US)).alias("t"),
+        F.lit(-1).cast("long").alias("delta"),
+        "event_id",
+    )
+    # ROWS frame == the oracle's default RANGE frame because the
+    # composite ordering key is unique (no peers to merge).
+    w = (
+        W.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = starts.unionByName(ends).select(
+        "day", "delta", F.sum("delta").over(w).alias("live")
+    )
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.count_if(F.col("delta") == 1).alias("n_events"),
+            F.max("live").alias("peak_concurrent"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "peak_concurrent",
+        )
+        .orderBy("day")
+    )

@@ -633,3 +633,47 @@ def window_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_nf).cast("long").alias("rk_nulls_first"),
         F.row_number().over(w_nl).cast("long").alias("rk_nulls_last"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "functions_try_arith",
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal / nullif(c_custkey % 3, 0), 4) AS safe_div,
+           TRY_CAST(CASE WHEN c_custkey % 2 = 0 THEN '12x'
+                         ELSE CAST(c_custkey AS VARCHAR) END AS BIGINT)
+               AS parsed_key,
+           CAST(NULL AS BIGINT) AS overflow_add,
+           [c_custkey, c_custkey * 2][CASE WHEN c_custkey % 5 = 0
+                                           THEN 9 ELSE 2 END] AS maybe_elem
+    FROM customer
+    WHERE c_custkey <= 200
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "try-arithmetic", "ansi", "sql-surface"),
+)
+def functions_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-safe (``try_``) arithmetic family — division by
+    zero, unparseable casts, bigint-overflowing addition, and
+    out-of-range array access all yield NULL instead of killing the
+    job. Under Spark 4's default ANSI mode the plain operators THROW
+    on these inputs (the grading driver runs ANSI-on; tests/test_ansi
+    exists because of exactly that), so ``try_divide`` /
+    ``try_cast`` / ``try_add`` / ``try_element_at`` are the
+    production idiom for dirty data. DuckDB expresses the same
+    semantics as nullif-guarded division, TRY_CAST, and its natively
+    NULL-on-out-of-range list indexing."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return cust.select(
+        "c_custkey",
+        F.round(F.expr("try_divide(c_acctbal, c_custkey % 3)"), 4).alias("safe_div"),
+        F.expr(
+            "try_cast(CASE WHEN c_custkey % 2 = 0 THEN '12x' "
+            "ELSE CAST(c_custkey AS STRING) END AS BIGINT)"
+        ).alias("parsed_key"),
+        F.expr("try_add(9223372036854775807, c_custkey + 1)").alias("overflow_add"),
+        F.expr(
+            "try_element_at(array(c_custkey, c_custkey * 2), "
+            "CASE WHEN c_custkey % 5 = 0 THEN 9 ELSE 2 END)"
+        ).alias("maybe_elem"),
+    ).orderBy("c_custkey")

@@ -315,3 +315,87 @@ def maintenance_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "key")
     )
+
+
+@register(
+    "maintenance_referential_audit",
+    oracle="""
+    WITH checks AS (
+        SELECT 0 AS check_id, 'orphan_lineitems' AS check_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_violations
+        UNION ALL
+        SELECT 1, 'childless_orders',
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey))
+        UNION ALL
+        SELECT 2, 'orphan_orders',
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 3, 'duplicate_orderkeys',
+               (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                FROM orders)
+    )
+    SELECT CAST(check_id AS BIGINT) AS check_id, check_name, n_violations
+    FROM checks ORDER BY check_id
+    """,
+    tags=("maintenance", "data-quality", "audit"),
+)
+def maintenance_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan facts (lineitems without
+    their order), childless parents, broken FK references, and
+    duplicate primary keys — the constraint checks a warehouse runs
+    as assertions because distributed engines don't ENFORCE
+    PK/FK (Spark and most lakehouse formats treat them as
+    informational). Each check is one anti-join (LeftAnti hash join,
+    broadcast when the parent side is small) collapsed to a count;
+    the report is a constant four-row relation. At 100 TB this is
+    the nightly conformance job whose non-zero row pages someone."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def check(cid: int, name: str, df) -> DataFrame:
+        return df.select(
+            F.lit(cid).cast("long").alias("check_id"),
+            F.lit(name).alias("check_name"),
+            F.col("n").alias("n_violations"),
+        )
+
+    n = F.count(F.lit(1)).alias("n")
+    out = (
+        check(
+            0,
+            "orphan_lineitems",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").agg(n),
+        )
+        .unionByName(
+            check(
+                1,
+                "childless_orders",
+                orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti").agg(n),
+            )
+        )
+        .unionByName(
+            check(
+                2,
+                "orphan_orders",
+                orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").agg(n),
+            )
+        )
+        .unionByName(
+            check(
+                3,
+                "duplicate_orderkeys",
+                orders.agg(
+                    (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n")
+                ),
+            )
+        )
+    )
+    return out.orderBy("check_id")
