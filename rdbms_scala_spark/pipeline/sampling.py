@@ -486,3 +486,60 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "rk", "doc_id")
         .orderBy("epoch", "rk")
     )
+
+
+_KFOLD_K = 5
+
+
+@register(
+    "sample_kfold_assignment",
+    oracle=f"""
+    WITH folds AS (
+        SELECT lang, n_chars,
+               CAST((strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                    % {_KFOLD_K} AS BIGINT) AS fold
+        FROM documents
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_holdout,
+           CAST((SELECT count(*) FROM documents) - count(*) AS BIGINT)
+               AS n_train,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM folds
+    GROUP BY fold
+    ORDER BY fold
+    """,
+    tags=("sample", "kfold", "deterministic"),
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: a document's
+    fold is its md5 first-nibble index mod k — a pure function of the
+    id (the `sample_train_val_test` discipline extended to k folds),
+    so folds are reproducible on any engine, append-stable, and
+    leakage-proof after id-keyed dedup. Report: per-fold holdout and
+    complement-train sizes. 16 % 5 != 0 gives folds 0 a ~1/16 extra
+    nibble — documented bias, irrelevant for CV and exactly
+    reproducible; use two nibbles mod k when k needs finer balance."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.expr(
+        "CAST((instr('0123456789abcdef', "
+        f"substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) % {_KFOLD_K} AS BIGINT)"
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        docs.select(fold.alias("fold"), "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_holdout"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "fold",
+            "n_holdout",
+            (F.col("n_total") - F.col("n_holdout")).alias("n_train"),
+            "avg_chars",
+        )
+        .orderBy("fold")
+    )

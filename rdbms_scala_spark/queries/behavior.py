@@ -578,3 +578,74 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_pareto_activity",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    buckets AS (
+        SELECT CAST(length(bin(n)) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM per_user GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, n_users, n_events,
+               CAST(sum(n_events) OVER (ORDER BY bucket DESC) AS BIGINT) AS ce,
+               CAST(sum(n_users) OVER (ORDER BY bucket DESC) AS BIGINT) AS cu,
+               CAST(sum(n_events) OVER () AS BIGINT) AS te,
+               CAST(sum(n_users) OVER () AS BIGINT) AS tu
+        FROM buckets
+    )
+    SELECT bucket, n_users, n_events,
+           round(ce / te, 4) AS cum_share_events,
+           round(cu / tu, 4) AS cum_share_users
+    FROM cum
+    ORDER BY bucket DESC
+    """,
+    tags=("events", "pareto", "concentration", "scale"),
+)
+def events_pareto_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration (Pareto) report: users bucketed by the
+    log2 of their event count (the `events_value_log_histogram` bit-
+    length trick — exact integer bucketing), with cumulative event
+    and user shares read from the most-active bucket down — the
+    "top X% of users produce Y% of events" curve behind power-user
+    analysis and abuse throttling.
+
+    Scale shape: the exact curve needs a corpus-wide sorted cumsum
+    (the global-window trap); bucketing first makes the windowed
+    relation DOMAIN-bounded — at most 63 rows regardless of corpus
+    size, an even stronger smallness guarantee than the
+    post-aggregation argument — so the cumulative window is free and
+    every corpus-sized pass is one map-side-combinable aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    buckets = per_user.groupBy(
+        F.length(F.bin("n")).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )
+    w_cum = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    return (
+        buckets.select(
+            "bucket",
+            "n_users",
+            "n_events",
+            F.round(
+                F.sum("n_events").over(w_cum) / F.sum("n_events").over(w_all), 4
+            ).alias("cum_share_events"),
+            F.round(
+                F.sum("n_users").over(w_cum) / F.sum("n_users").over(w_all), 4
+            ).alias("cum_share_users"),
+        )
+        .orderBy(F.col("bucket").desc())
+    )
