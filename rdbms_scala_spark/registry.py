@@ -166,9 +166,9 @@ def _interleaved(registry: dict[str, "QuerySpec"]) -> dict[str, "QuerySpec"]:
     entries per round, and the prefix has been nearly identical every
     round), so whatever leads is what gets driver-certified. Tier 0 is
     every query WITHOUT a full driver-green row in any prior round
-    (``_DRIVER_GREEN``) — 40 in round 7 (the 6 round-6 deferrals, the
-    2 newly-oracled ex-rows-only queries, and 32 round-7 additions),
-    so the 50-entry prefix certifies all of them with ~10 slots left
+    (``_DRIVER_GREEN``) — 45 in round 7 (the 6 round-6 deferrals, the
+    2 newly-oracled ex-rows-only queries, and 37 round-7 additions),
+    so the 50-entry prefix certifies all of them with ~5 slots left
     as flagship regression rows. Tier 1 is the already-certified
     rest, flagships first, for regression coverage in any longer
     prefix. Both tiers
