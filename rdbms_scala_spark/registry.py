@@ -51,75 +51,92 @@ def _family(name: str) -> str:
 
 
 # Queries that already earned a full rows+schema+hash green row in a
-# driver correctness gate (union of CORRECTNESS_r01..r06: 177 names).
+# driver correctness gate (union of CORRECTNESS_r01..r07: all 222
+# round-7 queries — r07 landed 50/50 green, closing tier 0).
 # The driver checks only a ~50-entry prefix of the registry per
 # round, so entries in this set yield no new information if they
 # lead; the interleave demotes them to a second tier so every
-# never-driver-checked query gets a driver-issued row first. Round-7
-# tier 0: the six round-6 deferrals, `similarity_ivf_kmeans` and
-# `multimodal_features` (rows-only in r6, upgraded to real oracles
-# this round, so they re-certify), plus round-7 additions.
+# never-driver-checked query gets a driver-issued row first. Round-8
+# tier 0: this round's new additions only; the rest of the prefix is
+# flagship regression coverage.
 _DRIVER_GREEN: frozenset[str] = frozenset({
-    "agg_approx_distinct", "agg_approx_percentiles", "agg_collect_sorted",
-    "agg_corr_covar", "agg_count_min_sketch", "agg_cube", "agg_distinct",
+    "agg_approx_distinct", "agg_approx_percentiles", "agg_arg_extremes",
+    "agg_bool_aggs", "agg_collect_sorted", "agg_corr_covar",
+    "agg_count_min_sketch", "agg_cube", "agg_distinct", "agg_filter_clause",
     "agg_group_by_all", "agg_grouped", "agg_grouping_sets", "agg_having",
-    "agg_hll_mergeable", "agg_minmax_dates", "agg_mode_per_group",
-    "agg_percentiles", "agg_rollup", "agg_stats", "agg_ungrouped",
-    "case_when", "csv_corrupt_records", "csv_source_roundtrip",
-    "date_expressions", "dedup_connected_components",
+    "agg_hll_mergeable", "agg_median_mad", "agg_minmax_dates",
+    "agg_mode_per_group", "agg_multi_distinct", "agg_percentiles",
+    "agg_rollup", "agg_stats", "agg_string_agg", "agg_ungrouped",
+    "agg_weighted_median", "basket_brand_pairs", "case_when",
+    "csv_corrupt_records", "csv_source_roundtrip", "customer_ltv_deciles",
+    "date_dim_generate", "date_expressions", "dedup_connected_components",
     "dedup_contamination_check", "dedup_embedding_cosine",
     "dedup_exact_docs", "dedup_incremental", "dedup_levenshtein",
     "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "distinct_values", "embeddings_gram_matrix",
-    "embeddings_label_centroids", "events_anomaly_zscore", "events_funnel",
-    "events_gap_fill", "events_hopping", "events_markov_transitions",
-    "events_pattern_match", "events_retention_cohorts",
+    "embeddings_label_centroids", "embeddings_power_iteration",
+    "events_anomaly_zscore", "events_attribution_first_touch",
+    "events_concurrent_sessions", "events_dau_stickiness", "events_funnel",
+    "events_gap_fill", "events_hopping", "events_hourly_profile",
+    "events_interevent_gaps", "events_markov_transitions",
+    "events_pareto_activity", "events_pattern_match",
+    "events_retention_cohorts", "events_rfm_segments",
     "events_rollup_multires", "events_session_window", "events_sessionize",
-    "events_tumbling", "except_keys", "explode_token_counts",
-    "filter_predicates", "functions_array", "functions_conditional",
-    "functions_datetime", "functions_json", "functions_math",
-    "functions_string", "functions_variant", "graph_pagerank",
-    "graph_triangle_count", "intersect_keys", "join_anti", "join_asof",
+    "events_time_to_conversion", "events_tumbling",
+    "events_value_log_histogram", "except_all_keys", "except_keys",
+    "explode_token_counts", "filter_predicates", "functions_array",
+    "functions_bitwise", "functions_conditional", "functions_datetime",
+    "functions_json", "functions_math", "functions_string",
+    "functions_try_arith", "functions_variant", "graph_degree_distribution",
+    "graph_pagerank", "graph_triangle_count", "intersect_all_keys",
+    "intersect_keys", "join_anti", "join_asof", "join_asof_nearest",
     "join_bloom_pruned", "join_broadcast_dim", "join_bucketed_colocated",
     "join_cross", "join_full_outer", "join_inner_equi", "join_lateral",
     "join_left_outer", "join_non_equi", "join_null_safe",
     "join_range_binned", "join_self", "join_semi", "join_skew_salted",
-    "join_skew_salted_auto", "json_source_roundtrip",
+    "join_skew_salted_auto", "join_star_schema", "json_source_roundtrip",
     "maintenance_column_histogram", "maintenance_compact_small_files",
-    "maintenance_drift_psi", "maintenance_table_stats",
-    "multimodal_decode", "multimodal_frame_sample", "multimodal_ingest",
-    "orc_source_roundtrip", "pandas_udf_grouped_agg",
-    "pandas_udf_grouped_map", "pandas_udf_scalar",
-    "pipeline_snapshot_diff", "pipeline_snapshot_time_travel",
-    "pipeline_snapshot_vacuum", "pipeline_training_manifest",
-    "pipeline_upsert_snapshot", "pivot_event_type", "project_expressions",
-    "sample_deterministic_hash", "sample_domain_mixture",
-    "sample_per_group_cap", "sample_quality_top_fraction",
-    "sample_quality_weighted", "sample_train_val_test",
-    "scan_metadata_count", "scan_partition_pruned", "scan_point_lookup",
-    "scan_project", "scan_schema_merge", "scan_zorder_skipping",
-    "similarity_ivf", "similarity_ivf_pq", "similarity_lsh_ann",
+    "maintenance_drift_psi", "maintenance_referential_audit",
+    "maintenance_skew_report", "maintenance_table_stats",
+    "multimodal_decode", "multimodal_features", "multimodal_frame_sample",
+    "multimodal_ingest", "orc_source_roundtrip", "pandas_udf_grouped_agg",
+    "pandas_udf_grouped_map", "pandas_udf_scalar", "pipeline_dataset_card",
+    "pipeline_quality_funnel", "pipeline_snapshot_diff",
+    "pipeline_snapshot_time_travel", "pipeline_snapshot_vacuum",
+    "pipeline_training_manifest", "pipeline_upsert_snapshot",
+    "pivot_event_type", "project_expressions", "sample_deterministic_hash",
+    "sample_domain_mixture", "sample_epoch_shuffle",
+    "sample_kfold_assignment", "sample_per_group_cap",
+    "sample_quality_top_fraction", "sample_quality_weighted",
+    "sample_split_by_time", "sample_stratified_fixed_n",
+    "sample_train_val_test", "scan_metadata_count", "scan_partition_pruned",
+    "scan_point_lookup", "scan_project", "scan_schema_merge",
+    "scan_zorder_skipping", "similarity_ivf", "similarity_ivf_kmeans",
+    "similarity_ivf_pq", "similarity_lsh_ann",
     "similarity_pairs_above_threshold", "similarity_pq",
-    "similarity_topk_bruteforce", "sort_limit_topk", "streaming_dedup",
-    "streaming_foreachbatch_upsert", "streaming_hopping_counts",
-    "streaming_session_window", "streaming_stateful_user_totals",
-    "streaming_static_enrich", "streaming_stream_stream_join",
-    "streaming_tumbling_counts", "subquery_exists_correlated",
-    "subquery_from", "subquery_in", "subquery_not_in",
-    "subquery_recursive_cte", "subquery_scalar", "text_bm25_search",
-    "text_chunk_documents", "text_fingerprint", "text_language_id",
-    "text_length_buckets", "text_ngram_topk", "text_pack_sequences",
-    "text_pii_scrub", "text_quality_score", "text_regex_tokens",
-    "text_repetition_ratio", "text_token_count", "text_unigram_logprob",
-    "text_vocab_induction", "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3",
-    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "udtf_word_windows", "union_all", "union_by_name", "union_distinct",
+    "similarity_range_search", "similarity_topk_bruteforce",
+    "sort_limit_topk", "streaming_dedup", "streaming_foreachbatch_upsert",
+    "streaming_hopping_counts", "streaming_session_window",
+    "streaming_stateful_user_totals", "streaming_static_enrich",
+    "streaming_stream_stream_join", "streaming_tumbling_counts",
+    "subquery_exists_correlated", "subquery_from", "subquery_in",
+    "subquery_not_in", "subquery_recursive_cte", "subquery_scalar",
+    "text_bm25_search", "text_bpe_merge_pairs", "text_char_entropy",
+    "text_chunk_documents", "text_fingerprint", "text_keyword_tfidf",
+    "text_language_id", "text_length_buckets", "text_ngram_topk",
+    "text_pack_sequences", "text_pii_scrub", "text_quality_score",
+    "text_regex_tokens", "text_repetition_ratio", "text_shingle_novelty",
+    "text_token_count", "text_unigram_logprob", "text_vocab_induction",
+    "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2",
+    "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "udtf_word_windows",
+    "union_all", "union_by_name", "union_distinct",
     "unpivot_order_measures", "window_distribution_ranks",
-    "window_lag_lead", "window_moving_avg", "window_range_frame",
-    "window_rank_dense", "window_running_revenue", "window_share_of_group",
-    "window_topn_per_group",
+    "window_gaps_islands", "window_lag_lead", "window_moving_avg",
+    "window_nulls_ordering", "window_range_frame", "window_rank_dense",
+    "window_running_revenue", "window_share_of_group",
+    "window_topn_per_group", "window_value_functions",
 })
 
 # Round 7: empty. The six round-6 deferrals rotated into tier 0 and
@@ -166,12 +183,10 @@ def _interleaved(registry: dict[str, "QuerySpec"]) -> dict[str, "QuerySpec"]:
     entries per round, and the prefix has been nearly identical every
     round), so whatever leads is what gets driver-certified. Tier 0 is
     every query WITHOUT a full driver-green row in any prior round
-    (``_DRIVER_GREEN``) — 45 in round 7 (the 6 round-6 deferrals, the
-    2 newly-oracled ex-rows-only queries, and 37 round-7 additions),
-    so the 50-entry prefix certifies all of them with ~5 slots left
-    as flagship regression rows. Tier 1 is the already-certified
-    rest, flagships first, for regression coverage in any longer
-    prefix. Both tiers
+    (``_DRIVER_GREEN``) — round-8 additions only, since CORRECTNESS_r07
+    certified all 222 prior queries. The rest of the 50-entry prefix
+    is tier 1: the already-certified rest, flagships first, for
+    regression coverage in any longer prefix. Both tiers
     are round-robined across families so every prefix stays
     family-balanced.
     """
