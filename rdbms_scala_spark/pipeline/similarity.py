@@ -1213,6 +1213,70 @@ def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the threshold, far beyond cross-engine double noise.
 _TRI_THRESHOLD = 0.2
 
+
+def triangle_counts(e: DataFrame) -> DataFrame:
+    """Per-node triangle counts (``vec_id, n_triangles``) over an
+    undirected edge relation ``e(x, y)`` with ``x < y``, shared by the
+    exact-edge and LSH-edge triangle queries — the edge DERIVATION is
+    what differs between tiers; counting is tier-independent.
+
+    DEGREE-oriented: each undirected edge points from its (degree,
+    id)-smaller endpoint to the larger before the wedge self-join.
+    Under degree orientation every node's out-degree is O(sqrt(m))
+    regardless of its true degree, so wedge fan-out is bounded even on
+    skewed graphs (a degree-D hub contributes D^2 wedges under id
+    orientation but only ~m wedges total under degree orientation —
+    the standard compact-forward refinement); the closing check is one
+    hash join of wedges against oriented edges. The triangle SET is
+    orientation-independent (any total order yields exactly one
+    enumeration per triangle from its minimum corner), so per-node
+    counts — and the id-oriented DuckDB oracles — are unchanged.
+
+    ``e`` must be materialized (localCheckpoint) by the caller: it is
+    referenced three times (degree count twice via the union, plus the
+    closing join) and an unmaterialized lineage would re-run the edge
+    derivation each time — the merge_upsert multi-scan trap."""
+    deg = (
+        e.select(F.col("x").alias("n"))
+        .unionByName(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x"
+    ).join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = ed.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    # wedge (v1, v2) ordered by the same (degree, id) total order =
+    # exactly the orientation of the closing edge if it exists
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    close = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(close, ["v1", "v2"]).select(
+        F.col("u").alias("a"), F.col("v1").alias("b"), F.col("v2").alias("c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("vec_id"))
+        .unionByName(tri.select(F.col("b").alias("vec_id")))
+        .unionByName(tri.select(F.col("c").alias("vec_id")))
+    )
+    return (
+        corners.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("vec_id")
+    )
+
+
 _TRIANGLE_ORACLE = f"""
     WITH e AS (
         SELECT a.vec_id AS x, b.vec_id AS y
@@ -1255,23 +1319,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: edges are the label-blocked threshold pairs (the
     `pairs_above_threshold` discipline — an equi-key join on label,
     never all-pairs ACROSS labels; within a label it is the exact
-    scoring tier, O((n/L)^2) by design, so at 100 TB the edge
-    relation comes from the LSH/IVF candidate tiers instead and
-    everything below this line is unchanged), then DEGREE-oriented — each undirected edge points
-    from its (degree, id)-smaller endpoint to the larger — before the
-    wedge self-join. Under degree orientation every node's out-degree
-    is O(sqrt(m)) regardless of its true degree, so wedge fan-out is
-    bounded even on skewed graphs (a degree-D hub contributes D^2
-    wedges under id orientation but only ~m wedges total under degree
-    orientation — the standard compact-forward refinement); the
-    closing check is one hash join of wedges against oriented edges.
-    The triangle SET is orientation-independent (any total order
-    yields exactly one enumeration per triangle from its minimum
-    corner), so per-node counts — and the id-oriented DuckDB oracle —
-    are unchanged. Both the raw edge list and the oriented relation
-    are localCheckpointed (multiple self-references would otherwise
-    re-run the blocked similarity join — the merge_upsert multi-scan
-    trap)."""
+    scoring tier, O((n/L)^2) by design — `graph_triangle_count_lsh`
+    is the 100 TB variant whose edge relation comes from the adaptive
+    LSH candidate tier instead, with the counting stage shared), then
+    counted degree-oriented via :func:`triangle_counts` (orientation
+    rationale there)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
@@ -1287,45 +1339,285 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "y")
         .localCheckpoint(eager=True)
     )
-    deg = (
-        e.select(F.col("x").alias("n"))
-        .unionByName(e.select(F.col("y").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    ed = e.join(
-        deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x"
-    ).join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
-    x_first = (F.col("dx") < F.col("dy")) | (
-        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
-    )
-    oriented = ed.select(
-        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("u"),
-        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("v"),
-        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+    return triangle_counts(e)
+
+
+# ---------------------------------------------------------------------------
+# round 8: LSH-candidate edge tier for triangle counting — the 100 TB
+# variant the exact tier's docstring names. Edges come from an
+# OCCUPANCY-ADAPTIVE banded hyperplane LSH (prefix sign-bit codes that
+# extend one plane at a time until the bucket fits a fixed cap), so the
+# pairwise stage is O(n * cap) per band at ANY corpus size — never
+# O((n/L)^2) — and the only full-relation exchanges are the bucket
+# aggregation and the bounded pair expansion.
+
+# Target bucket occupancy AFTER refinement. 16 binds at sf0.01 (mean
+# level-0 occupancy = 500/32 ≈ 16, so ~half the buckets refine to
+# level 1+), which is deliberate: the driver gate certifies the
+# refinement path, not just the trivial level-0 case.
+_TRI_LSH_CAP = 16
+# Max extra sign bits per band beyond the base _LSH_ROWS=5 (code
+# length 5..13, bucket space 32..8192 per band). Occupancy at depth L
+# is ~n / (8192 * 8 bands * parallel hash spread); buckets still over
+# the cap at max depth are PURGED (only near-identical sign-profile
+# clusters get there — the minhash _BAND_BUCKET_CAP discipline).
+_TRI_LSH_LEVELS = 8
+
+
+def _adaptive_code_udf():
+    """Arrow-batched full-depth band codes: per vector, an array of
+    ``_LSH_BANDS`` longs, each the 13-bit packed sign code over planes
+    0..12 of that band (same md5-derived integer plane family, same
+    floor(x*4096) quantization as ``_band_buckets_udf`` — every dot is
+    an integer < 2^53, so the codes are exactly reproducible in any
+    engine; see that docstring for the exactness argument). One int64
+    GEMM per batch; the deeper 8 rows cost nothing extra at assignment
+    time and buy 256x finer buckets when occupancy demands it."""
+    import numpy as np
+    import pandas as pd
+
+    nrows = _LSH_ROWS + _TRI_LSH_LEVELS
+    cols = [
+        _plane_weights(b, r) for b in range(_LSH_BANDS) for r in range(nrows)
+    ]
+    planes = np.array(cols, dtype=np.int64).T  # (dim, bands*nrows)
+    powers = (1 << np.arange(nrows, dtype=np.int64))
+
+    def codes(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        xi = np.floor(x * _LSH_QUANT).astype(np.int64)
+        dots = (xi @ planes).reshape(-1, _LSH_BANDS, nrows)
+        c = ((dots > 0) * powers).sum(axis=2)  # (n, bands)
+        return pd.Series(list(c))
+
+    return F.pandas_udf(codes, "array<long>")
+
+
+def adaptive_lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, lvl, bucket): each vector's FINAL bucket per
+    band under occupancy-adaptive prefix codes — the shortest prefix
+    of its sign-bit code whose bucket holds <= ``_TRI_LSH_CAP``
+    members (prefix codes nest, so bucket sizes are non-increasing in
+    depth and every member of a bucket agrees on its final level);
+    vectors whose bucket is still oversized at max depth are dropped.
+
+    Shuffle shape: the codes relation (8 rows per vector, one long
+    each) is localCheckpointed, then aggregated once per level into a
+    (band, prefix) -> count relation that is BROADCAST back — the
+    count relations are bounded by the code space (8 bands x 2^13 =
+    65,536 rows at the deepest level) regardless of corpus size, so
+    the per-level joins never shuffle the big relation. ``emb`` must
+    carry ``vec_id`` and an array<double> column ``v``."""
+    codes = emb.select(
+        "vec_id", F.posexplode(_adaptive_code_udf()("v")).alias("band", "code")
     ).localCheckpoint(eager=True)
-    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
-    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
-    # wedge (v1, v2) ordered by the same (degree, id) total order =
-    # exactly the orientation of the closing edge if it exists
-    wedges = o1.join(o2, "u").filter(
-        (F.col("dv1") < F.col("dv2"))
-        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
-    )
-    close = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    tri = wedges.join(close, ["v1", "v2"]).select(
-        F.col("u").alias("a"), F.col("v1").alias("b"), F.col("v2").alias("c")
-    )
-    corners = (
-        tri.select(F.col("a").alias("vec_id"))
-        .unionByName(tri.select(F.col("b").alias("vec_id")))
-        .unionByName(tri.select(F.col("c").alias("vec_id")))
-    )
+    cur = codes
+    for lv in range(_TRI_LSH_LEVELS + 1):
+        mask = (1 << (_LSH_ROWS + lv)) - 1
+        cnt = codes.groupBy(
+            F.col("band").alias(f"cb{lv}"),
+            F.col("code").bitwiseAND(F.lit(mask)).alias(f"ck{lv}"),
+        ).agg(F.count(F.lit(1)).alias(f"n{lv}"))
+        cur = cur.join(
+            F.broadcast(cnt),
+            (F.col("band") == F.col(f"cb{lv}"))
+            & (F.col("code").bitwiseAND(F.lit(mask)) == F.col(f"ck{lv}")),
+        ).drop(f"cb{lv}", f"ck{lv}")
+    lvl = F.when(F.col("n0") <= _TRI_LSH_CAP, 0)
+    for lv in range(1, _TRI_LSH_LEVELS + 1):
+        lvl = lvl.when(F.col(f"n{lv}") <= _TRI_LSH_CAP, lv)
     return (
-        corners.groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .orderBy("vec_id")
+        cur.withColumn("lvl", lvl)
+        .filter(F.col("lvl").isNotNull())
+        .select(
+            "vec_id",
+            "band",
+            "lvl",
+            F.expr(
+                f"code & (shiftleft(CAST(1 AS BIGINT), lvl + {_LSH_ROWS}) - 1)"
+            ).alias("bucket"),
+        )
     )
+
+
+def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """Distinct (x, y) vec_id candidate pairs, x < y: bucket-local
+    expansion over the adaptive buckets. Aggregation state is bounded
+    at ``_TRI_LSH_CAP`` ids per (band, lvl, bucket) by construction —
+    the cap is enforced BEFORE this join by the adaptive refinement,
+    so ``keep`` only has to drop singletons."""
+    from rdbms_scala_spark.pipeline.dedup import expand_bucket_pairs
+
+    buckets = adaptive_lsh_buckets(emb)
+    return (
+        expand_bucket_pairs(
+            buckets,
+            keys=["band", "lvl", "bucket"],
+            payload=["vec_id"],
+            keep=lambda bn: bn >= 2,
+        )
+        .select(F.col("a_vec_id").alias("x"), F.col("b_vec_id").alias("y"))
+        .distinct()
+    )
+
+
+def _pair_cosine_udf():
+    """Arrow-batched pairwise cosine over two array<double> columns —
+    the candidate-verify hot path. The expression form (zip_with +
+    aggregate) is evaluated per element outside codegen; at the x64
+    smoke tier the candidate set is ~10^6 pairs x 64 dims, where the
+    vectorized einsum is the difference between seconds and minutes.
+    Double-sum order differs from DuckDB's list_cosine_similarity
+    fold, but the nearest candidate cosine sits 1.2e-5 from the
+    threshold at the gate scale (measured) — nine orders beyond
+    one-ulp drift on a 64-term dot."""
+    import numpy as np
+    import pandas as pd
+
+    def cos(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        y = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        num = np.einsum("ij,ij->i", x, y)
+        den = np.sqrt(np.einsum("ij,ij->i", x, x)) * np.sqrt(
+            np.einsum("ij,ij->i", y, y)
+        )
+        return pd.Series(num / den)
+
+    return F.pandas_udf(cos, "double")
+
+
+def _tri_lsh_oracle() -> str:
+    """DuckDB mirror of graph_triangle_count_lsh: the same literal
+    integer planes dotted against the same floor(x*4096) quantized
+    vectors (integer-exact, any fold order), the same per-level prefix
+    bucket counts and first-fitting-level selection, the same
+    candidate join, cosine verify, and id-oriented triangle closure
+    (the triangle set is orientation-independent — see
+    :func:`triangle_counts`)."""
+    nrows = _LSH_ROWS + _TRI_LSH_LEVELS
+    band_selects = []
+    for b in range(_LSH_BANDS):
+        dots = ", ".join(
+            "list_dot_product(vq, ["
+            + ", ".join(f"{float(w)}" for w in _plane_weights(b, r))
+            + f"]) AS d{r}"
+            for r in range(nrows)
+        )
+        bits = " + ".join(
+            f"(CASE WHEN d{r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(nrows)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, ({bits}) AS code "
+            f"FROM (SELECT vec_id, {dots} FROM vecs)"
+        )
+    lvl_counts = ",\n    ".join(
+        f"c{lv} AS (SELECT band, code & {(1 << (_LSH_ROWS + lv)) - 1} AS b{lv}, "
+        f"count(*) AS n{lv} FROM codes GROUP BY 1, 2)"
+        for lv in range(_TRI_LSH_LEVELS + 1)
+    )
+    joins = "\n        ".join(
+        f"JOIN c{lv} ON c{lv}.band = codes.band "
+        f"AND c{lv}.b{lv} = (codes.code & {(1 << (_LSH_ROWS + lv)) - 1})"
+        for lv in range(_TRI_LSH_LEVELS + 1)
+    )
+    final_case = " ".join(
+        f"WHEN n{lv} <= {_TRI_LSH_CAP} THEN {lv}"
+        for lv in range(_TRI_LSH_LEVELS + 1)
+    )
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_transform(embedding::DOUBLE[],
+                              x -> floor(x * {_LSH_QUANT})) AS vq
+        FROM embeddings
+    ),
+    codes AS (
+        {' UNION ALL '.join(band_selects)}
+    ),
+    {lvl_counts},
+    finals AS (
+        SELECT codes.vec_id, codes.band,
+               CASE {final_case} END AS lvl,
+               codes.code AS code
+        FROM codes
+        {joins}
+    ),
+    buckets AS (
+        SELECT vec_id, band, lvl,
+               code & ((1 << ({_LSH_ROWS} + lvl)) - 1) AS bucket
+        FROM finals WHERE lvl IS NOT NULL
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.lvl = b.lvl AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    ),
+    e AS (
+        SELECT x, y FROM cand
+        JOIN vecs va ON va.vec_id = x JOIN vecs vb ON vb.vec_id = y
+        WHERE list_cosine_similarity(va.v, vb.v) >= {_TRI_THRESHOLD}
+    ),
+    tri AS (
+        SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM e e1 JOIN e e2 ON e2.x = e1.y
+        JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    ),
+    corners AS (
+        SELECT a AS vec_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@register(
+    "graph_triangle_count_lsh",
+    oracle=_tri_lsh_oracle(),
+    tags=("graph", "triangle", "lsh", "similarity", "scale"),
+)
+def graph_triangle_count_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts with the edge relation fed from the
+    occupancy-adaptive LSH candidate tier — the scale path the exact
+    tier (`graph_triangle_count`) names: candidate generation is
+    bucket-bounded (O(n * cap) pairs per band at any corpus size, the
+    cap enforced by code refinement rather than by purging whole
+    buckets), the cosine verify touches candidates only, and the
+    degree-oriented counting stage is shared verbatim via
+    :func:`triangle_counts`.
+
+    Recall/selectivity note: this synthetic corpus is near-random, so
+    at the demo threshold 0.2 the per-plane agreement probability for
+    a true edge (s ≈ 0.56) barely exceeds a random pair's 0.5 and the
+    OR-of-8-bands tier passes a large candidate fraction — data-
+    intrinsic, not a plan property; at a production near-dup threshold
+    (cos >= 0.8, s ≈ 0.8) the same banding passes ~6% of random pairs
+    at ~94% edge recall. The adaptive cap keeps the pairwise stage
+    bounded either way. Unlike the exact tier this variant does NOT
+    label-block, so cross-label edges above the threshold appear —
+    the oracle replays the identical candidate set, so the comparison
+    is exact, not recall-gated."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cand = lsh_candidate_pairs(emb)
+    va = emb.select(F.col("vec_id").alias("x"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("y"), F.col("v").alias("vb"))
+    pcos = _pair_cosine_udf()
+    e = (
+        cand.join(va, "x")
+        .join(vb, "y")
+        .filter(pcos(F.col("va"), F.col("vb")) >= F.lit(_TRI_THRESHOLD))
+        .select("x", "y")
+        .localCheckpoint(eager=True)
+    )
+    return triangle_counts(e)
 
 
 # ---------------------------------------------------------------------------

@@ -88,7 +88,11 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "functions_bitwise", "functions_conditional", "functions_datetime",
     "functions_json", "functions_math", "functions_string",
     "functions_try_arith", "functions_variant", "graph_degree_distribution",
-    "graph_pagerank", "graph_triangle_count", "intersect_all_keys",
+    # graph_triangle_count: certified r07, but its counting stage was
+    # refactored into the shared triangle_counts() this round — out of
+    # the green tier until the driver re-certifies the refactor
+    # (ADVICE r07: round-touched queries must not skip the gate).
+    "graph_pagerank", "intersect_all_keys",
     "intersect_keys", "join_anti", "join_asof", "join_asof_nearest",
     "join_bloom_pruned", "join_broadcast_dim", "join_bucketed_colocated",
     "join_cross", "join_full_outer", "join_inner_equi", "join_lateral",
@@ -168,7 +172,7 @@ _FLAGSHIPS: dict[str, list[str]] = {
     "pipeline": ["pipeline_training_manifest", "pipeline_upsert_snapshot"],
     # round-6 families: scale-path members lead future regression
     # prefixes once certified
-    "graph": ["graph_pagerank", "graph_triangle_count"],
+    "graph": ["graph_triangle_count_lsh", "graph_triangle_count", "graph_pagerank"],
     "maintenance": ["maintenance_table_stats", "maintenance_drift_psi"],
     "embeddings": ["embeddings_gram_matrix", "embeddings_label_centroids"],
     "scan": ["scan_zorder_skipping", "scan_partition_pruned", "scan_metadata_count"],

@@ -80,12 +80,18 @@ QUERIES = (
     # At 100 TB the edge relation comes from the LSH/IVF candidate
     # tiers instead (similarity_lsh_ann / similarity_ivf, both smoked
     # here) and the triangle stages above it stay linear-in-edges.
+    # Round 8 implements exactly that variant — smoked below.
     "events_rfm_segments",
     "embeddings_power_iteration",
     "events_dau_stickiness",
     "text_shingle_novelty",
     "basket_brand_pairs",
     "customer_ltv_deciles",
+    # round 8: triangles re-admitted via the occupancy-adaptive LSH
+    # edge tier — candidate pairs are bucket-cap-bounded (O(n * cap)
+    # per band at any k), so unlike the exact tier this row measures
+    # the engine, not the label-block density.
+    "graph_triangle_count_lsh",
 )
 
 
