@@ -299,7 +299,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAIR_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_PAIR_CACHE: dict[tuple[str, str, int], tuple[str, DataFrame]] = {}
+
+
+def _table_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap driver-side modification fingerprint of a parquet table:
+    (path, size, mtime_ns) of every data file under it, hashed. Lets
+    the pair cache detect an overwritten table (e.g. re-amplifying
+    into the same /tmp tier dir) without reading any data."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                parts.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f"{root}|{st.st_size}|{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
 
 
 def cached_jaccard_pairs(
@@ -315,17 +337,34 @@ def cached_jaccard_pairs(
     once per query. At 100 TB the same role is played by a persisted
     pairs table refreshed with the corpus (every serious dedup
     pipeline materializes its candidate-pair relation; this cache is
-    the single-session form of that discipline)."""
+    the single-session form of that discipline).
+
+    Staleness contract: an entry is valid only while the documents
+    table's file fingerprint (sizes + mtimes, `_table_fingerprint`)
+    is unchanged — overwriting the table under the same path (e.g.
+    re-amplifying into the same /tmp tier dir) invalidates and
+    rebuilds the entry rather than serving stale pairs. Superseded
+    entries are dropped from the dict and best-effort unpersisted;
+    final block reclamation is Spark's ContextCleaner once the
+    driver-side reference is gone."""
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), max_df)
-    df = _PAIR_CACHE.get(key)
-    if df is None:
-        docs = load_table(spark, sf_dir, "documents")
-        df = (
-            pairwise_jaccard(shingles_df(docs, n=3), max_df=max_df)
-            .filter(F.col("jaccard") >= 0.7)
-            .localCheckpoint(eager=True)
-        )
-        _PAIR_CACHE[key] = df
+    fp = _table_fingerprint(sf_dir, "documents")
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    if hit is not None:
+        try:  # free the superseded checkpoint's blocks eagerly
+            hit[1]._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass  # ContextCleaner reclaims once the dict ref is gone
+        del _PAIR_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents")
+    df = (
+        pairwise_jaccard(shingles_df(docs, n=3), max_df=max_df)
+        .filter(F.col("jaccard") >= 0.7)
+        .localCheckpoint(eager=True)
+    )
+    _PAIR_CACHE[key] = (fp, df)
     return df
 
 

@@ -1777,7 +1777,13 @@ def embeddings_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         y = {int(r.i): int(r.y) for r in y_rows}
         d = max(abs(v) for v in y.values()) // _POWER_SCALE + 1
-        x = {i: math.floor(v / d) for i, v in y.items()}
+        # float(v) FIRST, then divide: the oracle computes
+        # floor(CAST(y AS DOUBLE) / d), and once |y| > 2^53 Python's
+        # exact big-int true division can floor differently from that
+        # double-rounded path when the quotient sits within ~1e-11 of
+        # an integer. Casting first replays the oracle's rounding
+        # order exactly at any magnitude.
+        x = {i: math.floor(float(v) / d) for i, v in y.items()}
     return spark.createDataFrame(
         sorted(x.items()), "dim long, component_q long"
     ).orderBy("dim")

@@ -69,12 +69,12 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_rollup", "agg_stats", "agg_string_agg", "agg_ungrouped",
     "agg_weighted_median", "basket_brand_pairs", "case_when",
     "csv_corrupt_records", "csv_source_roundtrip", "customer_ltv_deciles",
-    "date_dim_generate", "date_expressions", "dedup_connected_components",
+    "date_dim_generate", "date_expressions",
     "dedup_contamination_check", "dedup_embedding_cosine",
     "dedup_exact_docs", "dedup_incremental", "dedup_levenshtein",
-    "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_minhash_clusters", "dedup_minhash_lsh",
     "dedup_simhash", "distinct_values", "embeddings_gram_matrix",
-    "embeddings_label_centroids", "embeddings_power_iteration",
+    "embeddings_label_centroids",
     "events_anomaly_zscore", "events_attribution_first_touch",
     "events_concurrent_sessions", "events_dau_stickiness", "events_funnel",
     "events_gap_fill", "events_hopping", "events_hourly_profile",
@@ -88,11 +88,20 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "functions_bitwise", "functions_conditional", "functions_datetime",
     "functions_json", "functions_math", "functions_string",
     "functions_try_arith", "functions_variant", "graph_degree_distribution",
-    # graph_triangle_count: certified r07, but its counting stage was
-    # refactored into the shared triangle_counts() this round — out of
-    # the green tier until the driver re-certifies the refactor
-    # (ADVICE r07: round-touched queries must not skip the gate).
-    "graph_pagerank", "intersect_all_keys",
+    # Round-touched queries must not skip the gate (ADVICE r07): any
+    # query whose code changed this round stays OUT of this set until
+    # an external driver run re-certifies it. Out for round 8:
+    #   graph_triangle_count (counting stage refactored into the
+    #     shared triangle_counts()),
+    #   graph_pagerank + dedup_ngram_jaccard (r7's shared cached-pair
+    #     rewrite — the r07 prefix never re-checked them; the cache
+    #     was also re-keyed on a file fingerprint this round),
+    #   dedup_connected_components (same shared pair relation),
+    #   maintenance_skew_report (skew_ratio arithmetic moved to
+    #     double to remove int64-overflow headroom),
+    #   embeddings_power_iteration (rescale now casts to double
+    #     before dividing, matching the oracle's rounding path).
+    "intersect_all_keys",
     "intersect_keys", "join_anti", "join_asof", "join_asof_nearest",
     "join_bloom_pruned", "join_broadcast_dim", "join_bucketed_colocated",
     "join_cross", "join_full_outer", "join_inner_equi", "join_lateral",
@@ -101,7 +110,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "join_skew_salted_auto", "join_star_schema", "json_source_roundtrip",
     "maintenance_column_histogram", "maintenance_compact_small_files",
     "maintenance_drift_psi", "maintenance_referential_audit",
-    "maintenance_skew_report", "maintenance_table_stats",
+    "maintenance_table_stats",
     "multimodal_decode", "multimodal_features", "multimodal_frame_sample",
     "multimodal_ingest", "orc_source_roundtrip", "pandas_udf_grouped_agg",
     "pandas_udf_grouped_map", "pandas_udf_scalar", "pipeline_dataset_card",

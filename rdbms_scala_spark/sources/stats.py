@@ -278,7 +278,7 @@ def maintenance_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.key, t.n,
            round(t.n / x.total, 4) AS share,
-           round((t.n * x.n_keys) * 1.0 / x.total, 4) AS skew_ratio
+           round((t.n * 1.0 / x.total) * x.n_keys, 4) AS skew_ratio
     FROM top t CROSS JOIN tot x
     ORDER BY t.n DESC, t.key
     """,
@@ -293,8 +293,12 @@ def maintenance_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combinable count per key, a 2-value global
     aggregate broadcast back, and a top-10 via TakeOrderedAndProject
     — the whole report costs one pass over the fact table. The skew
-    ratio's numerator is a pure integer product with one final
-    division (cross-engine stable)."""
+    ratio divides BEFORE multiplying — (n / total) * n_keys in
+    double — because the integer product n * n_keys overflows int64
+    (and throws under ANSI mode) at 100 TB scales where n ~ rows/key
+    and n_keys ~ distinct keys; n/total <= 1 keeps every intermediate
+    in range, and double arithmetic in the same order is
+    cross-engine stable."""
     li = load_table(spark, sf_dir, "lineitem")
     per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
@@ -309,7 +313,7 @@ def maintenance_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key",
             "n",
             F.round(F.col("n") / F.col("total"), 4).alias("share"),
-            F.round((F.col("n") * F.col("n_keys")) / F.col("total"), 4).alias(
+            F.round((F.col("n") / F.col("total")) * F.col("n_keys"), 4).alias(
                 "skew_ratio"
             ),
         )
