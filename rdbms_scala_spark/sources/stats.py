@@ -321,6 +321,238 @@ def maintenance_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Deterministic-HLL table stats: the 100 TB NDV path -------------
+#
+# `maintenance_table_stats` keeps exact COUNT(DISTINCT) so every cell
+# is oracle-certified, but the exact-NDV Expand is the expensive part
+# of the profile pass at scale. This variant swaps NDV for a
+# REPLAYABLE HyperLogLog: both engines hash each value with md5, take
+# the low 10 bits as the bucket and the leading-zero count of the
+# remaining 50 bits as rho, keep max(rho) per bucket, and evaluate
+# the HLL estimator in integer arithmetic (harmonic sum as exact
+# integers, alpha as a 1e6-scaled rational, linear counting with the
+# 1e6-quantized-ln discipline from `text_char_entropy`). The estimate
+# is therefore bit-identical across engines and the value hash
+# certifies the ESTIMATE ITSELF — stronger than the in-band pattern
+# (`agg_approx_distinct`), where only a band boolean crosses engines.
+# Accuracy is still certified: the ORACLE co-computes exact NDV
+# (cheap on DuckDB at gate scale) and evaluates the band check; the
+# Spark side asserts the claim as a literal, so an out-of-band
+# estimate hash-mismatches on that boolean.
+#
+# Scale shape vs the exact query: no Expand, no distinct shuffle —
+# one scan computing 3 md5s per row, map-side-combined into
+# 3 x 1024 (col, bucket) cells, plus the plain wide min/max pass.
+# Branch rule is integer-deterministic: linear counting while >= 64
+# of the 1024 buckets are empty (load factor < ~2.8), raw HLL above.
+
+_HLL_M = 1024  # buckets (2^10); rse ~ 1.04/sqrt(m) = 3.25%
+_HLL_TERM_BITS = 20  # harmonic terms quantized to 2^(20 - min(M,20))
+_HLL_ALPHA_Q = 720541  # alpha_1024 = 0.7213/(1 + 1.079/1024), x 1e6
+# alpha * m^2 * 2^TERM_BITS * 1e-6 pre-multiplied: fits int64
+_HLL_NUM = _HLL_ALPHA_Q * _HLL_M * _HLL_M * (1 << _HLL_TERM_BITS)
+_HLL_LC_MIN_EMPTY = 64  # >= this many empty buckets -> linear counting
+
+# (column, value-as-string render, Spark hash input, DuckDB hash
+# input). String renders must be byte-identical across engines: ints
+# and varchars cast verbatim, the timestamp column reduced to its
+# ISO date.
+_SKETCH_COLS: list[tuple[str, str, str]] = [
+    ("l_orderkey", "CAST(l_orderkey AS STRING)", "CAST(l_orderkey AS VARCHAR)"),
+    ("l_returnflag", "CAST(l_returnflag AS STRING)", "CAST(l_returnflag AS VARCHAR)"),
+    (
+        "l_shipdate",
+        "CAST(CAST(l_shipdate AS DATE) AS STRING)",
+        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)",
+    ),
+]
+
+
+def _hll_rho(div: str) -> str:
+    """rho of the 50 bits above the bucket: 51 - bit_length, via the
+    cross-engine-exact length(bin(x)) trick (events_value_log_histogram).
+    ``div`` is the dialect's integer-division operator."""
+    rest = f"(h {div} {_HLL_M})"
+    return (
+        f"CASE WHEN {rest} = 0 THEN 51 "
+        f"ELSE 51 - length(bin({rest})) END"
+    )
+
+
+def _hll_estimate(div: str) -> str:
+    """Integer HLL estimator over per-column (s, v): raw harmonic
+    estimate by exact integer division, or 1e6-quantized-ln linear
+    counting while >= _HLL_LC_MIN_EMPTY buckets are empty."""
+    est_raw = f"({_HLL_NUM} {div} (s * 1000000))"
+    lnq = (
+        f"CAST(round(ln(CAST({_HLL_M} AS DOUBLE) / v) * 1000000.0, 0) "
+        "AS BIGINT)"
+    )
+    est_lc = f"(({_HLL_M} * {lnq}) {div} 1000000)"
+    return (
+        f"CAST(CASE WHEN v >= {_HLL_LC_MIN_EMPTY} THEN {est_lc} "
+        f"ELSE {est_raw} END AS BIGINT)"
+    )
+
+
+def _sketch_oracle() -> str:
+    term = f"CAST((1 << ({_HLL_TERM_BITS} - least(m, {_HLL_TERM_BITS}))) AS BIGINT)"
+    hashed = "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, "
+        f"CAST(('0x' || substr(md5({duck}),1,15)) AS BIGINT) AS h "
+        f"FROM lineitem WHERE {c} IS NOT NULL"
+        for c, _spark, duck in _SKETCH_COLS
+    )
+    exact = "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, "
+        f"CAST(count(DISTINCT {duck}) AS BIGINT) AS exact_ndv FROM lineitem"
+        for c, _spark, duck in _SKETCH_COLS
+    )
+    # min/max aggregate on the NATIVE type, the render wraps the
+    # result (string-min over a VARCHAR render would sort "100"<"99")
+    wide = "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+        f"{duck.replace(c, f'min({c})', 1)} AS min_value, "
+        f"{duck.replace(c, f'max({c})', 1)} AS max_value FROM lineitem"
+        for c, _spark, duck in _SKETCH_COLS
+    )
+    return f"""
+    WITH hashed AS (
+        {hashed}
+    ),
+    sk AS (
+        SELECT col_name, h % {_HLL_M} AS bucket, max({_hll_rho('//')}) AS m
+        FROM hashed GROUP BY col_name, h % {_HLL_M}
+    ),
+    filled AS (
+        SELECT c.col_name, coalesce(sk.m, 0) AS m
+        FROM (SELECT DISTINCT col_name FROM hashed) c
+        CROSS JOIN range({_HLL_M}) r(b)
+        LEFT JOIN sk ON sk.col_name = c.col_name AND sk.bucket = r.b
+    ),
+    est AS (
+        SELECT col_name, {_hll_estimate('//')} AS ndv_sketch
+        FROM (
+            SELECT col_name,
+                   CAST(sum({term}) AS BIGINT) AS s,
+                   CAST(count(*) FILTER (WHERE m = 0) AS BIGINT) AS v
+            FROM filled GROUP BY col_name
+        )
+    ),
+    exact AS (
+        {exact}
+    ),
+    wide AS (
+        {wide}
+    )
+    SELECT w.col_name, w.n_rows, w.n_nulls, e.ndv_sketch,
+           abs(e.ndv_sketch - x.exact_ndv)
+               <= greatest(0.15 * x.exact_ndv, 2) AS ndv_in_band,
+           w.min_value, w.max_value
+    FROM wide w
+    JOIN est e ON e.col_name = w.col_name
+    JOIN exact x ON x.col_name = w.col_name
+    ORDER BY w.col_name
+    """
+
+
+@register(
+    "maintenance_table_stats_sketch",
+    oracle=_sketch_oracle(),
+    tags=("maintenance", "stats", "sketch", "hll", "approx", "scale"),
+)
+def maintenance_table_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`maintenance_table_stats` with NDV from the deterministic
+    integer HLL replay (see the module-block comment above): the
+    profile pass a 100 TB drop actually runs — no exact-distinct
+    Expand, one md5-per-column scan combined map-side into 3 x 1024
+    sketch cells, plus the plain one-pass min/max/null aggregate.
+    `ndv_in_band` is evaluated BY THE ORACLE against its exact NDV
+    (Spark asserts TRUE): an out-of-band estimate fails the gate on
+    that column's hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    hash_exprs = ", ".join(
+        f"'{c}', CAST(conv(substr(md5({sp}),1,15),16,10) AS BIGINT)"
+        for c, sp, _duck in _SKETCH_COLS
+    )
+    hashed = li.selectExpr(
+        f"stack({len(_SKETCH_COLS)}, {hash_exprs}) AS (col_name, h)"
+    ).filter(F.col("h").isNotNull())
+    sk = (
+        hashed.selectExpr(
+            "col_name",
+            f"h % {_HLL_M} AS bucket",
+            f"{_hll_rho('DIV')} AS rho",
+        )
+        .groupBy("col_name", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    names = spark.createDataFrame(
+        [(c,) for c, _sp, _d in _SKETCH_COLS], "col_name string"
+    )
+    filled = (
+        names.crossJoin(spark.range(_HLL_M).select(F.col("id").alias("bucket")))
+        .join(sk, ["col_name", "bucket"], "left")
+        .select("col_name", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    est = (
+        filled.groupBy("col_name")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(shiftleft(1, {_HLL_TERM_BITS} - "
+                    f"least(m, {_HLL_TERM_BITS})) AS BIGINT)"
+                )
+            ).alias("s"),
+            F.count_if(F.col("m") == 0).alias("v"),
+        )
+        .selectExpr("col_name", f"{_hll_estimate('DIV')} AS ndv_sketch")
+    )
+
+    wide_aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, sp, _d in _SKETCH_COLS:
+        wide_aggs.extend(
+            [
+                F.count(F.col(c)).alias(f"{c}__nn"),
+                F.expr(sp.replace(c, f"min({c})", 1)).alias(f"{c}__min"),
+                F.expr(sp.replace(c, f"max({c})", 1)).alias(f"{c}__max"),
+            ]
+        )
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__min, {c}__max" for c, _sp, _d in _SKETCH_COLS
+    )
+    wide = (
+        li.agg(*wide_aggs)
+        .selectExpr(
+            f"stack({len(_SKETCH_COLS)}, {stack_args}) AS "
+            "(col_name, __nn, min_value, max_value)",
+            "n_rows",
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("__nn")).alias("n_nulls"),
+            "min_value",
+            "max_value",
+        )
+    )
+    return (
+        wide.join(F.broadcast(est), "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "ndv_sketch",
+            F.lit(True).alias("ndv_in_band"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("col_name")
+    )
+
+
 @register(
     "maintenance_referential_audit",
     oracle="""

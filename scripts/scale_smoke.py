@@ -92,6 +92,11 @@ QUERIES = (
     # per band at any k), so unlike the exact tier this row measures
     # the engine, not the label-block density.
     "graph_triangle_count_lsh",
+    # round 8: the deterministic-HLL profile pass — same long-form
+    # stats as maintenance_table_stats (smoked above) minus the
+    # exact-NDV Expand; the row pair measures exactly what the sketch
+    # buys at scale.
+    "maintenance_table_stats_sketch",
 )
 
 
