@@ -498,9 +498,10 @@ def events_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONCURRENCY_WINDOW_US = 5 * 60 * 1000000  # each event counts as 5 min active
 
 
-@register(
-    "events_concurrent_sessions",
-    oracle=f"""
+# Shared by the day sweep and its segmented two-pass variant: both
+# compute the SAME relation (peak concurrency per day), so both
+# certify against the one canonical sweep-line SQL.
+_CONCURRENCY_ORACLE = f"""
     WITH deltas AS (
         SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS t,
                CAST(1 AS BIGINT) AS delta, event_id
@@ -524,7 +525,12 @@ _CONCURRENCY_WINDOW_US = 5 * 60 * 1000000  # each event counts as 5 min active
     FROM swept
     GROUP BY day
     ORDER BY day
-    """,
+    """
+
+
+@register(
+    "events_concurrent_sessions",
+    oracle=_CONCURRENCY_ORACLE,
     tags=("events", "concurrency", "sweep-line"),
 )
 def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,6 +570,98 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     swept = starts.unionByName(ends).select(
         "day", "delta", F.sum("delta").over(w).alias("live")
+    )
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.count_if(F.col("delta") == 1).alias("n_events"),
+            F.max("live").alias("peak_concurrent"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "peak_concurrent",
+        )
+        .orderBy("day")
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "events_concurrent_sessions_segmented",
+    oracle=_CONCURRENCY_ORACLE,
+    tags=("events", "concurrency", "sweep-line", "scale"),
+)
+def events_concurrent_sessions_segmented(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The day sweep's segmented refinement: identical output to
+    `events_concurrent_sessions` (same oracle certifies both), but no
+    reducer ever holds more than ONE HOUR of a day's deltas. The
+    day-partitioned window puts a whole hot day on one reducer — the
+    single-reducer cliff at 100 TB event volume; here the sweep runs
+    in two passes:
+
+    1. per-(day, hour) segment: local running sum of the +1/-1
+       deltas, plus each segment's total (same shuffle — the two
+       window frames share one partitioning+sort);
+    2. per-day carried offsets: the prefix sum of SEGMENT TOTALS over
+       the tiny (days x 24) relation, broadcast-joined back, so
+       live = carried offset + local running sum.
+
+    Correctness of the stitch: hour = t DIV 3600e6 is monotone in t
+    and equal t implies equal hour, so ordering by (t, delta,
+    event_id) within segments + segment order by hour reproduces the
+    day sweep's global order exactly, and running sums are
+    prefix-decomposable. Interval ends keep their START day (as in
+    the day sweep) but take their segment from their own END
+    timestamp — attribution and ordering stay decoupled."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).cast("long").alias("delta"),
+        "event_id",
+    )
+    ends = ev.select(
+        F.to_date("ts").alias("day"),
+        (F.unix_micros("ts") + F.lit(_CONCURRENCY_WINDOW_US)).alias("t"),
+        F.lit(-1).cast("long").alias("delta"),
+        "event_id",
+    )
+    deltas = starts.unionByName(ends).withColumn(
+        "hour", F.expr(f"t DIV {_HOUR_US}")
+    )
+    wrun = (
+        W.partitionBy("day", "hour")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = deltas.select(
+        "day",
+        "hour",
+        "delta",
+        F.sum("delta").over(wrun).alias("local_live"),
+    )
+    # segment totals as a plain aggregate: map-side combine collapses
+    # the deltas to (days x 24) rows before any exchange — cheaper
+    # than carrying a second whole-segment window frame through the
+    # sort and re-shuffling its output
+    segs = deltas.groupBy("day", "hour").agg(F.sum("delta").alias("seg_sum"))
+    woff = (
+        W.partitionBy("day")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = segs.select(
+        "day",
+        "hour",
+        F.coalesce(F.sum("seg_sum").over(woff), F.lit(0)).alias("carried"),
+    )
+    swept = local.join(F.broadcast(offs), ["day", "hour"]).select(
+        "day", "delta", (F.col("carried") + F.col("local_live")).alias("live")
     )
     return (
         swept.groupBy("day")
