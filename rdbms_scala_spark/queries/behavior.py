@@ -450,6 +450,215 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                   lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               arg_max(event_type, k) AS last_touch,
+               bool_or(event_type = 'purchase') AS converted
+        FROM keyed GROUP BY user_id
+    )
+    SELECT last_touch,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE converted) AS BIGINT) AS n_converted,
+           round(count(*) FILTER (WHERE converted) * 1.0 / count(*), 4)
+               AS conversion_rate
+    FROM per_user
+    GROUP BY last_touch
+    ORDER BY last_touch
+    """,
+    tags=("events", "attribution", "funnel"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: the max_by mirror of
+    `events_attribution_first_touch` — each user's LAST event type
+    claims the conversion. Same one-aggregate-per-user shape and the
+    same fixed-width composite ordering key."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.concat_ws(
+        "|",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max_by("event_type", k).alias("last_touch"),
+        F.bool_or(F.col("event_type") == "purchase").alias("converted"),
+    )
+    return (
+        per_user.groupBy("last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count_if(F.col("converted")).alias("n_converted"),
+            F.round(F.count_if(F.col("converted")) / F.count(F.lit(1)), 4).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("last_touch")
+    )
+
+
+# Multi-touch attribution: credit for each conversion is SPLIT across
+# the converting user's journey (all events up to and including the
+# first purchase). Per-touch weights are integer-quantized at 1e6
+# before summing — integer DIV and integer sums are exact on both
+# engines, so the per-channel totals hash-match; the quantization
+# remainder (< 1e-6 per journey) is dropped identically on both
+# sides.
+_ATTRIB_JOURNEY_SQL = """
+    keyed AS (
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                   lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+        FROM events
+    ),
+    conv AS (
+        SELECT user_id,
+               min(k) FILTER (WHERE event_type = 'purchase') AS conv_k
+        FROM keyed GROUP BY user_id
+    ),
+    journey AS (
+        SELECT kk.user_id, kk.event_type, kk.k
+        FROM keyed kk JOIN conv c USING (user_id)
+        WHERE c.conv_k IS NOT NULL AND kk.k <= c.conv_k
+    )
+"""
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH {_ATTRIB_JOURNEY_SQL},
+    sized AS (
+        SELECT user_id, event_type,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM journey
+    )
+    SELECT event_type AS channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(CAST(sum(1000000 // n) AS BIGINT) / 1e6, 4) AS credit
+    FROM sized
+    GROUP BY event_type
+    ORDER BY channel
+    """,
+    tags=("events", "attribution", "funnel"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every touch in a converting
+    journey gets an equal 1/n share of the conversion. One shuffle on
+    user_id serves both window passes (the unordered min-over-user
+    conversion key and the journey-size count), then a channel-sized
+    rollup; per-channel credit sums converge to the converted-user
+    count. Credits are 1e6-quantized integers (see the block
+    comment), so the floats both engines emit are identical."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.concat_ws(
+        "|",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    wu = W.partitionBy("user_id")
+    keyed = ev.select("user_id", "event_type", k.alias("k"))
+    journey = (
+        keyed.withColumn(
+            "conv_k",
+            F.min(F.when(F.col("event_type") == "purchase", F.col("k"))).over(wu),
+        )
+        .filter(F.col("conv_k").isNotNull() & (F.col("k") <= F.col("conv_k")))
+        .withColumn("n", F.count(F.lit(1)).over(wu))
+    )
+    return (
+        journey.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum(F.expr("1000000 DIV n")) / F.lit(1e6), 4).alias(
+                "credit"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "events_attribution_positional",
+    oracle=f"""
+    WITH {_ATTRIB_JOURNEY_SQL},
+    sized AS (
+        SELECT user_id, event_type,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY k)
+                    AS BIGINT) AS rn
+        FROM journey
+    ),
+    credited AS (
+        SELECT event_type,
+               CASE WHEN n = 1 THEN 1000000
+                    WHEN n = 2 THEN 500000
+                    WHEN rn = 1 OR rn = n THEN 400000
+                    ELSE 200000 // (n - 2) END AS credit_q
+        FROM sized
+    )
+    SELECT event_type AS channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(CAST(sum(credit_q) AS BIGINT) / 1e6, 4) AS credit
+    FROM credited
+    GROUP BY event_type
+    ORDER BY channel
+    """,
+    tags=("events", "attribution", "funnel"),
+)
+def events_attribution_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shape 40/20/40) attribution: the first and
+    last touch of a converting journey take 40% each, the middles
+    split the remaining 20% evenly. One ORDERED window pass per user
+    (row_number + count share the shuffle and sort); weights are the
+    same 1e6-quantized integers as the linear model, with the n=1 /
+    n=2 degenerate journeys taking 100% / 50-50."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.concat_ws(
+        "|",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    wu = W.partitionBy("user_id")
+    wo = wu.orderBy("k")
+    keyed = ev.select("user_id", "event_type", k.alias("k"))
+    sized = (
+        keyed.withColumn(
+            "conv_k",
+            F.min(F.when(F.col("event_type") == "purchase", F.col("k"))).over(wu),
+        )
+        .filter(F.col("conv_k").isNotNull() & (F.col("k") <= F.col("conv_k")))
+        .select(
+            "user_id",
+            "event_type",
+            F.count(F.lit(1)).over(wu).alias("n"),
+            F.row_number().over(wo).alias("rn"),
+        )
+    )
+    credit_q = (
+        F.when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 400000)
+        .otherwise(F.expr("200000 DIV (n - 2)"))
+    )
+    return (
+        sized.select(F.col("event_type").alias("channel"), credit_q.alias("credit_q"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("credit_q") / F.lit(1e6), 4).alias("credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
     "events_value_log_histogram",
     oracle="""
     WITH cents AS (
