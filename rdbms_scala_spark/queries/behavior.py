@@ -956,3 +956,96 @@ def events_pareto_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bucket").desc())
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               (CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS week_idx,
+               CAST(round(value * 1e2, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(week_idx) AS cohort_week FROM ev GROUP BY user_id
+    ),
+    cells AS (
+        SELECT f.cohort_week,
+               e.week_idx - f.cohort_week AS age_weeks,
+               e.user_id, e.event_type, e.cents
+        FROM ev e JOIN firsts f USING (user_id)
+    )
+    SELECT strftime(DATE '1970-01-05' + CAST(cohort_week * 7 AS INTEGER),
+                    '%Y-%m-%d') AS cohort_start,
+           CAST(age_weeks AS BIGINT) AS age_weeks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           round(CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                               ELSE 0 END) AS BIGINT) / 1e2, 2) AS revenue
+    FROM cells
+    GROUP BY cohort_week, age_weeks
+    ORDER BY cohort_start, age_weeks
+    """,
+    tags=("events", "cohort", "ltv", "scale"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-LTV matrix — `events_retention_cohorts` composed with
+    the LTV lens: users grouped by first-activity week, with each
+    later week's active users, purchase count, and revenue reported
+    as an age offset from the cohort — the standard growth-accounting
+    triangle ("does week-3 revenue per cohort hold up across
+    cohorts?"). Week granularity because the fixture spans ~30 days
+    (month cells would collapse to one); at production span swap the
+    Monday-anchored integer week index for a month index unchanged.
+
+    Scale shape: one user-keyed aggregate for cohorts, one user-keyed
+    join back (the retention pattern), then ONE shuffle keyed on the
+    (cohort, age) cell. Revenue sums integer cents; the week math is
+    epoch-anchored integer division — both cross-engine exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-05') DIV 7").alias(
+            "week_idx"
+        ),
+        F.round(F.col("value") * F.lit(1e2), 0).cast("long").alias("cents"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    cells = ev.join(firsts, "user_id").select(
+        "cohort_week",
+        (F.col("week_idx") - F.col("cohort_week")).alias("age_weeks"),
+        "user_id",
+        "event_type",
+        "cents",
+    )
+    return (
+        cells.groupBy("cohort_week", "age_weeks")
+        .agg(
+            F.count_distinct("user_id").alias("n_active_users"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("cents"))
+                    .otherwise(0)
+                )
+                / F.lit(1e2),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-05").cast("date"),
+                    (F.col("cohort_week") * 7).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("cohort_start"),
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            "n_active_users",
+            "n_purchases",
+            "revenue",
+        )
+        .orderBy("cohort_start", "age_weeks")
+    )
