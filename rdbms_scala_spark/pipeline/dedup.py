@@ -289,6 +289,87 @@ def _jaccard_pairs_sql(max_df: int) -> str:
 _JACCARD_ORACLE = _jaccard_pairs_sql(MAX_SHINGLE_DF)
 
 
+_CONTAINMENT_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh0 AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    sdf AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (
+        SELECT s.doc_id, s.shingle
+        FROM sh0 s JOIN sdf d USING (shingle) WHERE d.df <= {MAX_SHINGLE_DF}
+    ),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+           round(n_inter * 1.0 / least(x.n_sh, y.n_sh), 4) AS containment,
+           round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sz x ON x.doc_id = doc_a
+    JOIN sz y ON y.doc_id = doc_b
+    WHERE n_inter * 1.0 / least(x.n_sh, y.n_sh) >= 0.9
+"""
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("dedup", "neardup", "containment", "scale"),
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup tier: shingle CONTAINMENT
+    (n_inter / min(|A|, |B|)) at threshold 0.9 — catches
+    excerpt/truncation duplication (a short doc fully contained in a
+    long one) that symmetric Jaccard misses: a 100-shingle excerpt of
+    a 10,000-shingle page has containment 1.0 but Jaccard ~0.01.
+    Containment-vs-Jaccard is the standard pretraining pair
+    (e.g. the suffix-array / CCNet dedup stacks); Jaccard rides along
+    per pair so the two tiers can be thresholded jointly.
+
+    Same inverted-index self-join, df cap, and per-doc size relation
+    as `pairwise_jaccard` — the candidate machinery is shared; only
+    the scoring denominator changes. On this synthetic corpus the
+    generator makes full-copy near-dups only, so the tier coincides
+    with the Jaccard pairs; its value is the asymmetric case."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = cap_shingle_df(shingles_df(docs, n=3), MAX_SHINGLE_DF)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    scored = inter.join(sa, "doc_a").join(sb, "doc_b")
+    containment = F.col("n_inter") / F.least("na", "nb")
+    jaccard = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return scored.filter(containment >= 0.9).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        F.round(containment, 4).alias("containment"),
+        F.round(jaccard, 4).alias("jaccard"),
+    )
+
+
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup", "neardup"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs at threshold 0.7 via the

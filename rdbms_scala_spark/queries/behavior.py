@@ -1049,3 +1049,166 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_start", "age_weeks")
     )
+
+
+@register(
+    "events_ab_lift",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS variant,
+               coalesce(
+                   epoch_us(min(ts) FILTER (WHERE event_type = 'purchase'))
+                       <= epoch_us(min(ts)) + 86400000000, FALSE)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT
+            CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS na,
+            CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS nb,
+            CAST(count(*) FILTER (WHERE variant = 'A' AND converted)
+                 AS BIGINT) AS ca,
+            CAST(count(*) FILTER (WHERE variant = 'B' AND converted)
+                 AS BIGINT) AS cb
+        FROM assigned
+    )
+    SELECT na, nb, ca, cb,
+           round(ca * 1.0 / na, 4) AS rate_a,
+           round(cb * 1.0 / nb, 4) AS rate_b,
+           round((ca * 1.0 / na) / (cb * 1.0 / nb) - 1.0, 4) AS lift,
+           round((ca * 1.0 / na - cb * 1.0 / nb)
+                 / sqrt(((ca + cb) * 1.0 / (na + nb))
+                        * (1.0 - (ca + cb) * 1.0 / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 4) AS z_score
+    FROM agg
+    """,
+    tags=("events", "experiment", "ab-test", "scale"),
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with deterministic assignment: variant
+    is a pure function of the user id's md5 hex prefix (8/16 -> A,
+    the `sample_train_val_test` discipline — re-runs and appends can
+    never migrate a user), outcome is purchased-within-24h-of-first-
+    activity (integer microsecond comparison; ever-purchased
+    saturates to 100% on this fixture), and the result
+    row carries per-variant rates, relative lift, and the pooled
+    two-proportion z statistic. Shape: one per-user aggregate, then a
+    4-counter global rollup — the entire experiment costs two
+    map-side-combinable passes regardless of corpus size.
+
+    Cross-engine floats: every ratio derives from the four int64
+    counters through token-identical expression trees, and IEEE-754
+    division/sqrt are correctly rounded — both engines emit the same
+    doubles, rounded at 4dp."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.unix_micros(
+                F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            )
+            <= F.unix_micros(F.min("ts")) + F.lit(86_400_000_000),
+            F.lit(False),
+        ).alias("converted")
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    agg = assigned.agg(
+        F.count_if(F.col("variant") == "A").alias("na"),
+        F.count_if(F.col("variant") == "B").alias("nb"),
+        F.count_if((F.col("variant") == "A") & F.col("converted")).alias("ca"),
+        F.count_if((F.col("variant") == "B") & F.col("converted")).alias("cb"),
+    )
+    # 1.0D: Spark parses a bare 1.0 as DECIMAL, which would change
+    # every downstream type (and rounding) away from the oracle's
+    # IEEE doubles
+    return agg.selectExpr(
+        "na",
+        "nb",
+        "ca",
+        "cb",
+        "round(ca * 1.0D / na, 4) AS rate_a",
+        "round(cb * 1.0D / nb, 4) AS rate_b",
+        "round((ca * 1.0D / na) / (cb * 1.0D / nb) - 1.0D, 4) AS lift",
+        "round((ca * 1.0D / na - cb * 1.0D / nb)"
+        " / sqrt(((ca + cb) * 1.0D / (na + nb))"
+        " * (1.0D - (ca + cb) * 1.0D / (na + nb))"
+        " * (1.0D / na + 1.0D / nb)), 4) AS z_score",
+    )
+
+
+def _ewma_terms_sql() -> str:
+    """Sum of 14 geometric lag terms, each integer-floored: EWMA with
+    alpha = 1/2 expands to sum_k x_(t-k) / 2^(k+1); halving weights
+    make every term an integer right-shift, so the smoothed series is
+    EXACT integer arithmetic on both engines (a float alpha would
+    accumulate engine-specific rounding across the recursion). Terms
+    beyond lag 13 weigh < 2^-14 — below one cent on this series."""
+    return " + ".join(
+        f"(coalesce(lag(c, {k}) OVER "
+        "(PARTITION BY event_type ORDER BY day)"
+        f", 0) // {1 << (k + 1)})"
+        for k in range(14)
+    )
+
+
+@register(
+    "events_ewma_smoothing",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 1e2, 0) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    smoothed AS (
+        SELECT event_type, day, c,
+               CAST({_ewma_terms_sql()} AS BIGINT) AS ewma_cents
+        FROM daily
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(c / 1e2, 2) AS daily_value,
+           round(ewma_cents / 1e2, 2) AS ewma_value
+    FROM smoothed
+    ORDER BY event_type, day
+    """,
+    tags=("events", "smoothing", "forecast", "window"),
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily value per event type (alpha=1/2)
+    — the smoothed baseline under anomaly thresholds and short-range
+    forecasts (`events_anomaly_zscore`'s residuals read against this
+    trend instead of a flat mean). The heavy pass is the map-side
+    daily rollup; the window then runs over a types x days relation.
+    Lags are row-lags over observed days (gap-fill first — see
+    `events_gap_fill` — if the series can skip days); weights halve
+    so every term is an exact integer shift (see `_ewma_terms_sql`)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * F.lit(1e2), 0).cast("long")).alias("c")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    ewma_q = None
+    for k in range(14):
+        term = F.shiftright(F.coalesce(F.lag("c", k).over(w), F.lit(0)), k + 1)
+        ewma_q = term if ewma_q is None else ewma_q + term
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("c") / F.lit(1e2), 2).alias("daily_value"),
+            F.round(ewma_q.cast("long") / F.lit(1e2), 2).alias("ewma_value"),
+        )
+        .orderBy("event_type", "day")
+    )

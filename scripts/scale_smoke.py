@@ -215,7 +215,11 @@ def main() -> None:
         for q in QUERIES:
             specs[q].fn(spark, sf_dir).count()  # warm (codegen+JIT)
             times = []
-            for _ in range(2):
+            # r7 flagged two non-monotone rows (x16 > x64) as likely
+            # measurement noise; give them one extra rep everywhere
+            # so min-of-3 damps host drift.
+            reps = 3 if q in ("basket_brand_pairs", "customer_ltv_deciles") else 2
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 specs[q].fn(spark, sf_dir).count()
                 times.append(time.perf_counter() - t0)
