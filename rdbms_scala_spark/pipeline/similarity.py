@@ -1678,11 +1678,14 @@ _POWER_ITERS = 3
 _POWER_SCALE = 100000  # |x| bound per iteration: 64 * |G|max * 1e5 < 2^63
 
 
-def _power_iteration_oracle() -> str:
-    """DuckDB replay of :func:`embeddings_power_iteration`: the
+def _power_cte_chain() -> str:
+    """The shared CTE chain replaying power iteration in DuckDB: the
     relational Gram CTE (as in ``_GRAM_ORACLE``) symmetrized, then
     ``_POWER_ITERS`` chained matvec+rescale iteration pairs in the
-    same integer arithmetic."""
+    same integer arithmetic. Ends at ``x{_POWER_ITERS}``, the
+    converged quantized eigenvector — consumers append their own
+    final SELECT (the eigenvector itself, or a projection through
+    it)."""
     steps = []
     for t in range(_POWER_ITERS):
         steps.append(f"""
@@ -1699,8 +1702,7 @@ def _power_iteration_oracle() -> str:
         FROM y{t} y CROSS JOIN m{t} m
     )""")
     iteration_ctes = ",".join(steps)
-    return f"""
-    WITH q AS (
+    return f"""q AS (
         SELECT list_transform(embedding::DOUBLE[],
                               x -> CAST(round(x * 10000, 0) AS BIGINT)) AS v
         FROM embeddings
@@ -1724,7 +1726,12 @@ def _power_iteration_oracle() -> str:
     x0 AS (
         SELECT i AS i, CAST({_POWER_SCALE} AS BIGINT) AS v
         FROM generate_series(0, {_GRAM_DIM - 1}) t(i)
-    ),{iteration_ctes}
+    ),{iteration_ctes}"""
+
+
+def _power_iteration_oracle() -> str:
+    return f"""
+    WITH {_power_cte_chain()}
     SELECT CAST(i AS BIGINT) AS dim, v AS component_q
     FROM x{_POWER_ITERS}
     ORDER BY dim
@@ -1787,3 +1794,62 @@ def embeddings_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(x.items()), "dim long, component_q long"
     ).orderBy("dim")
+
+
+def _pc1_projection_oracle() -> str:
+    """Power-iteration CTE chain + one more matvec: every quantized
+    vector dotted with the converged eigenvector."""
+    return f"""
+    WITH {_power_cte_chain()},
+    vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 10000, 0) AS BIGINT)) AS vq
+        FROM embeddings
+    )
+    SELECT v.vec_id, v.label,
+           CAST(sum(v.vq[x.i + 1] * x.v) AS BIGINT) AS projection_q
+    FROM vecs v, x{_POWER_ITERS} x
+    GROUP BY v.vec_id, v.label
+    ORDER BY v.vec_id
+"""
+
+
+@register(
+    "embeddings_pc1_projection",
+    oracle=_pc1_projection_oracle(),
+    tags=("embeddings", "pca", "projection", "scale"),
+)
+def embeddings_pc1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding projected onto the corpus's first principal
+    direction — the 1-D summary that feeds drift dashboards, outlier
+    triage, and low-rank compression error estimates (score = x . u1
+    with u1 from `embeddings_power_iteration`). Fourth member of the
+    iterative-with-exact-oracle family: the eigenvector is k x 1
+    model state (the established MLlib-style driver round-trip), and
+    the projection itself is a per-row integer dot evaluated entirely
+    in codegen — transform/zip_with/aggregate over the quantized
+    array against the 64-term broadcast literal, NO shuffle, no
+    Python. |score| <= 64 * 1e4 * ~1e5 ~ 6e10: int64-safe.
+
+    The oracle replays the whole chain (Gram -> 3 matvec+rescale
+    iterations -> final matvec) in chained CTEs, so the projection is
+    certified end-to-end, not just against a claimed eigenvector."""
+    comp_rows = (
+        embeddings_power_iteration(spark, sf_dir).orderBy("dim").collect()
+    )
+    comp = F.array(
+        *[F.lit(int(r.component_q)).cast("long") for r in comp_rows]
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = F.expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))"
+    )
+    score = F.aggregate(
+        F.zip_with(vq, comp, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id", "label", score.alias("projection_q")
+    ).orderBy("vec_id")

@@ -913,3 +913,115 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("stage_id")
+
+
+# --- term-pair PMI ---------------------------------------------------
+
+_PMI_MIN_DF = 5  # drop hapax-ish terms before pairing
+_PMI_VOCAB_CAP = 2048  # top terms by (df DESC, term) kept in the vocab
+_PMI_MIN_CO = 20  # minimum pair co-document support reported
+
+
+@register(
+    "text_term_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+    vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM toks GROUP BY term
+        HAVING count(*) >= {_PMI_MIN_DF}
+        ORDER BY df DESC, term
+        LIMIT {_PMI_VOCAB_CAP}
+    ),
+    tv AS (SELECT t.doc_id, t.term FROM toks t JOIN vocab USING (term)),
+    co AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               CAST(count(*) AS BIGINT) AS co_df
+        FROM tv a JOIN tv b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term
+        HAVING count(*) >= {_PMI_MIN_CO}
+    )
+    SELECT term_a, term_b, co_df, va.df AS df_a, vb.df AS df_b,
+           round(ln((co_df * 1.0 * n_docs) / (va.df * 1.0 * vb.df)), 4)
+               AS pmi
+    FROM co
+    JOIN vocab va ON va.term = term_a
+    JOIN vocab vb ON vb.term = term_b
+    CROSS JOIN n
+    ORDER BY term_a, term_b
+    """,
+    tags=("text", "pmi", "cooccurrence", "scale"),
+)
+def text_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over term co-occurrence at the
+    document level — the collocation / topic-pair signal behind
+    phrase mining and embedding-free relatedness ("spark" and
+    "window" co-occur 3x more than independence predicts). PMI =
+    ln(P(a,b) / P(a)P(b)) with document frequencies as the
+    probability estimates.
+
+    Scale discipline: the pair space is bounded BEFORE the self-join
+    — terms below {_PMI_MIN_DF} docs are dropped, the vocabulary is
+    capped at the top {_PMI_VOCAB_CAP} terms by df (a deterministic
+    (df DESC, term) order + LIMIT), and the per-doc self-join fans
+    out at most (distinct capped terms per doc choose 2), with the
+    co-occurrence aggregate bounded by vocab-cap^2 cells. The tiny
+    vocab relation broadcasts into both the filter and the df
+    lookups. The PMI ln() runs once per surviving pair on exact
+    integer ratios assembled in token-identical order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens()).alias("term")
+    ).distinct()
+    n_docs = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _PMI_MIN_DF)
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_PMI_VOCAB_CAP)
+    )
+    tv = toks.join(F.broadcast(vocab.select("term")), "term").select(
+        "doc_id", "term"
+    )
+    a, b = tv.alias("a"), tv.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co_df"))
+        .filter(F.col("co_df") >= _PMI_MIN_CO)
+    )
+    va = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        co.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "co_df",
+            "df_a",
+            "df_b",
+            F.round(
+                F.log(
+                    (F.col("co_df") * F.lit(1.0) * F.col("n_docs"))
+                    / (F.col("df_a") * F.lit(1.0) * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy("term_a", "term_b")
+    )

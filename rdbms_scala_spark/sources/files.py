@@ -854,3 +854,94 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderstatus").asc_nulls_first())
     )
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+        SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    campaigns AS (
+        SELECT CAST(day AS DATE) AS day,
+               CASE WHEN substr(md5(CAST(CAST(day AS DATE) AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3')
+                    THEN 'launch' ELSE 'none' END AS campaign
+        FROM dim
+    )
+    SELECT strftime(e.ts, '%Y-%m-%d') AS event_date,
+           e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN campaigns c ON CAST(e.ts AS DATE) = c.day
+    WHERE c.campaign = 'launch'
+    GROUP BY 1, 2
+    ORDER BY event_date, event_type
+    """,
+    tags=("source", "parquet", "partitioning", "dpp", "scale"),
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the date-partitioned
+    events layout from `scan_partition_pruned`, the dim side is a
+    MATERIALIZED campaign-calendar parquet filtered on an attribute
+    (``campaign = 'launch'``) that is opaque to static analysis — so
+    the ONLY way the fact scan can skip directories is Spark's DPP
+    subquery: at runtime the filtered dim's join keys are broadcast
+    and injected into the scan's PartitionFilters as a
+    ``dynamicpruningexpression`` (pinned in tests/test_plans.py).
+    This is the standard star-schema pruning path at 100 TB — the
+    static variant (`scan_partition_pruned`) only covers predicates
+    known at plan time; dim-driven ones (campaign tables, dim_date
+    attributes) need DPP. The dim is written to parquet (not left as
+    a LocalRelation) precisely because constraint propagation would
+    otherwise rewrite a derivable filter onto the key statically and
+    the demo would measure the wrong mechanism.
+
+    ~4/16 of days carry the campaign marker (md5 first hexit), so the
+    fact scan lists ~a quarter of the day directories."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rdbms_scala_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    fact_scratch = _scratch_dir(spark, sf_dir, "events_partitioned")
+    if not os.path.exists(os.path.join(fact_scratch, "_SUCCESS")):
+        write_parquet(
+            events.withColumn("event_date", F.to_date("ts")),
+            fact_scratch,
+            partition_by=["event_date"],
+        )
+    dim_scratch = _scratch_dir(spark, sf_dir, "campaign_dim")
+    if not os.path.exists(os.path.join(dim_scratch, "_SUCCESS")):
+        dim = spark.sql(
+            "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-31')) AS day"
+        ).select(
+            "day",
+            F.when(
+                F.substring(F.md5(F.col("day").cast("string")), 1, 1).isin(
+                    "0", "1", "2", "3"
+                ),
+                "launch",
+            )
+            .otherwise("none")
+            .alias("campaign"),
+        )
+        write_parquet(dim, dim_scratch)
+    fact = spark.read.parquet(fact_scratch)
+    campaigns = spark.read.parquet(dim_scratch).filter(
+        F.col("campaign") == "launch"
+    )
+    return (
+        fact.join(
+            F.broadcast(campaigns), fact.event_date == campaigns.day
+        )
+        .groupBy(
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_date", "event_type")
+    )

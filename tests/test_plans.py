@@ -207,6 +207,17 @@ def test_partition_pruned_scan_has_partition_filters(spark, sf_dir):
     assert "event_date" not in part["read_schema"], part
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """scan_dynamic_partition_pruning's fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters — the runtime
+    dim-driven directory skip, not a statically-propagated constraint
+    (the campaign predicate is opaque to static analysis, so if DPP
+    did not fire the fact side would list every day directory)."""
+    scans = _scans("scan_dynamic_partition_pruning", spark, sf_dir)
+    fact = next(s for s in scans if "events_partitioned_" in s["location"])
+    assert "dynamicpruning" in fact["partition_filters"].lower(), fact
+
+
 def test_point_lookup_pushes_key_to_both_scans(spark, sf_dir):
     """scan_point_lookup's key must reach BOTH Parquet scans as an
     EqualTo pushed filter (both sides filter on the key explicitly —
