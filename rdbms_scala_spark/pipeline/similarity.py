@@ -1853,3 +1853,221 @@ def embeddings_pc1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", "label", score.alias("projection_q")
     ).orderBy("vec_id")
+
+
+# --- kNN label vote ---------------------------------------------------
+
+_KNN_QUERIES = 100  # vectors classified (vec_id < this)
+_KNN_K = 10
+
+
+def _knn_vote_oracle() -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS true_label,
+               embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+    ),
+    scored AS (
+        SELECT query_id, true_label, e.label AS nlabel,
+               list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS cos,
+               e.vec_id AS neighbor_id
+        FROM q, embeddings e
+        WHERE e.vec_id != query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, true_label, CAST(nlabel AS BIGINT) AS predicted_label,
+               CAST(count(*) AS BIGINT) AS votes
+        FROM ranked WHERE rank <= {_KNN_K}
+        GROUP BY 1, 2, 3
+    ),
+    winner AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, predicted_label) AS vr
+        FROM votes
+    )
+    SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+           predicted_label, votes,
+           CAST(CASE WHEN predicted_label = true_label THEN 1 ELSE 0 END
+                AS BIGINT) AS correct
+    FROM winner WHERE vr = 1
+    ORDER BY query_id
+"""
+
+
+@register(
+    "embeddings_knn_vote",
+    oracle=_knn_vote_oracle(),
+    tags=("embeddings", "knn", "classification", "scale"),
+)
+def embeddings_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification: each of the first
+    {_KNN_QUERIES} vectors takes the modal label among its
+    {_KNN_K} exact-cosine nearest neighbors (self excluded) — the
+    label-propagation / auto-labeling readout a training-data
+    pipeline runs to impute labels and audit annotation quality
+    (correct=0 rows are the label-noise candidates).
+
+    Composition over `similarity_topk_bruteforce`'s certified scale
+    shape: broadcast query block, map-only scoring, WindowGroupLimit
+    Partial keeps k x partitions rows per query before the exchange.
+    The vote itself is a k-row-per-query aggregate + a second
+    rank-1 window over <= k rows per query — noise next to the scan.
+    Tie discipline: neighbors (cos DESC, neighbor_id ASC), votes
+    (votes DESC, predicted_label ASC) — fully deterministic. At
+    scale, swap the exact scorer for the LSH/IVF candidate tiers
+    (`similarity_lsh_ann` / `similarity_ivf`); the vote is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        _as_double("embedding").alias("nv"),
+    ).withColumn("nn", norm("nv"))
+    queries = (
+        emb.filter(F.col("vec_id") < _KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            _as_double("embedding").alias("qv"),
+        )
+        .withColumn("qn", norm("qv"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "true_label", "nlabel", "neighbor_id",
+            cosine_pre("qv", "nv", "qn", "nn").alias("cos"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    votes = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _KNN_K)
+        .groupBy(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("nlabel").cast("long").alias("predicted_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), "predicted_label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id", "true_label", "predicted_label", "votes",
+            (F.col("predicted_label") == F.col("true_label"))
+            .cast("long")
+            .alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --- int8 scalar quantization -----------------------------------------
+
+
+def _int8_quantize_oracle() -> str:
+    return """
+    WITH comps AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT dim, min(x) AS mn, max(x) AS mx FROM comps GROUP BY dim
+    ),
+    coded AS (
+        SELECT c.vec_id, c.label, c.x, s.mn, s.mx,
+               CAST(round(((c.x - s.mn) * 254.0) / (s.mx - s.mn), 0)
+                    AS BIGINT) - 127 AS code
+        FROM comps c JOIN stats s USING (dim)
+    ),
+    err AS (
+        SELECT vec_id, label, code,
+               CAST(round(abs(x - (mn + (CAST(code + 127 AS DOUBLE)
+                                         * (mx - mn)) / 254.0)) * 1e6, 0)
+                    AS BIGINT) AS err_q
+        FROM coded
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(sum(code) AS BIGINT)  AS code_sum,
+           min(code)                  AS code_min,
+           max(code)                  AS code_max,
+           CAST(sum(err_q) AS BIGINT) AS l1_err_q
+    FROM err
+    GROUP BY vec_id, label
+    ORDER BY vec_id
+"""
+
+
+@register(
+    "embeddings_int8_quantize",
+    oracle=_int8_quantize_oracle(),
+    tags=("embeddings", "quantization", "compression", "scale"),
+)
+def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization of the embedding corpus
+    — the 4x vector-compression pass (float32 -> int8) an ANN index
+    build runs before sharding, plus its reconstruction-error audit.
+    Each dimension gets its own [min, max] range (per-dim affine is
+    the standard scalar-quantization layout; PQ's codebooks live in
+    `similarity_pq`), codes land in [-127, 127], and the readout per
+    vector is the code checksum + the L1 reconstruction error.
+
+    Cross-engine float discipline: the code is ONE rounded affine
+    expression evaluated in identical operation order on both sides;
+    the L1 error quantizes each |x - dequant(code)| term at 1e6
+    BEFORE summing (the quantized-ln idiom), so the per-vector sums
+    are exact integer arithmetic.
+
+    Scale shape: per-dim stats are one map-side-combinable aggregate
+    over the component explode (dim cardinality rows out — 64);
+    the stats broadcast back into a map-only coding pass; the
+    per-vector readout re-keys on vec_id once. At 100 TB the explode
+    never shuffles corpus bytes — only (dim, partial-min/max) pairs
+    and the final per-vector rows move."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(_as_double("embedding")).alias("dim", "x"),
+    )
+    stats = comps.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    code = (
+        F.round(
+            ((F.col("x") - F.col("mn")) * F.lit(254.0))
+            / (F.col("mx") - F.col("mn")),
+            0,
+        ).cast("long")
+        - 127
+    )
+    coded = comps.join(F.broadcast(stats), "dim").select(
+        "vec_id", "label", "x", "mn", "mx", code.alias("code")
+    )
+    dequant = F.col("mn") + (
+        (F.col("code") + F.lit(127)).cast("double") * (F.col("mx") - F.col("mn"))
+    ) / F.lit(254.0)
+    err_q = F.round(F.abs(F.col("x") - dequant) * F.lit(1e6), 0).cast("long")
+    return (
+        coded.withColumn("err_q", err_q)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum("code").alias("code_sum"),
+            F.min("code").alias("code_min"),
+            F.max("code").alias("code_max"),
+            F.sum("err_q").alias("l1_err_q"),
+        )
+        .orderBy("vec_id")
+    )

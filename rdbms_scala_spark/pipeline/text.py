@@ -1025,3 +1025,86 @@ def text_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term_a", "term_b")
     )
+
+
+# --- TF-IDF top terms -------------------------------------------------
+
+_TFIDF_TOP_K = 5
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * CAST(round(ln(CAST(n_docs AS DOUBLE)
+                                     / CAST(df.df AS DOUBLE)) * 1e6, 0)
+                            AS BIGINT) AS score_q
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_q DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score_q, rank
+    FROM ranked WHERE rank <= {_TFIDF_TOP_K}
+    ORDER BY doc_id, rank
+    """,
+    tags=("text", "tfidf", "ranking", "scale"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{_TFIDF_TOP_K} terms by TF-IDF — the classic
+    keyword-extraction / doc-signature readout (BM25's static cousin;
+    `text_bm25_search` ranks docs for a query, this ranks terms for a
+    doc). Cross-engine float discipline: idf = ln(n_docs/df) is
+    integer-quantized at 1e6 BEFORE the tf multiply (the
+    `text_unigram_logprob` idiom), so scores are exact int64 and the
+    per-doc ranking (score_q DESC, term ASC) is engine-independent.
+
+    Scale shape: tf is one map-side-combinable aggregate over the
+    token explode; df is a second keyed aggregate over tf (already
+    one row per (doc, term) — never re-reads the corpus); n_docs is
+    a broadcast scalar; the top-k per doc is a rank-filtered window
+    that InferWindowGroupLimit executes as WindowGroupLimit Partial
+    before the doc_id exchange — per-reducer work is k x partitions,
+    not vocabulary-sized. int64 headroom: score_q <= tf x 21e6
+    (ln(2^63) < 44), safe while tf < 4e11 occurrences of one term in
+    one doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    idf_q = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.col("tf") * idf_q).alias("score_q"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score_q").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOP_K)
+        .orderBy("doc_id", "rank")
+    )

@@ -1212,3 +1212,201 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- per-series linear trend ------------------------------------------
+
+
+@register(
+    "events_daily_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               sum(x)     AS sx,
+               sum(y)     AS sy,
+               sum(x * y) AS sxy,
+               sum(x * x) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_days * sxx - sx * sx AS DOUBLE), 4) AS slope_per_day,
+           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n_days * sxx - sx * sx AS DOUBLE), 4) AS intercept
+    FROM stats
+    ORDER BY event_type
+    """,
+    tags=("events", "trend", "regression", "scale"),
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ordinary-least-squares trend over the daily
+    count series — the growth/decay slope behind "is checkout volume
+    trending down?" alerting. Closed-form OLS on exact integer
+    moments instead of `regr_slope`: x (day index) and y (daily
+    count) are integers, so n, Σx, Σy, Σxy, Σx² accumulate exactly
+    (commutative integer addition — no float-order divergence across
+    engines), and slope = (nΣxy − ΣxΣy)/(nΣxx − ΣxΣx) and intercept
+    = (ΣyΣxx − ΣxΣxy)/(same denominator) are each ONE double
+    division of exact integers, rounded identically on both sides.
+
+    Scale shape: daily series via one map-side-combinable aggregate
+    (events → ~types × days cells), moments via a second tiny
+    aggregate — both shuffles keyed, no window, no driver math.
+    int64 headroom: |Σxy| ≤ days² × daily-count ~ 1e3 × y; at 100 TB
+    (y ~ 1e9/day, 10-year x ~ 3.6e3) nΣxy ~ 4e16 < 2^63."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return stats.select(
+        "event_type",
+        "n_days",
+        F.round(
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / den,
+            4,
+        ).alias("slope_per_day"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "double"
+            )
+            / den,
+            4,
+        ).alias("intercept"),
+    ).orderBy("event_type")
+
+
+# --- top session entry paths ------------------------------------------
+
+_PATH_STEPS = 5  # entry path = first N events of the session
+_TOP_PATHS = 20
+
+
+@register(
+    "events_session_paths",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY ts, event_id) AS step
+        FROM numbered
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions
+        WHERE step <= {_PATH_STEPS}
+        GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_TOP_PATHS}
+    """,
+    tags=("events", "session", "paths", "scale"),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session ENTRY paths: the first {_PATH_STEPS} events of each
+    30-min-gap session joined into a '>' path string, ranked by how
+    many sessions follow it — the navigation-flow readout behind
+    onboarding-funnel and IA dashboards. Shares `events_sessionize`'s
+    session definition exactly (same gap, same (ts, event_id) order).
+
+    Scale shape: one shuffle on user_id serves both window passes
+    (lag + running-sum sessionize share the sort; the step
+    row_number reuses it), the path assembly is a sort_array over a
+    per-session collect bounded at {_PATH_STEPS} structs (slice
+    BEFORE join — long sessions can't bloat the string), and the
+    final path ranking is a keyed aggregate + TakeOrderedAndProject
+    (top-{_TOP_PATHS}, never a full sort). Ties at the cut are
+    broken (n_sessions DESC, path ASC) so the LIMIT is
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        1,
+                        _PATH_STEPS,
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_TOP_PATHS)
+    )

@@ -97,6 +97,18 @@ QUERIES = (
     # exact-NDV Expand; the row pair measures exactly what the sketch
     # buys at scale.
     "maintenance_table_stats_sketch",
+    # round 8 batch 2: token-volume ops (tfidf's window group-limit,
+    # PMI's capped-vocab pair join), corpus-scoring ops (kNN vote =
+    # brute-force top-k + vote; PC1 projection = power iteration + a
+    # map-only matvec), the component-explode quantizer, the
+    # two-window sessionize + path assembly, and the DPP star scan.
+    "text_tfidf_top_terms",
+    "text_term_pmi",
+    "embeddings_knn_vote",
+    "embeddings_pc1_projection",
+    "embeddings_int8_quantize",
+    "events_session_paths",
+    "scan_dynamic_partition_pruning",
 )
 
 
