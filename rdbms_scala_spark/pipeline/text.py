@@ -1027,84 +1027,90 @@ def text_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- TF-IDF top terms -------------------------------------------------
+# --- source signature terms (class-TF-IDF) ---------------------------
 
-_TFIDF_TOP_K = 5
+_SIG_TOP_K = 5
 
 
 @register(
-    "text_tfidf_top_terms",
+    "text_source_signature_terms",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id,
+        SELECT source,
                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
         FROM documents
     ),
     tf AS (
-        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        FROM toks GROUP BY doc_id, term
+        SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY source, term
     ),
-    df AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    sdf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS src_df FROM tf GROUP BY term
     ),
-    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM tf),
     scored AS (
-        SELECT tf.doc_id, tf.term, tf.tf, df.df,
-               tf.tf * CAST(round(ln(CAST(n_docs AS DOUBLE)
-                                     / CAST(df.df AS DOUBLE)) * 1e6, 0)
+        SELECT tf.source, tf.term, tf.tf, sdf.src_df,
+               tf.tf * CAST(round(ln(CAST(n_sources AS DOUBLE)
+                                     / CAST(sdf.src_df AS DOUBLE)) * 1e6, 0)
                             AS BIGINT) AS score_q
-        FROM tf JOIN df USING (term) CROSS JOIN n
+        FROM tf JOIN sdf USING (term) CROSS JOIN n
     ),
     ranked AS (
-        SELECT *, row_number() OVER (PARTITION BY doc_id
+        SELECT *, row_number() OVER (PARTITION BY source
                                      ORDER BY score_q DESC, term) AS rank
         FROM scored
     )
-    SELECT doc_id, term, tf, df, score_q, rank
-    FROM ranked WHERE rank <= {_TFIDF_TOP_K}
-    ORDER BY doc_id, rank
+    SELECT source, term, tf, src_df, score_q, rank
+    FROM ranked WHERE rank <= {_SIG_TOP_K}
+    ORDER BY source, rank
     """,
-    tags=("text", "tfidf", "ranking", "scale"),
+    tags=("text", "tfidf", "topic", "scale"),
 )
-def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-{_TFIDF_TOP_K} terms by TF-IDF — the classic
-    keyword-extraction / doc-signature readout (BM25's static cousin;
-    `text_bm25_search` ranks docs for a query, this ranks terms for a
-    doc). Cross-engine float discipline: idf = ln(n_docs/df) is
-    integer-quantized at 1e6 BEFORE the tf multiply (the
-    `text_unigram_logprob` idiom), so scores are exact int64 and the
-    per-doc ranking (score_q DESC, term ASC) is engine-independent.
+def text_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-TF-IDF signature terms per SOURCE: the top-{_SIG_TOP_K}
+    terms most distinctive of each source's aggregate vocabulary
+    (tf within the source x ln(n_sources / sources-containing-term))
+    — the group-level topic-signature readout (BERTopic's c-TF-IDF)
+    behind corpus composition dashboards and source-mix debugging.
+    Deliberately DISTINCT from `text_keyword_tfidf` (per-DOC salience
+    over document frequencies): here the "documents" of the TF-IDF
+    are the source classes themselves, so a 20-source corpus yields
+    20 signature rows-of-{_SIG_TOP_K} regardless of corpus size.
 
-    Scale shape: tf is one map-side-combinable aggregate over the
-    token explode; df is a second keyed aggregate over tf (already
-    one row per (doc, term) — never re-reads the corpus); n_docs is
-    a broadcast scalar; the top-k per doc is a rank-filtered window
-    that InferWindowGroupLimit executes as WindowGroupLimit Partial
-    before the doc_id exchange — per-reducer work is k x partitions,
-    not vocabulary-sized. int64 headroom: score_q <= tf x 21e6
-    (ln(2^63) < 44), safe while tf < 4e11 occurrences of one term in
-    one doc."""
+    Cross-engine float discipline: idf over the tiny source axis is
+    integer-quantized at 1e6 BEFORE the tf multiply (the
+    `text_unigram_logprob` idiom) — ranking is exact int64.
+
+    Scale shape: class-tf is one map-side-combinable aggregate over
+    the token explode (vocab x n_sources rows out, NOT corpus-sized);
+    src_df re-aggregates that relation; n_sources broadcasts; the
+    per-source top-k is a rank-filtered window with a
+    WindowGroupLimit partial below the source exchange. int64
+    headroom: score_q <= tf x 3e6 at 20 sources — safe to tf ~ 3e12
+    occurrences per source."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens()).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    toks = docs.select("source", F.explode(tokens()).alias("term"))
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    sdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("src_df"))
+    n = tf.agg(F.count_distinct("source").alias("n_sources"))
     idf_q = F.round(
-        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        F.log(
+            F.col("n_sources").cast("double") / F.col("src_df").cast("double")
+        )
         * F.lit(1e6),
         0,
     ).cast("long")
     scored = (
-        tf.join(df, "term")
+        tf.join(sdf, "term")
         .crossJoin(F.broadcast(n))
         .select(
-            "doc_id", "term", "tf", "df",
+            "source", "term", "tf", "src_df",
             (F.col("tf") * idf_q).alias("score_q"),
         )
     )
-    w = W.partitionBy("doc_id").orderBy(F.col("score_q").desc(), "term")
+    w = W.partitionBy("source").orderBy(F.col("score_q").desc(), "term")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TFIDF_TOP_K)
-        .orderBy("doc_id", "rank")
+        .filter(F.col("rank") <= _SIG_TOP_K)
+        .orderBy("source", "rank")
     )

@@ -102,7 +102,7 @@ QUERIES = (
     # brute-force top-k + vote; PC1 projection = power iteration + a
     # map-only matvec), the component-explode quantizer, the
     # two-window sessionize + path assembly, and the DPP star scan.
-    "text_tfidf_top_terms",
+    "text_source_signature_terms",
     "text_term_pmi",
     "embeddings_knn_vote",
     "embeddings_pc1_projection",
