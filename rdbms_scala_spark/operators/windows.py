@@ -236,3 +236,57 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "window_time_range_rolling",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_events_7d,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                      AS DOUBLE) / 100, 2) AS value_7d
+    FROM events
+    WHERE user_id <= 200
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts_us, event_id
+    """,
+    tags=("window", "range-frame", "time", "scale"),
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame: each event's trailing-7-day event
+    count and value total for its user — the rolling-exposure /
+    velocity feature (txn velocity checks, rate-limit audits, rolling
+    spend) that ROWS frames cannot express when event cadence is
+    uneven. Complements `window_range_frame` (numeric value range):
+    here the frame bound is an INTERVAL over the time order.
+
+    Cross-engine float discipline: the rolling SUM quantizes value at
+    1e2 BEFORE accumulating (sliding-frame accumulation order differs
+    between engines; integer addition is order-free), then divides
+    once for display. RANGE peers (equal ts) are included together by
+    definition, so ts ties cannot reorder results.
+
+    Scale shape: one exchange on user_id, one sorted scan per
+    partition with a sliding two-pointer frame — Spark executes the
+    interval bound in the same single WindowExec as a rows frame; no
+    self-join (the naive equivalent is events x events ON ts BETWEEN,
+    a range join that explodes at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    value_q = "CAST(round(value * 100, 0) AS BIGINT)"
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.expr(f"count(*) {over}").alias("n_events_7d"),
+            F.round(
+                F.expr(f"sum({value_q}) {over}").cast("double") / F.lit(100), 2
+            ).alias("value_7d"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )

@@ -1588,3 +1588,116 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("degree")
     )
+
+
+_MODULARITY_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    e0 AS (
+        SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+        FROM pairs WHERE doc_a != doc_b
+    ),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    reach(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u
+    ),
+    labels AS (
+        SELECT u AS node, least(u, min(v)) AS component_id
+        FROM reach GROUP BY u
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    dc AS (
+        SELECT l.component_id,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d.d) AS BIGINT) AS degree_sum
+        FROM labels l JOIN deg d USING (node)
+        GROUP BY 1
+    ),
+    ec AS (
+        SELECT l.component_id, CAST(count(*) AS BIGINT) AS n_edges
+        FROM e0 e JOIN labels l ON e.u = l.node
+        GROUP BY 1
+    )
+    SELECT dc.component_id, dc.n_nodes, ec.n_edges, dc.degree_sum,
+           round(CAST(ec.n_edges AS DOUBLE) / m
+                 - (CAST(dc.degree_sum AS DOUBLE) / (2 * m))
+                   * (CAST(dc.degree_sum AS DOUBLE) / (2 * m)), 6)
+               AS modularity
+    FROM dc JOIN ec USING (component_id) CROSS JOIN m
+    ORDER BY component_id
+"""
+
+
+@register(
+    "graph_modularity",
+    oracle=_MODULARITY_ORACLE,
+    tags=("graph", "community", "modularity", "scale"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity per connected component of the near-dup
+    graph: Q_c = e_c/m − (d_c/2m)² — the community-quality readout
+    that tells a dedup pipeline whether its transitive clusters are
+    dense duplicate families (Q_c near e_c/m, tight) or chains strung
+    together by borderline pairs (degree mass without internal edge
+    mass) — the chain clusters are the ones where min-doc_id keeper
+    rules destroy non-duplicate content. Composes the module's shared
+    relations: `cached_jaccard_pairs` edges + the alternating-star
+    components (`connected_components_edges`).
+
+    Float discipline: e_c, d_c, m are exact int64; each component's Q
+    is two divisions and one multiply of exact integers evaluated in
+    token-identical order on both engines, rounded once at 6dp.
+
+    Scale shape: degrees are one keyed aggregate over the symmetric
+    edge list; per-component sums join the (node → component) labels
+    — everything keyed by node or component id, the only iteration
+    being the O(log n) star rounds already amortized behind the
+    session-cached pair relation."""
+    pairs = cached_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e0 = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+    )
+    sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels, _rounds = connected_components_edges(pairs)
+    labels = labels.select(
+        F.col("doc_id").alias("node"), "component_id"
+    )
+    m = e0.agg(F.count(F.lit(1)).alias("m"))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("degree_sum"),
+        )
+    )
+    ec = (
+        e0.join(labels, e0.u == labels.node)
+        .groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    half = F.col("degree_sum").cast("double") / (F.lit(2) * F.col("m"))
+    return (
+        dc.join(ec, "component_id")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "component_id",
+            "n_nodes",
+            "n_edges",
+            "degree_sum",
+            F.round(
+                F.col("n_edges").cast("double") / F.col("m") - half * half, 6
+            ).alias("modularity"),
+        )
+        .orderBy("component_id")
+    )

@@ -1114,3 +1114,117 @@ def text_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _SIG_TOP_K)
         .orderBy("source", "rank")
     )
+
+
+# --- bigram LM scoring ------------------------------------------------
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT unnest(t) AS w, doc_id FROM toks
+    ),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uc),
+    bi AS (
+        SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE len(t) >= 2)
+    ),
+    bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY bigram),
+    terms AS (
+        SELECT b.doc_id,
+               CAST(round(ln(CAST(bc.c + 1 AS DOUBLE)
+                             / CAST(uc.c + v.vocab AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS lp_q
+        FROM bi b
+        JOIN bc ON bc.bigram = b.bigram
+        JOIN uc ON uc.w = b.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)       AS n_bigrams,
+           CAST(sum(lp_q) AS BIGINT)      AS logprob_q,
+           round(CAST(sum(lp_q) AS DOUBLE) / (count(*) * 1e6), 4)
+               AS avg_logprob
+    FROM terms
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "language-model", "quality", "scale"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram log-probability under an
+    add-one-smoothed corpus bigram LM: lp(w1 w2) = ln((c(w1,w2)+1) /
+    (c(w1)+V)) — the order-sensitive fluency signal
+    `text_unigram_logprob` (bag-of-words) cannot see: scrambled or
+    template-stitched text keeps its unigram score but collapses
+    here. Standard membership/quality filter in pretraining pipelines.
+
+    Cross-engine float discipline: each conditional ln is quantized
+    at 1e6 BEFORE the per-doc sum (the unigram-LM idiom), so doc
+    scores are exact int64 sums; ONE display division at the end.
+
+    Scale shape: the bigram model is a map-side-combinable aggregate
+    over the bigram explode (observed-bigram-sized, not vocab²); doc
+    scoring joins instances to the model on bigram and to unigram
+    counts on w1 — both keyed shuffles on model-sized relations; V
+    is a broadcast scalar. No windows, no driver math."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens().alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("uc"))
+    v = uc.agg(F.count(F.lit(1)).alias("vocab"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(F.expr("slice(t, 1, size(t) - 1)")).alias("i", "w1"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "w1",
+            F.concat_ws(
+                " ", F.col("w1"), F.expr("element_at(t, i + 2)")
+            ).alias("bigram"),
+        )
+    )
+    bc = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+    lp_q = F.round(
+        F.log(
+            (F.col("bc") + F.lit(1)).cast("double")
+            / (F.col("uc") + F.col("vocab")).cast("double")
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    terms = (
+        bi.join(bc, "bigram")
+        .join(uc, bi.w1 == uc.w)
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp_q.alias("lp_q"))
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_q").alias("logprob_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logprob_q",
+            F.round(
+                F.col("logprob_q").cast("double")
+                / (F.col("n_bigrams") * F.lit(1e6)),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

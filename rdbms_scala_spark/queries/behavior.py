@@ -1410,3 +1410,84 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_TOP_PATHS)
     )
+
+
+# --- day-of-week seasonality ------------------------------------------
+
+
+@register(
+    "events_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               isodow(CAST(ts AS DATE)) - 1 AS dow,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2, 3
+    ),
+    per_dow AS (
+        SELECT event_type, dow,
+               CAST(sum(y) AS BIGINT)  AS n_events,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type, dow
+    ),
+    totals AS (
+        SELECT event_type,
+               CAST(sum(n_events) AS BIGINT) AS tot_events,
+               CAST(sum(n_days) AS BIGINT)   AS tot_days
+        FROM per_dow GROUP BY event_type
+    )
+    SELECT p.event_type, CAST(p.dow AS BIGINT) AS dow,
+           p.n_events, p.n_days,
+           round(CAST(p.n_events * t.tot_days AS DOUBLE)
+                 / CAST(p.n_days * t.tot_events AS DOUBLE), 4)
+               AS seasonality_index
+    FROM per_dow p JOIN totals t USING (event_type)
+    ORDER BY event_type, dow
+    """,
+    tags=("events", "seasonality", "scale"),
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: average daily
+    volume on each weekday relative to the type's overall daily
+    average (1.0 = no weekly effect; checkout at 1.4 on Mondays means
+    Mondays run 40% hot) — the normalization layer under staffing
+    forecasts and anomaly baselines (`events_anomaly_zscore` flags
+    deviations; this explains the expected weekly shape). dow is
+    0=Monday (Spark `weekday` == DuckDB `isodow - 1`).
+
+    Float discipline: the index is (n_events x tot_days) /
+    (n_days x tot_events) — exact int64 numerator and denominator,
+    ONE double division rounded identically on both sides.
+
+    Scale shape: two map-side-combinable aggregates (events ->
+    type x day cells -> type x dow cells) and a 7-rows-per-type
+    self-aggregate joined back — broadcast-sized at any corpus;
+    int64 headroom: numerator <= total events x total days ~ 1e13 x
+    3.6e3 at a 10-year 100 TB corpus ~ 4e16 < 2^63."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.weekday(F.to_date("ts")).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("y").alias("n_events"), F.count(F.lit(1)).alias("n_days")
+    )
+    totals = per_dow.groupBy("event_type").agg(
+        F.sum("n_events").alias("tot_events"), F.sum("n_days").alias("tot_days")
+    )
+    return (
+        per_dow.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_events",
+            "n_days",
+            F.round(
+                (F.col("n_events") * F.col("tot_days")).cast("double")
+                / (F.col("n_days") * F.col("tot_events")).cast("double"),
+                4,
+            ).alias("seasonality_index"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -104,6 +104,7 @@ QUERIES = (
     # two-window sessionize + path assembly, and the DPP star scan.
     "text_source_signature_terms",
     "text_term_pmi",
+    "text_bigram_logprob",
     "embeddings_knn_vote",
     "embeddings_pc1_projection",
     "embeddings_int8_quantize",
