@@ -1701,3 +1701,161 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+def _minhash_calibration_oracle() -> str:
+    """Candidate replay of `_minhash_oracle` (same signatures, bands,
+    cap, pair set — WITHOUT the 0.7 acceptance threshold) joined to
+    the exact per-pair trigram Jaccard."""
+    h = [
+        f"min(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(_NUM_PERM)
+    ]
+    bands = []
+    for b in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"h{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM sig")
+    matches = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_PERM)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    sig AS (
+        SELECT doc_id, {', '.join(h)}
+        FROM sh GROUP BY doc_id
+    ),
+    bands_all AS (
+        {' UNION ALL '.join(bands)}
+    ),
+    bands AS (
+        SELECT doc_id, band, band_hash FROM (
+            SELECT bands_all.*,
+                   count(*) OVER (PARTITION BY band, band_hash) AS bn
+            FROM bands_all
+        ) WHERE bn <= {_BAND_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           ({matches}) / {_NUM_PERM}.0 AS est_jaccard,
+           coalesce(i.n_inter, 0) AS n_inter,
+           za.n_sh + zb.n_sh - coalesce(i.n_inter, 0) AS n_union,
+           round(coalesce(i.n_inter, 0) * 1.0
+                 / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 4)
+               AS exact_jaccard,
+           round(abs(({matches}) / {_NUM_PERM}.0
+                     - coalesce(i.n_inter, 0) * 1.0
+                       / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))), 4)
+               AS abs_err
+    FROM cand c
+    JOIN sig x ON x.doc_id = c.doc_a
+    JOIN sig y ON y.doc_id = c.doc_b
+    JOIN sz za ON za.doc_id = c.doc_a
+    JOIN sz zb ON zb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+"""
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=_minhash_calibration_oracle(),
+    tags=("dedup", "minhash", "evaluation", "calibration"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration audit for the MinHash pipeline: every LSH
+    candidate pair's signature-estimated Jaccard next to its EXACT
+    trigram Jaccard and the absolute error — the readout that
+    justifies (or re-tunes) the 0.7 acceptance threshold
+    `dedup_minhash_lsh` applies, exactly as `similarity_ivf_recall`
+    justifies the IVF probe budget. E[est] = J with sd
+    sqrt(J(1-J)/32) ~ 0.08: pairs outside ~2 sd are the ones a
+    threshold bump would misclassify.
+
+    The exact side needs NO shingle-df cap and NO inverted-index
+    self-join: candidates are already bucket-cap-bounded, so the true
+    intersection is a per-pair keyed join of each candidate's shingle
+    set (cost ~ pairs x doc length — linear in the candidate set,
+    which is the whole point of LSH). est = k/32 is an exact binary
+    fraction on both engines; the error column subtracts the same
+    two division results in the same order before the single 4dp
+    round."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs, n=3, distinct=True)
+    sig = minhash_signatures(shingles_df(docs, n=3, distinct=False)).cache()
+    cand = (
+        expand_bucket_pairs(
+            minhash_band_buckets(sig),
+            keys=["band", "band_hash"],
+            payload=["doc_id"],
+            keep=lambda bn: (bn >= 2) & (bn <= _BAND_BUCKET_CAP),
+        )
+        .select(F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("db"), F.col("shingle").alias("shingle_b")
+            ),
+            (F.col("doc_b") == F.col("db"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    ) / F.lit(_NUM_PERM)
+    jac = F.col("n_inter") / F.col("n_union")
+    return (
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            "n_inter",
+            "n_union",
+            F.round(jac, 4).alias("exact_jaccard"),
+            F.round(F.abs(est - jac), 4).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2071,3 +2071,176 @@ def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- ANN recall report ------------------------------------------------
+
+
+@register(
+    "similarity_ivf_recall",
+    oracle=f"""
+    WITH exact AS ({_BRUTE_ORACLE}),
+    approx AS ({_IVF_ORACLE})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST({_TOP_K} AS BIGINT)             AS k,
+           round(count(a.neighbor_id) * 1.0 / {_TOP_K}, 4) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    tags=("similarity", "ann", "recall", "evaluation"),
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{_TOP_K} of the IVF index against the exact
+    brute-force ranking — the ANN quality gate AS A QUERY: every index
+    deployment needs this readout on a held-out query set before the
+    exact path is turned off, and at 100 TB it runs exactly like this
+    (brute force over the held-out queries only — a broadcast
+    map-only pass — never corpus x corpus). Composes the two
+    certified tiers (`similarity_topk_bruteforce`, `similarity_ivf`);
+    the oracle chains both replay CTEs and joins them, so the recall
+    arithmetic is certified end-to-end, not against claimed
+    neighbor sets. The pytest recall gates assert a floor; this query
+    exposes the actual per-query number (probe-miss queries surface
+    as recall < 1 rows worth inspecting)."""
+    exact = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("an").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.lit(_TOP_K).cast("long").alias("k"),
+            F.round(F.col("n_hits") / F.lit(_TOP_K), 4).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --- split-half centroid drift ----------------------------------------
+
+
+@register(
+    "embeddings_centroid_drift",
+    oracle="""
+    WITH comps AS (
+        SELECT vec_id, label, vec_id % 2 AS half,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(unnest(embedding::DOUBLE[]) * 1e4, 0) AS BIGINT) AS xq
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, half, dim,
+               CAST(floor(CAST(sum(xq) AS DOUBLE) / count(*)) AS BIGINT) AS cq,
+               CAST(count(*) AS BIGINT) AS n
+        FROM comps GROUP BY 1, 2, 3
+    ),
+    sizes AS (
+        SELECT label,
+               max(CASE WHEN half = 0 THEN n END) AS n_even,
+               max(CASE WHEN half = 1 THEN n END) AS n_odd
+        FROM (SELECT DISTINCT label, half, n FROM cent)
+        GROUP BY label
+    ),
+    diffs AS (
+        SELECT a.label,
+               CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS dist_sq_q
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.half = 0 AND b.half = 1
+        GROUP BY a.label
+    )
+    SELECT d.label AS label, s.n_even, s.n_odd, d.dist_sq_q,
+           round(sqrt(CAST(d.dist_sq_q AS DOUBLE)) / 1e4, 4) AS drift_l2
+    FROM diffs d JOIN sizes s USING (label)
+    ORDER BY label
+    """,
+    tags=("embeddings", "drift", "evaluation", "scale"),
+)
+def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the two deterministic halves
+    of the corpus (even vs odd vec_id — the append-stable split
+    discipline of the sampling family): the embedding-space analog of
+    `maintenance_drift_psi`. A healthy ingest shows near-zero
+    split-half drift per label; a label whose halves disagree signals
+    a mid-corpus distribution break (encoder version change, source
+    mix shift) BEFORE it poisons training. Columns: split sizes, the
+    exact integer squared distance between half-centroids, and the
+    L2 drift de-quantized for reading.
+
+    Float discipline: components quantize at 1e4 (the Lloyd scale),
+    half-centroids are the floor-of-mean on identically-ordered
+    double division (the `lloyd_centroids` update rule), so dist_sq_q
+    is exact int64; one sqrt+division for display.
+
+    Scale shape: ONE map-side-combinable aggregate over the component
+    explode keyed (label, half, dim) — labels x 2 x 64 rows out of a
+    corpus-sized pass — then arithmetic on the tiny centroid
+    relation. int64 headroom: |cq| <= 1e4 x |x|max; dist_sq <= 64 x
+    (2e4)^2 x (drift range) — bounded far under 2^63."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e4, 0) AS BIGINT))"
+            )
+        ).alias("dim", "xq"),
+    )
+    cent = comps.groupBy("label", "half", "dim").agg(
+        F.floor(F.sum("xq").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sizes = (
+        cent.select("label", "half", "n")
+        .distinct()
+        .groupBy("label")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("n"))).alias("n_even"),
+            F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n_odd"),
+        )
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("cq").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("dim").alias("db"), F.col("cq").alias("cb")
+    )
+    diffs = (
+        a.join(b, (a.label == b.lb) & (a.dim == b.db))
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .alias("dist_sq_q")
+        )
+    )
+    return (
+        diffs.join(F.broadcast(sizes), "label")
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            "dist_sq_q",
+            F.round(
+                F.sqrt(F.col("dist_sq_q").cast("double")) / F.lit(1e4), 4
+            ).alias("drift_l2"),
+        )
+        .orderBy("label")
+    )
