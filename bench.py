@@ -95,6 +95,14 @@ EXTENSION = [
     "graph_pagerank",
     "embeddings_power_iteration",
     "events_dau_stickiness",
+    # round-8: the LSH-candidate triangle tier (the re-admitted scale
+    # path for the one ex-perf-weak op), the sketch stats pass vs its
+    # exact sibling above, the kNN-vote classifier readout, and the
+    # two-window session path assembly
+    "graph_triangle_count_lsh",
+    "maintenance_table_stats_sketch",
+    "embeddings_knn_vote",
+    "events_session_paths",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

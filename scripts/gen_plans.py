@@ -14,7 +14,12 @@ names = ["tpch_q1","tpch_q3","tpch_q5","tpch_q6","tpch_q9","tpch_q18","join_skew
 # round 7: the rewritten RFM (must show NO single-partition window),
 # the star join (three broadcasts, one codegen span), the multiset
 # set-op Expand, the multi-distinct Expand, and the basket pair join
-"events_rfm_segments","join_star_schema","intersect_all_keys","agg_multi_distinct","basket_brand_pairs"]
+"events_rfm_segments","join_star_schema","intersect_all_keys","agg_multi_distinct","basket_brand_pairs",
+# round 8: DPP must show dynamicpruningexpression in the fact scan's
+# PartitionFilters; the LSH triangle tier's bounded candidate join;
+# the sketch stats pass (no exact-NDV Expand); kNN vote's two-level
+# WindowGroupLimit; the segmented sweep's two-pass window chain
+"scan_dynamic_partition_pruning","graph_triangle_count_lsh","maintenance_table_stats_sketch","embeddings_knn_vote","events_concurrent_sessions_segmented"]
 out = io.StringIO()
 out.write("""# PLANS — physical plans of headline queries (generated)
 

@@ -432,3 +432,38 @@ def test_multi_distinct_uses_single_expand(spark, sf_dir):
     df = SPECS["agg_multi_distinct"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Expand") >= 1, plan
+
+
+def test_knn_vote_group_limit_before_exchange(spark, sf_dir):
+    """embeddings_knn_vote inherits the certified top-k shape: the
+    neighbor ranking must execute as a WindowGroupLimit with a
+    Partial phase BEFORE the query_id exchange (per-partition top-k,
+    so the per-query reducer sees k x partitions rows, not the
+    corpus), and the query block must broadcast."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["embeddings_knn_vote"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan
+
+
+def test_session_paths_single_user_sort(spark, sf_dir):
+    """events_session_paths' sessionize windows and the path collect
+    must all ride ONE user_id exchange (the lag, running-sum and
+    groupBy share the hash partitioning), and the final top-20 must
+    execute as TakeOrderedAndProject, never a full sort."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["events_session_paths"].fn(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_source_signature_group_limit(spark, sf_dir):
+    """text_source_signature_terms' per-source top-k must execute as
+    a two-level WindowGroupLimit (partial below the source exchange)
+    — vocabulary-sized input, k x partitions per reducer."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["text_source_signature_terms"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
