@@ -667,3 +667,111 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_hll_intersection",
+    # Like agg_approx_distinct: sketch estimates are engine-specific,
+    # so both engines emit the exact audience sizes (genuinely
+    # cross-checked) plus an in-band boolean — Spark computes
+    # |est_inter - exact_inter| <= 5*rsd*(|A| + |B| + |A∪B|)
+    # empirically (inclusion-exclusion compounds the three sketch
+    # errors, so the band is the sum of the three per-sketch bands),
+    # DuckDB emits the guarantee (TRUE).
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a_view,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b_purchase,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a_click,
+               max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b_error
+        FROM events GROUP BY user_id
+    )
+    SELECT 'view x purchase' AS pair,
+           CAST(sum(a_view) AS BIGINT) AS exact_a,
+           CAST(sum(b_purchase) AS BIGINT) AS exact_b,
+           CAST(sum(CASE WHEN a_view = 1 OR b_purchase = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_union,
+           CAST(sum(a_view * b_purchase) AS BIGINT) AS exact_inter,
+           TRUE AS inter_in_band
+    FROM pu
+    UNION ALL
+    SELECT 'click x error',
+           CAST(sum(a_click) AS BIGINT),
+           CAST(sum(b_error) AS BIGINT),
+           CAST(sum(CASE WHEN a_click = 1 OR b_error = 1 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(a_click * b_error) AS BIGINT),
+           TRUE
+    FROM pu
+    ORDER BY pair
+    """,
+    tags=("aggregate", "approx", "sketch", "scale"),
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate audience-overlap via HLL inclusion-exclusion:
+    |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B) — the segment-overlap
+    estimator (viewers who purchase, clickers who hit errors) at
+    sketch cost. HLLs union losslessly but cannot intersect, so
+    inclusion-exclusion is THE standard workaround; its error
+    compounds (three sketches), which is exactly what the gate
+    certifies: the in-band boolean asserts the estimate within the
+    SUM of the three per-sketch 5*rsd bands of the exact overlap.
+
+    Scale shape: the three sketches build in ONE corpus pass
+    (CASE-gated approx_count_distinct — null inputs skipped,
+    mergeable partials, fixed memory); the exact sides (audit only)
+    take one per-user flag reduction. At 100 TB production drops the
+    exact columns and keeps the single sketch pass."""
+    ev = load_table(spark, sf_dir, "events")
+    rsd = 0.02
+    band = 5 * rsd
+
+    def est(cond: str) -> F.Column:
+        return F.expr(
+            f"approx_count_distinct(CASE WHEN {cond} THEN user_id END, {rsd})"
+        )
+
+    pu = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("a_view"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("b_purchase"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("a_click"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("b_error"),
+    )
+
+    rows = []
+    for pair, a, b, ea, eb in (
+        ("view x purchase", "view", "purchase", "a_view", "b_purchase"),
+        ("click x error", "click", "error", "a_click", "b_error"),
+    ):
+        exact = pu.agg(
+            F.sum(ea).cast("long").alias("exact_a"),
+            F.sum(eb).cast("long").alias("exact_b"),
+            F.sum(
+                ((F.col(ea) == 1) | (F.col(eb) == 1)).cast("int")
+            ).cast("long").alias("exact_union"),
+            F.sum(F.col(ea) * F.col(eb)).cast("long").alias("exact_inter"),
+        )
+        ests = ev.agg(
+            est(f"event_type = '{a}'").alias("est_a"),
+            est(f"event_type = '{b}'").alias("est_b"),
+            est(f"event_type IN ('{a}', '{b}')").alias("est_u"),
+        )
+        rows.append(
+            exact.crossJoin(ests).select(
+                F.lit(pair).alias("pair"),
+                "exact_a",
+                "exact_b",
+                "exact_union",
+                "exact_inter",
+                (
+                    F.abs(
+                        (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+                        - F.col("exact_inter")
+                    )
+                    <= F.lit(band)
+                    * (F.col("exact_a") + F.col("exact_b") + F.col("exact_union"))
+                ).alias("inter_in_band"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("pair")

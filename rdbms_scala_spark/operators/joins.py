@@ -798,3 +798,74 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_ASOF_TOLERANCE_H = 2  # max staleness of the matched quote/click
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT event_id, user_id, purchase_ts_us, click_ts_us,
+           purchase_ts_us - click_ts_us AS staleness_us
+    FROM (
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS purchase_ts_us,
+               epoch_us(c.ts) AS click_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts < p.ts
+    )
+    WHERE purchase_ts_us - click_ts_us
+          <= CAST({_ASOF_TOLERANCE_H} AS BIGINT) * 3600 * 1000000
+    ORDER BY event_id
+    """,
+    tags=("join", "asof", "tolerance", "time-series", "scale"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound (pandas `merge_asof
+    tolerance=`): each purchase takes the same user's latest earlier
+    click ONLY if it is at most {_ASOF_TOLERANCE_H}h stale — the
+    semantics market-data and attribution joins actually need (a
+    quote/touchpoint from last week must NOT silently match; with
+    plain as-of it does, and the bug is invisible because every row
+    still gets a value). Purchases whose nearest click is older drop
+    out, exactly like DuckDB's ASOF JOIN post-filtered on staleness.
+
+    Same single-shuffle union-then-window shape as `join_asof` (the
+    tolerance is a map-side filter AFTER the carry-forward — it
+    cannot change which click is latest), plus the staleness column
+    in exact integer microseconds."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("kind"), "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = clicks.union(purchases).withColumn(
+        "matched_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    staleness = F.unix_micros("ts") - F.unix_micros("matched_click_ts")
+    return (
+        merged.filter((F.col("kind") == 0) & F.col("matched_click_ts").isNotNull())
+        .filter(staleness <= _ASOF_TOLERANCE_H * 3600 * 1_000_000)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_ts_us"),
+            F.unix_micros("matched_click_ts").alias("click_ts_us"),
+            staleness.alias("staleness_us"),
+        )
+        .orderBy("event_id")
+    )

@@ -1491,3 +1491,76 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# --- open-order backlog sweep -----------------------------------------
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+    WITH last_ship AS (
+        SELECT l_orderkey, max(l_shipdate) AS ship_done FROM lineitem
+        GROUP BY l_orderkey
+    ),
+    deltas AS (
+        SELECT o_orderdate AS day, CAST(1 AS BIGINT) AS delta FROM orders
+        UNION ALL
+        SELECT ship_done + INTERVAL 1 DAY, CAST(-1 AS BIGINT)
+        FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+    ),
+    daily AS (
+        SELECT CAST(day AS DATE) AS day, CAST(sum(delta) AS BIGINT) AS net_change
+        FROM deltas GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, net_change,
+           CAST(sum(net_change) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open_orders
+    FROM daily
+    ORDER BY day
+    """,
+    tags=("orders", "backlog", "sweep-line", "scale"),
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: +1 the day an order is placed, −1
+    the day after its LAST lineitem ships (an order is open until
+    fully shipped) — the operations-health curve (is fulfillment
+    keeping up with intake?) behind SLA dashboards; the
+    `events_concurrent_sessions` sweep-line generalized from
+    sessions to a fact-fact lifecycle.
+
+    Scale shape: the last-ship reduction and the delta union are
+    map-side-combinable aggregates (corpus -> day cells); the
+    cumulative sum then runs over the CALENDAR-bounded daily
+    relation — a few thousand rows at ANY corpus size (the
+    `events_pareto_activity` domain-bounded-window discipline), so
+    the single-partition window is a constant, not a corpus
+    bottleneck. Counts are exact int64; no floats anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("ship_done"))
+    starts = orders.select(
+        F.col("o_orderdate").alias("day"), F.lit(1).cast("long").alias("delta")
+    )
+    ends = (
+        orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
+        .select(
+            F.date_add("ship_done", 1).alias("day"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    daily = (
+        starts.unionByName(ends)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("net_change"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "net_change",
+            F.sum("net_change").over(w).alias("open_orders"),
+        )
+        .orderBy("day")
+    )

@@ -801,3 +801,104 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", segment).orderBy("user_id")
+
+
+_FUNNEL_WINDOW_H = 48  # max hours allowed between consecutive stages
+
+_FUNNEL_WINDOWED_ORACLE = f"""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+         AND e.ts > v.t1
+         AND epoch_us(e.ts) - epoch_us(v.t1) <= CAST({_FUNNEL_WINDOW_H} AS BIGINT) * 3600 * 1000000
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+         AND e.ts > c.t2
+         AND epoch_us(e.ts) - epoch_us(c.t2) <= CAST({_FUNNEL_WINDOW_H} AS BIGINT) * 3600 * 1000000
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    n AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n1,
+               (SELECT CAST(count(*) AS BIGINT) FROM c) AS n2,
+               (SELECT CAST(count(*) AS BIGINT) FROM p) AS n3
+    )
+    SELECT 's1_view' AS stage, n1 AS n_users,
+           CAST(1.0 AS DOUBLE) AS conv_from_prev FROM n
+    UNION ALL
+    SELECT 's2_click_48h', n2, round(n2 * 1.0 / n1, 4) FROM n
+    UNION ALL
+    SELECT 's3_purchase_48h', n3, round(n3 * 1.0 / n2, 4) FROM n
+"""
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=_FUNNEL_WINDOWED_ORACLE,
+    tags=("events", "funnel", "windowed"),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: view -> click -> purchase where each step
+    must land within {_FUNNEL_WINDOW_H}h of the previous — the
+    attribution-honest funnel (the unbounded `events_funnel` credits
+    a purchase months after the view; windowed counts are what
+    conversion dashboards actually report, and the delta between the
+    two IS the stale-credit volume). Same chained min-aggregate
+    shape: each stage is one keyed aggregate + one join against the
+    previous stage's per-user row — never a per-user sort — with the
+    window bound evaluated on exact integer microseconds. Conversion
+    ratios are int64 count ratios rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    win_us = _FUNNEL_WINDOW_H * 3600 * 1_000_000
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.unix_micros("ts") - F.unix_micros("t1") <= win_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.unix_micros("ts") - F.unix_micros("t2") <= win_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n = (
+        v.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    s1 = n.select(
+        F.lit("s1_view").alias("stage"),
+        F.col("n1").alias("n_users"),
+        F.lit(1.0).cast("double").alias("conv_from_prev"),
+    )
+    s2 = n.select(
+        F.lit("s2_click_48h").alias("stage"),
+        F.col("n2").alias("n_users"),
+        F.round(F.col("n2") / F.col("n1"), 4).alias("conv_from_prev"),
+    )
+    s3 = n.select(
+        F.lit("s3_purchase_48h").alias("stage"),
+        F.col("n3").alias("n_users"),
+        F.round(F.col("n3") / F.col("n2"), 4).alias("conv_from_prev"),
+    )
+    return s1.unionByName(s2).unionByName(s3)
