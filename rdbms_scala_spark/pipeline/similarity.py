@@ -2244,3 +2244,101 @@ def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- norm-outlier audit -----------------------------------------------
+
+
+@register(
+    "embeddings_norm_outliers",
+    oracle="""
+    WITH comps AS (
+        SELECT vec_id, label,
+               CAST(round(unnest(embedding::DOUBLE[]) * 1e2, 0) AS BIGINT) AS xq
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, label, CAST(sum(xq * xq) AS BIGINT) AS norm2_q
+        FROM comps GROUP BY vec_id, label
+    ),
+    stats AS (
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(norm2_q) AS BIGINT) AS s1,
+               CAST(sum(norm2_q * norm2_q) AS BIGINT) AS s2
+        FROM norms GROUP BY label
+    )
+    SELECT s.label AS label, s.n,
+           round(CAST(s.s1 AS DOUBLE) / s.n / 1e4, 4) AS mean_norm2,
+           CAST(sum(CASE WHEN
+                 (norm2_q - CAST(s.s1 AS DOUBLE) / s.n)
+               * (norm2_q - CAST(s.s1 AS DOUBLE) / s.n)
+               * CAST(s.n AS DOUBLE) * s.n
+               > 9.0 * (CAST(s.n AS DOUBLE) * s.s2 - CAST(s.s1 AS DOUBLE) * s.s1)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM norms v JOIN stats s USING (label)
+    GROUP BY s.label, s.n, s.s1, s.s2
+    ORDER BY label
+    """,
+    tags=("embeddings", "quality", "outliers", "evaluation"),
+)
+def embeddings_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm health check: count of vectors whose
+    squared norm sits more than 3 standard deviations from the
+    label's mean — the degenerate-embedding detector (all-zero
+    vectors from failed encodes, exploded norms from numeric bugs)
+    run before any cosine-based stage trusts the corpus; a label
+    with outliers is re-encoded, not indexed. Member of the
+    evaluation/audit family.
+
+    Exactness discipline: norm2_q = Σ xq² on 1e2-quantized
+    components is exact int64 per vector (≤ 64 x 4e4); the label
+    moments n, Σy, Σy² are exact int64 (Σy² ≤ 1.3e13 x rows — safe
+    to ~7e5 rows per label at this quantization); the 3σ test is
+    evaluated as (y−mean)²·n² > 9·(n·Σy²−(Σy)²) with both sides
+    derived from those integers through token-identical double
+    expressions — no sqrt, no per-row epsilon.
+
+    Scale shape: one component-explode aggregate to per-vector
+    norms (map-side combinable — a vector's components stay in one
+    partition), one label-keyed moment aggregate, then a broadcast
+    join back for the flag count. Labels x 1 row out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.explode(
+            F.expr(
+                "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e2, 0) AS BIGINT))"
+            )
+        ).alias("xq"),
+    )
+    norms = comps.groupBy("vec_id", "label").agg(
+        F.sum(F.col("xq") * F.col("xq")).alias("norm2_q")
+    )
+    stats = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("norm2_q").alias("s1"),
+        F.sum(F.col("norm2_q") * F.col("norm2_q")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    dev = F.col("norm2_q") - mean
+    lhs = dev * dev * F.col("n").cast("double") * F.col("n")
+    rhs = F.lit(9.0) * (
+        F.col("n").cast("double") * F.col("s2")
+        - F.col("s1").cast("double") * F.col("s1")
+    )
+    return (
+        norms.join(F.broadcast(stats), "label")
+        .groupBy("label", "n", "s1", "s2")
+        .agg(F.sum(F.when(lhs > rhs, 1).otherwise(0)).cast("long").alias("n_outliers"))
+        .select(
+            "label",
+            "n",
+            F.round(F.col("s1").cast("double") / F.col("n") / F.lit(1e4), 4).alias(
+                "mean_norm2"
+            ),
+            "n_outliers",
+        )
+        .orderBy("label")
+    )

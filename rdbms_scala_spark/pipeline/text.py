@@ -1228,3 +1228,70 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- language-ID / metadata agreement audit ---------------------------
+
+
+def _langid_agreement_oracle() -> str:
+    return f"""
+    WITH pred AS ({_langid_oracle()}),
+    joined AS (
+        SELECT d.lang AS lang_label, p.lang_pred
+        FROM documents d JOIN pred p USING (doc_id)
+    ),
+    cells AS (
+        SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM joined GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT lang_label, CAST(sum(n) AS BIGINT) AS n_label
+        FROM cells GROUP BY lang_label
+    )
+    SELECT c.lang_label, c.lang_pred, c.n,
+           round(c.n * 1.0 / t.n_label, 4) AS share_of_label
+    FROM cells c JOIN totals t USING (lang_label)
+    ORDER BY lang_label, lang_pred
+"""
+
+
+@register(
+    "text_langid_agreement",
+    oracle=_langid_agreement_oracle(),
+    tags=("text", "langid", "evaluation", "metadata-audit"),
+)
+def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the `lang` METADATA column and the
+    content-based `text_language_id` prediction — the metadata-trust
+    audit a curation pipeline runs before using upstream labels for
+    filtering or mixture weighting. On clean data the diagonal
+    dominates; on THIS fixture the matrix is deliberately flat —
+    the synthetic `lang` labels are noise over one shared vocabulary
+    (documented on `text_language_id`) — which is exactly the signal
+    the audit exists to surface: flat rows mean the metadata cannot
+    be trusted and content-based ID must drive the pipeline. Member
+    of the evaluation family (`similarity_ivf_recall`,
+    `dedup_minhash_calibration`, `embeddings_centroid_drift`).
+
+    Scale shape: the classifier pass is map-only (token containment
+    scores + one regex), the matrix is a |langs|² aggregate, shares
+    are int64 count ratios rounded once."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_language_id(spark, sf_dir).select("doc_id", "lang_pred")
+    cells = (
+        docs.select("doc_id", F.col("lang").alias("lang_label"))
+        .join(pred, "doc_id")
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = cells.groupBy("lang_label").agg(F.sum("n").alias("n_label"))
+    return (
+        cells.join(F.broadcast(totals), "lang_label")
+        .select(
+            "lang_label",
+            "lang_pred",
+            "n",
+            F.round(F.col("n") / F.col("n_label"), 4).alias("share_of_label"),
+        )
+        .orderBy("lang_label", "lang_pred")
+    )
