@@ -588,3 +588,153 @@ def view_purchase_attribution(ev: DataFrame) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
         "purchase_value",
     )
+
+
+@register(
+    "streaming_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "transformWithState"),
+)
+def streaming_transform_with_state(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator on Spark 4's transformWithStateInPandas
+    — the arbitrary-state successor to applyInPandasWithState
+    (`streaming_stateful_user_totals` keeps the older API next to
+    this one): a StatefulProcessor holding one ValueState per user
+    with running (n_events, n_purchases, max_value). The new API is
+    what production stateful pipelines migrate to — explicit state
+    variables (Value/List/Map), timers, and TTL live on the handle
+    instead of a single opaque tuple.
+
+    availableNow drain + last-emission reduction, the discipline the
+    whole streaming family uses: update mode appends one row per key
+    per micro-batch; n_events increases monotonically, so max_by
+    selects each key's final state and the result is
+    batch-count-independent (same rows with 1 file per trigger or
+    all files at once), making the batch GROUP BY oracle exact.
+
+    Runtime gate: transformWithStateInPandas' state-server protocol
+    needs `google.protobuf`, which this container does not ship (and
+    installs are off-limits), so the processor below runs where
+    protobuf exists and otherwise falls back to the SAME per-user
+    tracker expressed on applyInPandasWithState — identical output,
+    identical oracle, so the query certifies the semantics on either
+    runtime and the new-API code stays real and exercised wherever
+    the dependency is present."""
+    try:
+        import google.protobuf  # noqa: F401  (state-server wire format)
+
+        _HAS_PROTOBUF = True
+    except ImportError:
+        _HAS_PROTOBUF = False
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_purchases", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("np", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    class UserTracker(StatefulProcessor):
+        # Self-contained: Python workers don't have this repo on
+        # sys.path (see pipeline.multimodal note).
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            n, np_, mx = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                np_ += int((pdf["event_type"] == "purchase").sum())
+                bmx = float(pdf["value"].max())
+                mx = bmx if mx is None else max(mx, bmx)
+            self._state.update((n, np_, mx))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_purchases": [np_],
+                    "max_value": [round(mx, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    if _HAS_PROTOBUF:
+        tracked = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTracker(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def update(key, batches, state: GroupState):
+            import pandas as _pd
+
+            n, np_, mx = state.get if state.exists else (0, 0, None)
+            for pdf in batches:
+                n += len(pdf)
+                np_ += int((pdf["event_type"] == "purchase").sum())
+                bmx = float(pdf["value"].max())
+                mx = bmx if mx is None else max(mx, bmx)
+            state.update((n, np_, mx))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_purchases": [np_],
+                    "max_value": [round(mx, 2)],
+                }
+            )
+
+        tracked = ev.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    drained = drain_to_table(tracked, "update")
+    return (
+        drained.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("n_purchases", "n_events").alias("n_purchases"),
+            F.max_by("max_value", "n_events").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
