@@ -1988,15 +1988,17 @@ def _int8_quantize_oracle() -> str:
     ),
     coded AS (
         SELECT c.vec_id, c.label, c.x, s.mn, s.mx,
-               CAST(round(((c.x - s.mn) * 254.0) / (s.mx - s.mn), 0)
-                    AS BIGINT) - 127 AS code
+               CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(((c.x - s.mn) * 254.0) / (s.mx - s.mn), 0)
+                              AS BIGINT) - 127 END AS code
         FROM comps c JOIN stats s USING (dim)
     ),
     err AS (
         SELECT vec_id, label, code,
-               CAST(round(abs(x - (mn + (CAST(code + 127 AS DOUBLE)
-                                         * (mx - mn)) / 254.0)) * 1e6, 0)
-                    AS BIGINT) AS err_q
+               CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(abs(x - (mn + (CAST(code + 127 AS DOUBLE)
+                                              * (mx - mn)) / 254.0)) * 1e6, 0)
+                              AS BIGINT) END AS err_q
         FROM coded
     )
     SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -2045,7 +2047,10 @@ def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = comps.groupBy("dim").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
     )
-    code = (
+    # Degenerate (constant) dimensions pin to code 0 / zero error —
+    # without the guard the affine divides by zero (NaN codes), and a
+    # 100 TB corpus WILL contain dead dimensions.
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
         F.round(
             ((F.col("x") - F.col("mn")) * F.lit(254.0))
             / (F.col("mx") - F.col("mn")),
@@ -2059,7 +2064,9 @@ def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequant = F.col("mn") + (
         (F.col("code") + F.lit(127)).cast("double") * (F.col("mx") - F.col("mn"))
     ) / F.lit(254.0)
-    err_q = F.round(F.abs(F.col("x") - dequant) * F.lit(1e6), 0).cast("long")
+    err_q = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+        F.round(F.abs(F.col("x") - dequant) * F.lit(1e6), 0).cast("long")
+    )
     return (
         coded.withColumn("err_q", err_q)
         .groupBy("vec_id", "label")

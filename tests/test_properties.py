@@ -198,3 +198,100 @@ def test_pack_sequences_matches_sequential_reference(spark, toks, budget):
     for r in packed:
         assert (r.pack_id, r.pack_offset) == expected[r.doc_id], r
         assert 0 <= r.pack_offset < budget
+
+
+# (user_id, ts_us, kind) event streams: kind 0 = purchase, 1 = click.
+# Tight ts range forces same-timestamp collisions and staleness edges.
+asof_events_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.booleans()),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(events=asof_events_strategy, tol=st.integers(1, 20))
+@_spark_settings
+def test_asof_tolerance_matches_reference_scan(spark, events, tol):
+    """The union-then-window as-of-with-tolerance formulation (the
+    join_asof_tolerance shape) must agree with the obvious O(n^2)
+    reference: for each purchase, the latest strictly-earlier click of
+    the same user, kept only when within `tol` — for ANY stream,
+    including same-timestamp pile-ups and all-stale histories."""
+    from pyspark.sql import Window as W
+
+    purchases = [
+        (i, u, t) for i, (u, t, is_click) in enumerate(events) if not is_click
+    ]
+    clicks = [(u, t) for (u, t, is_click) in events if is_click]
+
+    # reference: per purchase, scan all clicks
+    expect = set()
+    for pid, u, t in purchases:
+        earlier = [ct for (cu, ct) in clicks if cu == u and ct < t]
+        if earlier:
+            m = max(earlier)
+            if t - m <= tol:
+                expect.add((pid, t - m))
+
+    cdf = spark.createDataFrame(
+        [(u, t, 1, None, t) for (u, t) in clicks] or [(None, None, 1, None, None)],
+        "user_id int, ts int, kind int, pid int, click_ts int",
+    ).filter(F.col("user_id").isNotNull())
+    pdf = spark.createDataFrame(
+        [(u, t, 0, pid, None) for (pid, u, t) in purchases]
+        or [(None, None, 0, None, None)],
+        "user_id int, ts int, kind int, pid int, click_ts int",
+    ).filter(F.col("user_id").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = cdf.union(pdf).withColumn(
+        "m", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    got = {
+        (r.pid, r.ts - r.m)
+        for r in merged.filter(
+            (F.col("kind") == 0)
+            & F.col("m").isNotNull()
+            & (F.col("ts") - F.col("m") <= tol)
+        ).collect()
+    }
+    assert got == expect
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2, 2, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_spark_settings
+def test_int8_quantize_reconstruction_bound(spark, vecs):
+    """Per-dim affine int8 quantization (the embeddings_int8_quantize
+    arithmetic) must reconstruct every component within half a
+    quantization step of the original — for ANY corpus, including
+    constant dimensions (mx == mn degenerates to step 0 and the code
+    pins to an endpoint)."""
+    import math
+
+    dims = 4
+    for d in range(dims):
+        xs = [v[d] for v in vecs]
+        mn, mx = min(xs), max(xs)
+        if mx == mn:
+            continue  # production path guards the zero-range dim
+        step = (mx - mn) / 254.0
+        for x in xs:
+            code = round(((x - mn) * 254.0) / (mx - mn)) - 127
+            assert -127 <= code <= 127
+            recon = mn + ((code + 127) * (mx - mn)) / 254.0
+            assert abs(x - recon) <= step / 2 + 1e-12 * max(1.0, abs(x)), (
+                x, code, recon, step,
+            )
