@@ -72,7 +72,10 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "date_dim_generate", "date_expressions",
     "dedup_contamination_check", "dedup_embedding_cosine",
     "dedup_exact_docs", "dedup_incremental", "dedup_levenshtein",
-    "dedup_minhash_clusters", "dedup_minhash_lsh",
+    # round 8 (cont.): dedup_minhash_lsh + dedup_minhash_clusters
+    # rotate OUT — their signature/candidate derivation moved into the
+    # shared cached_minhash_sig_cand relation; the gate must re-check
+    # them on the new code path.
     "dedup_simhash", "distinct_values", "embeddings_gram_matrix",
     "embeddings_label_centroids",
     "events_anomaly_zscore", "events_attribution_first_touch",
