@@ -289,6 +289,14 @@ def main() -> None:
         "  pays per query. r6's 8.5x row was the same iterations plus a",
         "  full per-query re-derivation of the edges — the waste the",
         "  shared materialization removes (x64 wall 29.5 s -> ~1 s).",
+        "- minhash measurement note (round 8, mirroring the pagerank",
+        "  note above): dedup_minhash_lsh/clusters/calibration now",
+        "  share ONE session-materialized (signatures, candidates)",
+        "  relation (cached_minhash_sig_cand — built in the warm",
+        "  pass), so their rows measure the estimate/closure stages",
+        "  over the shared relation, the steady-state cost a session",
+        "  running the dedup suite actually pays; the derivation cost",
+        "  itself shows up once, in the warm pass.",
         "- round 8 measurement notes: the two rows r7 flagged as",
         "  non-monotone (basket_brand_pairs x16 8.8 > x64 5.8;",
         "  customer_ltv_deciles x16 2.3 > x64 0.7) now run min-of-3",
