@@ -1884,3 +1884,198 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _threshold_sweep_oracle() -> str:
+    """Candidate replay (same as the calibration oracle's candidate
+    set) bucketed by estimated-Jaccard at 0.05 steps with a
+    descending cumulative count."""
+    h = [
+        f"min(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(_NUM_PERM)
+    ]
+    bands = []
+    for b in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"h{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM sig")
+    matches = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_PERM)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    sig AS (
+        SELECT doc_id, {', '.join(h)}
+        FROM sh GROUP BY doc_id
+    ),
+    bands_all AS (
+        {' UNION ALL '.join(bands)}
+    ),
+    bands AS (
+        SELECT doc_id, band, band_hash FROM (
+            SELECT bands_all.*,
+                   count(*) OVER (PARTITION BY band, band_hash) AS bn
+            FROM bands_all
+        ) WHERE bn <= {_BAND_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT CAST(({matches}) * 20 // {_NUM_PERM} AS BIGINT) AS bucket
+        FROM cand c
+        JOIN sig x ON x.doc_id = c.doc_a
+        JOIN sig y ON y.doc_id = c.doc_b
+    ),
+    hist AS (
+        SELECT bucket * 5 AS threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM est GROUP BY bucket
+    )
+    SELECT threshold_pct, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY threshold_pct DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_pairs_at_or_above
+    FROM hist
+    ORDER BY threshold_pct
+"""
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=_threshold_sweep_oracle(),
+    tags=("dedup", "minhash", "tuning", "evaluation"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance-threshold tuning curve for the MinHash tier: LSH
+    candidate pairs bucketed by estimated Jaccard (0.05 steps) with
+    the descending cumulative count — "how many pairs would a 0.6
+    threshold accept vs 0.7?" answered in one relation, the sweep a
+    pipeline owner reads next to `dedup_minhash_calibration`'s error
+    audit before moving the production threshold. The knee of this
+    curve (pair volume exploding as the threshold drops toward the
+    random-agreement floor of ~0.5) is the tuning signal.
+
+    Scale shape: rides the session-cached (signatures, candidates)
+    relation (`cached_minhash_sig_cand`); the histogram is a
+    21-bucket aggregate and the cumulative window runs on that
+    DOMAIN-bounded relation, never the pair set. est buckets are
+    exact integers (matches x 20 // 32) — no float anywhere."""
+    sig, cand = cached_minhash_sig_cand(spark, sf_dir)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    )
+    hist = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.floor(matches * 20 / _NUM_PERM).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select((F.col("bucket") * 5).alias("threshold_pct"), "n_pairs")
+    )
+    w = W.orderBy(F.col("threshold_pct").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        hist.withColumn(
+            "n_pairs_at_or_above", F.sum("n_pairs").over(w).cast("long")
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+@register(
+    "dedup_survivors_weighted",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+    ),
+    sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS weight
+        FROM comp GROUP BY cluster_id
+    )
+    SELECT d.doc_id, d.source,
+           coalesce(s.weight, 1) AS weight,
+           CAST(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS was_clustered
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = d.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "sampling", "pipeline", "scale"),
+)
+def dedup_survivors_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-dedup training corpus WITH distribution-preserving
+    weights: every cluster's keeper (component-min doc_id) carries
+    weight = cluster_size, unclustered docs carry weight 1 — so
+    token-level statistics (domain mixture, quality histograms,
+    loss weighting) computed over survivors x weight match the
+    pre-dedup corpus instead of silently down-weighting whatever
+    content duplicates most. This is the artifact a dedup job
+    actually HANDS to training (`dedup_minhash_clusters` diagnoses
+    the clusters; this emits the corpus), closing the dedup family:
+    detect -> cluster -> keep+reweight.
+
+    Scale shape: rides the session-cached candidate relation through
+    `dedup_minhash_lsh` -> alternating-star components; keeper
+    selection and weights are two keyed aggregates over the
+    (doc -> cluster) labels; the final LEFT joins are on doc_id (the
+    corpus's natural key). Weights are exact int64 counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _rounds = connected_components_edges(edges)
+    sizes = labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    lab = labels.select("doc_id", "component_id")
+    return (
+        docs.select("doc_id", "source")
+        .join(lab, "doc_id", "left")
+        .filter(
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        )
+        .join(
+            sizes.select(F.col("component_id").alias("sz_id"), "weight"),
+            F.col("sz_id") == F.col("doc_id"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("weight", F.lit(1)).cast("long").alias("weight"),
+            F.col("component_id").isNotNull().cast("long").alias("was_clustered"),
+        )
+        .orderBy("doc_id")
+    )

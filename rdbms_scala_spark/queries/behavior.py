@@ -1564,3 +1564,65 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- new vs returning users -------------------------------------------
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id
+    )
+    SELECT strftime(ud.d, '%Y-%m-%d') AS day,
+           CAST(count(*) FILTER (WHERE ud.d = f.d0) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (WHERE ud.d > f.d0) AS BIGINT)
+               AS returning_users,
+           round(count(*) FILTER (WHERE ud.d = f.d0) * 1.0 / count(*), 4)
+               AS new_share
+    FROM ud JOIN first_seen f USING (user_id)
+    GROUP BY ud.d
+    ORDER BY day
+    """,
+    tags=("events", "growth", "engagement", "scale"),
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever-seen that day)
+    vs RETURNING — the growth-accounting headline above the retention
+    triangle (`events_retention_cohorts` tells you who comes back;
+    this tells you, per day, how much of today's activity is
+    acquisition vs retention). A product whose new_share creeps up
+    while DAU is flat is churning its base — invisible in DAU alone.
+
+    Scale shape: one distinct-reduction to (user, active-day), one
+    per-user min (both map-side-combinable on user_id, sharing the
+    exchange), then a day-keyed FILTER-clause aggregate — the
+    first-seen relation is per-user-sized and joins back on the
+    already-partitioned key. Ratios are int64 count ratios rounded
+    once."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        ud.join(first_seen, "user_id")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.when(F.col("d") == F.col("d0"), 1)).alias("new_users"),
+            F.count(F.when(F.col("d") > F.col("d0"), 1)).alias("returning_users"),
+        )
+        .select(
+            "day",
+            "new_users",
+            "returning_users",
+            F.round(
+                F.col("new_users")
+                / (F.col("new_users") + F.col("returning_users")),
+                4,
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )
