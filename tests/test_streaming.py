@@ -281,3 +281,34 @@ def test_stream_stream_join_matches_across_batches(spark, sf_dir, tmp_path):
     assert exp, "batch interval join must be non-vacuous"
     # cross-batch pairs specifically must survive
     assert got == exp
+
+
+def test_transform_with_state_batch_count_independent(spark, sf_dir):
+    """streaming_transform_with_state's docstring claims the
+    last-emission reduction makes the result identical whether the
+    corpus arrives as ONE micro-batch or one file per trigger (state
+    carried across batches). Certify both drains against the batch
+    GROUP BY truth."""
+    batch = {
+        r.user_id: (r.n, r.np, r.mx)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np"),
+            F.round(F.max("value"), 2).alias("mx"),
+        )
+        .collect()
+    }
+    for trigger in (None, 1):
+        got = {
+            r.user_id: (r.n_events, r.n_purchases, r.max_value)
+            for r in jobs.streaming_transform_with_state(
+                spark, sf_dir, max_files_per_trigger=trigger
+            ).collect()
+        }
+        assert set(got) == set(batch), f"trigger={trigger}"
+        for uid, (n, np_, mx) in batch.items():
+            gn, gnp, gmx = got[uid]
+            assert (gn, gnp) == (n, np_), f"user {uid} trigger={trigger}"
+            assert abs(gmx - mx) < 0.02, f"user {uid} trigger={trigger}"
