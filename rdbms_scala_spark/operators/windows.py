@@ -290,3 +290,64 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_of_type
+        FROM events
+        WHERE user_id <= 100
+    )
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(sum(first_of_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    ORDER BY user_id, ts_us, event_id
+    """,
+    tags=("window", "distinct", "running"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user — how many distinct event
+    types each user has touched as of every event (the
+    feature-adoption / exploration-breadth curve). COUNT(DISTINCT)
+    is not a legal running-window aggregate in either engine, so
+    this is THE standard decomposition: flag each (user, type)'s
+    first occurrence with one row_number pass, then a plain running
+    SUM of flags — turning an unsupported distinct-frame into two
+    ordinary window passes over two KEYED exchanges ((user, type)
+    for the flag, then user for the running sum — a (user, type)
+    partitioning cannot serve a per-user frame, so the second
+    exchange is required; both are corpus-partitioned, no global
+    state anywhere).
+
+    All-integer arithmetic; ties broken (ts, event_id) in both
+    passes, so the running value is deterministic within equal
+    timestamps."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "first_of_type",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        flagged.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.sum("first_of_type").over(w_run).alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )

@@ -1626,3 +1626,63 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- power-law exponent fit -------------------------------------------
+
+
+@register(
+    "events_power_law_alpha",
+    oracle="""
+    WITH activity AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ),
+    terms AS (
+        SELECT x,
+               CAST(round(ln(CAST(x AS DOUBLE)) * 1e6, 0) AS BIGINT) AS lnx_q
+        FROM activity
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(x) AS BIGINT) AS x_min,
+           CAST(max(x) AS BIGINT) AS x_max,
+           CAST(sum(lnx_q) AS BIGINT) AS sum_ln_q,
+           round(1.0 + CAST(count(*) AS DOUBLE)
+                       / (CAST(sum(lnx_q) AS DOUBLE) / 1e6), 4) AS alpha_mle
+    FROM terms
+    """,
+    tags=("events", "distribution", "power-law", "scale"),
+)
+def events_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-likelihood power-law exponent of the per-user activity
+    distribution (Clauset/Shalizi/Newman continuous-MLE form with
+    x_min = 1: alpha = 1 + n / Σ ln(x)) — the single number that says
+    HOW heavy the heavy tail is. `events_pareto_activity` draws the
+    concentration curve; this fits it: alpha ~ 2 means the top users
+    dominate (plan for skew salting and per-key caps), alpha >> 3
+    means activity is effectively homogeneous.
+
+    Float discipline: each ln(x) is integer-quantized at 1e6 BEFORE
+    the sum (the unigram-LM idiom) so the moment is an exact int64
+    sum; alpha is one division chain evaluated in token-identical
+    order. Scale shape: one per-user count aggregate, one global
+    4-column reduction — two map-side-combinable passes, nothing
+    else."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    lnx_q = F.round(F.log(F.col("x").cast("double")) * F.lit(1e6), 0).cast(
+        "long"
+    )
+    t = activity.select("x", lnx_q.alias("lnx_q"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.sum("lnx_q").alias("sum_ln_q"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1)).cast("double")
+            / (F.sum("lnx_q").cast("double") / F.lit(1e6)),
+            4,
+        ).alias("alpha_mle"),
+    )
