@@ -825,7 +825,7 @@ _ASOF_TOLERANCE_H = 2  # max staleness of the matched quote/click
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a max-staleness bound (pandas `merge_asof
     tolerance=`): each purchase takes the same user's latest earlier
-    click ONLY if it is at most {_ASOF_TOLERANCE_H}h stale — the
+    click ONLY if it is at most 2h (_ASOF_TOLERANCE_H) stale — the
     semantics market-data and attribution joins actually need (a
     quote/touchpoint from last week must NOT silently match; with
     plain as-of it does, and the bug is invisible because every row

@@ -402,6 +402,10 @@ def _table_fingerprint(sf_dir: str, name: str) -> str:
     elif os.path.exists(root):
         st = os.stat(root)
         parts.append(f"{root}|{st.st_size}|{st.st_mtime_ns}")
+    # os.walk's directory order is filesystem-dependent; sort the full
+    # entry list so an identical on-disk table always fingerprints the
+    # same (an order-sensitive hash caused spurious cache invalidation).
+    parts.sort()
     return hashlib.md5("\n".join(parts).encode()).hexdigest()
 
 

@@ -1907,7 +1907,7 @@ def _knn_vote_oracle() -> str:
 )
 def embeddings_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote classification: each of the first
-    {_KNN_QUERIES} vectors takes the modal label among its
+    100 (_KNN_QUERIES) vectors takes the modal label among its
     {_KNN_K} exact-cosine nearest neighbors (self excluded) — the
     label-propagation / auto-labeling readout a training-data
     pipeline runs to impute labels and audit annotation quality

@@ -1067,7 +1067,7 @@ _SIG_TOP_K = 5
     tags=("text", "tfidf", "topic", "scale"),
 )
 def text_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Class-TF-IDF signature terms per SOURCE: the top-{_SIG_TOP_K}
+    """Class-TF-IDF signature terms per SOURCE: the top-5 (_SIG_TOP_K)
     terms most distinctive of each source's aggregate vocabulary
     (tf within the source x ln(n_sources / sources-containing-term))
     — the group-level topic-signature readout (BERTopic's c-TF-IDF)
@@ -1075,7 +1075,7 @@ def text_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deliberately DISTINCT from `text_keyword_tfidf` (per-DOC salience
     over document frequencies): here the "documents" of the TF-IDF
     are the source classes themselves, so a 20-source corpus yields
-    20 signature rows-of-{_SIG_TOP_K} regardless of corpus size.
+    20 signature rows-of-_SIG_TOP_K regardless of corpus size.
 
     Cross-engine float discipline: idf over the tiny source axis is
     integer-quantized at 1e6 BEFORE the tf multiply (the

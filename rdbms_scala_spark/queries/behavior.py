@@ -1007,9 +1007,12 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-05') DIV 7").alias(
-            "week_idx"
-        ),
+        # floor division, not DIV: Spark's DIV truncates toward zero
+        # while DuckDB's // floors, diverging for pre-1970-01-05 dates
+        # (negative week index). Floor matches the oracle at any date.
+        F.expr(
+            "CAST(floor(datediff(CAST(ts AS DATE), DATE '1970-01-05') / 7) AS BIGINT)"
+        ).alias("week_idx"),
         F.round(F.col("value") * F.lit(1e2), 0).cast("long").alias("cents"),
     )
     firsts = ev.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
@@ -1349,7 +1352,7 @@ _TOP_PATHS = 20
     tags=("events", "session", "paths", "scale"),
 )
 def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top session ENTRY paths: the first {_PATH_STEPS} events of each
+    """Top session ENTRY paths: the first 5 (_PATH_STEPS) events of each
     30-min-gap session joined into a '>' path string, ranked by how
     many sessions follow it — the navigation-flow readout behind
     onboarding-funnel and IA dashboards. Shares `events_sessionize`'s
@@ -1358,7 +1361,7 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle on user_id serves both window passes
     (lag + running-sum sessionize share the sort; the step
     row_number reuses it), the path assembly is a sort_array over a
-    per-session collect bounded at {_PATH_STEPS} structs (slice
+    per-session collect bounded at _PATH_STEPS structs (slice
     BEFORE join — long sessions can't bloat the string), and the
     final path ranking is a keyed aggregate + TakeOrderedAndProject
     (top-{_TOP_PATHS}, never a full sort). Ties at the cut are

@@ -845,7 +845,7 @@ _FUNNEL_WINDOWED_ORACLE = f"""
 )
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bounded funnel: view -> click -> purchase where each step
-    must land within {_FUNNEL_WINDOW_H}h of the previous — the
+    must land within 48h (_FUNNEL_WINDOW_H) of the previous — the
     attribution-honest funnel (the unbounded `events_funnel` credits
     a purchase months after the view; windowed counts are what
     conversion dashboards actually report, and the delta between the

@@ -291,7 +291,11 @@ def streaming_stateful_user_totals(
             total += float(pdf["value"].sum())
         state.update((n, total))
         yield _pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            # Emit UNROUNDED running state; the final Spark select
+            # rounds with F.round (HALF_UP, matching DuckDB's
+            # half-away-from-zero) — Python's round() is banker's
+            # rounding and would diverge from the oracle on exact .xx5.
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
     totals = ev.groupBy("user_id").applyInPandasWithState(
@@ -307,7 +311,7 @@ def streaming_stateful_user_totals(
     # so the max row is the last) -> batch-count independent.
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max_by("total_value", "n_events").alias("total_value"),
+        F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
     )
 
 
@@ -685,7 +689,8 @@ def streaming_transform_with_state(
                     "user_id": [key[0]],
                     "n_events": [n],
                     "n_purchases": [np_],
-                    "max_value": [round(mx, 2)],
+                    # unrounded; final select F.round()s (HALF_UP = oracle)
+                    "max_value": [mx],
                 }
             )
 
@@ -717,7 +722,8 @@ def streaming_transform_with_state(
                     "user_id": [key[0]],
                     "n_events": [n],
                     "n_purchases": [np_],
-                    "max_value": [round(mx, 2)],
+                    # unrounded; final select F.round()s (HALF_UP = oracle)
+                    "max_value": [mx],
                 }
             )
 
@@ -734,7 +740,7 @@ def streaming_transform_with_state(
         .agg(
             F.max("n_events").alias("n_events"),
             F.max_by("n_purchases", "n_events").alias("n_purchases"),
-            F.max_by("max_value", "n_events").alias("max_value"),
+            F.round(F.max_by("max_value", "n_events"), 2).alias("max_value"),
         )
         .orderBy("user_id")
     )
