@@ -108,6 +108,32 @@ EXTENSION = [
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")
 
 
+def _calibration_sec(spark) -> tuple[float, list[float]]:
+    """Fixed-cost host-speed probe: a 500M-row range with a pure-codegen
+    Knuth-hash sum — no I/O, no shuffle variance (single exchange of 32
+    partial rows), no data dependence, plan identical every round. Its
+    min-of-5 time moves ONLY with host speed (CPU contention, thermal,
+    JVM version), so the per-round ratio calibration_sec(rN) /
+    calibration_sec(rM) separates host drift from engine regression in
+    the TPC-H totals: if tpch8 inflates by the same ratio as the
+    calibration row, the host moved, not the engine (three rounds of
+    monotone tpch8 drift on unchanged plans motivated this — VERDICT r8).
+    Runs BEFORE any table is cached so heap pressure from the bench's
+    own caches cannot contaminate the probe."""
+    q = lambda: (  # noqa: E731
+        spark.range(500_000_000)
+        .selectExpr("sum(id * 2654435761 % 1000) AS s")
+        .collect()
+    )
+    q()  # untimed warm pass: codegen compile + JIT
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        q()
+        times.append(round(time.perf_counter() - t0, 4))
+    return min(times), times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -117,6 +143,9 @@ def main() -> None:
 
     specs = all_queries()
     names = [n for n in HEADLINE + EXTENSION if n in specs]
+
+    # 0. host-speed calibration (before any caching — see docstring)
+    calibration, calibration_passes = _calibration_sec(spark)
 
     # 1. eager load (reference: CREATE TABLE materialization)
     tables = load_tables(spark, sf_dir)
@@ -157,6 +186,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": calibration,
     }
     # Full pass-level record goes to a repo file, NOT stdout: the
     # driver tail-captures the last stdout line, and the passes map
@@ -165,7 +195,12 @@ def main() -> None:
     # small; the noise-diagnosis detail lands next to it on disk.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_PASSES.json"), "w") as f:
-        json.dump({**headline, "passes": passes}, f, indent=1, sort_keys=True)
+        json.dump(
+            {**headline, "passes": passes, "calibration_passes": calibration_passes},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     print(json.dumps(headline))
     spark.stop()
 
