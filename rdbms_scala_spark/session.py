@@ -62,6 +62,11 @@ def get_spark(app_name: str = "rdbms_scala_spark", master: str | None = None) ->
         # --- python interop ------------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python UDTFs default to the row-at-a-time pickle evaluator
+        # (BatchEvalPythonUDTF); route them through Arrow like every
+        # other Python path (plan shows ArrowEvalPythonUDTF) — flagged
+        # by scripts/plan_audit.py's row-Python sweep.
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # --- semantics -----------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # Standard (non-ANSI) SQL mode: the correctness oracle is DuckDB,
