@@ -311,4 +311,22 @@ def test_transform_with_state_batch_count_independent(spark, sf_dir):
         for uid, (n, np_, mx) in batch.items():
             gn, gnp, gmx = got[uid]
             assert (gn, gnp) == (n, np_), f"user {uid} trigger={trigger}"
-            assert abs(gmx - mx) < 0.02, f"user {uid} trigger={trigger}"
+            # exact: both sides now round via F.round (the tolerance
+            # that used to sit here masked Python banker's rounding in
+            # the stateful closure — fixed per r8 advice)
+            assert gmx == mx, f"user {uid} trigger={trigger}"
+
+
+def test_transform_with_state_backend_is_tracked():
+    """Which stateful API the certified row exercises is a mechanical
+    fact, not prose: in a protobuf-less container the query runs the
+    applyInPandasWithState fallback; if this environment ever gains
+    protobuf the primary transformWithStateInPandas branch activates
+    and this pin flips with it (COVERAGE.md cites this test)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        expected = "transformWithStateInPandas"
+    except ImportError:
+        expected = "applyInPandasWithState"
+    assert jobs.transform_with_state_backend() == expected
