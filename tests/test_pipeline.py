@@ -294,6 +294,71 @@ def test_png_payload_is_standard_decodable():
     assert chunks[b"IEND"] == b""
 
 
+def test_phash_decode_roundtrips_pixel_formula():
+    """decode_png_gray must recover EXACTLY the closed-form pixel
+    values the oracle rebuilds arithmetically — the whole phash
+    oracle rests on this round-trip."""
+    import numpy as np
+
+    for doc_id in (0, 3, 9, 12, 21, 117, 363):
+        img = multimodal.decode_png_gray(multimodal.synth_image_png(doc_id))
+        h, w = img.shape
+        assert (w, h) == (8 + doc_id % 24, 8 + doc_id % 16)
+        ckey, pert = doc_id // 12, doc_id % h
+        expect = np.array(
+            [
+                [
+                    (ckey * 37 + r * 11 + c * 7 + (128 if r == pert else 0)) % 256
+                    for c in range(w)
+                ]
+                for r in range(h)
+            ],
+            dtype=np.int64,
+        )
+        assert (img == expect).all()
+
+
+def test_phash_bands_match_bruteforce_pooling():
+    """ahash64_bands' vectorized pooling must equal a scalar
+    re-derivation of the same r*8//h grid mapping, bit for bit."""
+    import numpy as np
+
+    rng_imgs = [
+        multimodal.decode_png_gray(multimodal.synth_image_png(d))
+        for d in (0, 6, 15, 48, 111)
+    ]
+    for img in rng_imgs:
+        h, w = img.shape
+        ts, tn = int(img.sum()), h * w
+        bands = [0, 0, 0, 0]
+        for grow in range(8):
+            for gcol in range(8):
+                sel = [
+                    int(img[r, c])
+                    for r in range(h)
+                    for c in range(w)
+                    if (r * 8) // h == grow and (c * 8) // w == gcol
+                ]
+                bit = 1 if sum(sel) * tn > ts * len(sel) else 0
+                i = grow * 8 + gcol
+                bands[i // 16] |= bit << (i % 16)
+        assert multimodal.ahash64_bands(img) == bands
+
+
+def test_phash_planted_neardups_are_recalled(spark, sf_dir):
+    """Same-content-key images (same base picture, one brightened row
+    each) must appear among the verified pairs: banding may only ADD
+    unrelated-but-close pairs, never lose the planted ones that pass
+    the Hamming verify."""
+    rows = multimodal.dedup_image_phash(spark, sf_dir).collect()
+    found = {(r.doc_a, r.doc_b) for r in rows}
+    assert found, "phash tier found no pairs at all"
+    same_key = {(a, b) for a, b in found if a // 12 == b // 12}
+    assert same_key, "no planted same-content-key near-dup recalled"
+    # verify bound holds on everything returned
+    assert all(0 <= r.hamming <= multimodal.PHASH_HAMMING_MAX for r in rows)
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     a = multimodal.multimodal_features_array(spark, sf_dir).orderBy("doc_id").limit(5).collect()
     b = multimodal.multimodal_features_array(spark, sf_dir).orderBy("doc_id").limit(5).collect()
