@@ -144,7 +144,9 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "similarity_range_search", "similarity_topk_bruteforce",
     "sort_limit_topk", "streaming_dedup", "streaming_foreachbatch_upsert",
     "streaming_hopping_counts", "streaming_session_window",
-    "streaming_static_enrich", "streaming_stream_stream_join",
+    "streaming_static_enrich",
+    # streaming_stream_stream_join: OUT for round 9 — state partitions
+    # now sized explicitly (the r8 SCALE floor fix), code path changed.
     "streaming_tumbling_counts", "subquery_exists_correlated",
     "subquery_from", "subquery_in", "subquery_not_in",
     "subquery_recursive_cte", "subquery_scalar", "text_bigram_logprob",

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +30,46 @@ from rdbms_scala_spark.streaming.events import (  # noqa: F401
     _SESSION_WINDOW_ORACLE,
     _TUMBLING_ORACLE,
 )
+
+# State partition count for the stream-stream join drain. A
+# stream-stream join holds FOUR state stores per partition (two per
+# side), and each store pays a fixed commit cost (checkpoint delta
+# write + fsync) every micro-batch regardless of how few rows it
+# holds — profiled on this host at sf0.1 (40k state rows): 32
+# inherited shuffle partitions -> aggregate state commitTimeMs 54-78s,
+# wall 8.1s; 8 partitions -> commitTimeMs ~2.9s, wall 2.5s, identical
+# output. Sizing state partitions to STATE VOLUME (not to the
+# session's batch shuffle default) is also the production stance:
+# the count is pinned by the first checkpoint for the life of the
+# query, so it must be an explicit per-job decision — at 100 TB you
+# size it to executor-cores × a small factor, not whatever
+# spark.sql.shuffle.partitions happened to be.
+_SS_JOIN_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _conf_override(spark: SparkSession, **confs: str):
+    """Set session confs for the duration of a synchronous streaming
+    drain, restoring prior values after. Safe here because every
+    drain in this module runs to completion (availableNow +
+    awaitTermination) before control returns."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        k = k.replace("__", ".")
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -545,10 +586,22 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     used in join_skew_salted. With an availableNow drain over the
     bounded file source, every pair is emitted (inner-join output
     never depends on the watermark; the watermark only bounds state
-    retention), so the batch interval-join oracle is exact."""
+    retention), so the batch interval-join oracle is exact.
+
+    State partitions are sized explicitly (``_SS_JOIN_STATE_PARTITIONS``)
+    rather than inherited from the batch shuffle default: the four
+    per-partition join state stores each pay a fixed commit cost per
+    micro-batch, which dominated this job's wall time (the flat 8-9 s
+    SCALE.md floor r8 flagged — see the constant's profile numbers),
+    and the count is checkpoint-pinned so it must be a deliberate
+    per-job choice anyway."""
     ev = read_events_stream(spark, sf_dir)
     out = view_purchase_attribution(ev)
-    return drain_to_table(out, "append").orderBy("view_id", "purchase_id")
+    with _conf_override(
+        spark, **{"spark.sql.shuffle.partitions": str(_SS_JOIN_STATE_PARTITIONS)}
+    ):
+        drained = drain_to_table(out, "append")
+    return drained.orderBy("view_id", "purchase_id")
 
 
 def view_purchase_attribution(ev: DataFrame) -> DataFrame:

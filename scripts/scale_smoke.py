@@ -110,6 +110,23 @@ QUERIES = (
     "embeddings_int8_quantize",
     "events_session_paths",
     "scan_dynamic_partition_pruning",
+    # round 9: the r8 additions whose docstrings make a scale claim
+    # (r8 verdict's coverage-debt list) — the interval RANGE frame's
+    # sliding two-pointer, running-DISTINCT's two-exchange
+    # decomposition, the attribution family's single user_id exchange
+    # (last_touch shares the plan family with first/linear/positional;
+    # linear adds the credit fan-out so both endpoints are smoked),
+    # the cohort-LTV growth matrix, and the one-pass HLL
+    # inclusion-exclusion. Plus round 9's image phash tier: decode +
+    # hash is map-only, the pair join is bucket-cap-bounded like the
+    # MinHash tier it transposes.
+    "window_time_range_rolling",
+    "window_running_distinct",
+    "events_attribution_last_touch",
+    "events_attribution_linear",
+    "events_cohort_ltv",
+    "agg_hll_intersection",
+    "dedup_image_phash",
 )
 
 
