@@ -2083,3 +2083,78 @@ def dedup_survivors_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Span length (tokens) for sub-document exact dedup. Non-overlapping
+# full spans only: ragged tails are dropped, so every emitted span is
+# exactly _SPAN_TOKENS tokens — a shorter tail span would hash-match
+# across docs far more easily and pollute the duplication signal.
+_SPAN_TOKENS = 10
+
+
+@register(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+        FROM documents
+        WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+              >= {_SPAN_TOKENS}
+    ),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(
+                   l[j*{_SPAN_TOKENS}+1 : j*{_SPAN_TOKENS}+{_SPAN_TOKENS}],
+                   ' ') AS span
+        FROM (SELECT doc_id, l,
+                     unnest(range(len(l)//{_SPAN_TOKENS})) AS j
+              FROM toks)
+    )
+    SELECT span,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM chunks
+    GROUP BY span
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    tags=("dedup", "span", "scale"),
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: find fixed-length token SPANS
+    (non-overlapping 10-token windows, ``_SPAN_TOKENS``) repeated
+    across distinct documents — the line/paragraph-level pass of production corpus
+    dedup (boilerplate headers, license blocks, templated passages
+    survive document-level dedup because the documents AROUND them
+    differ; span-level catches them).
+
+    Scale shape: tokenization and span assembly are map-only
+    (``slice`` over the token array — no posexplode/regroup, which
+    would shuffle token rows only to reassemble them), then ONE
+    groupBy on the span string with map-side-combinable counts. At
+    100 TB the span string is replaced by its xxhash64 as the group
+    key (8 bytes shuffled per span instead of ~60) and spans with
+    n_docs over a df-cap are routed to a removal list — same plan,
+    smaller payload. Emitted here as the plain string so the DuckDB
+    oracle replays the whole chain byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens().alias("t")).filter(
+        F.size("t") >= _SPAN_TOKENS
+    )
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(size(t)/{_SPAN_TOKENS} AS INT) - 1), "
+                f"j -> concat_ws(' ', slice(t, j*{_SPAN_TOKENS}+1, {_SPAN_TOKENS})))"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

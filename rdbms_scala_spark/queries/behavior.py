@@ -1689,3 +1689,160 @@ def events_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("alpha_mle"),
     )
+
+
+@register(
+    "events_bitmap_retention",
+    oracle="""
+    WITH anchor AS (
+        SELECT min(CAST(ts AS DATE)) AS d0,
+               date_diff('day', min(CAST(ts AS DATE)),
+                         max(CAST(ts AS DATE))) + 1 AS n_days
+        FROM events
+    ),
+    masks AS (
+        SELECT user_id,
+               bit_or(CAST(1 AS BIGINT)
+                      << date_diff('day', a.d0, CAST(ts AS DATE))) AS mask
+        FROM events, anchor a
+        GROUP BY user_id
+    ),
+    lagged AS (
+        SELECT m.user_id, m.mask, a.n_days, unnest(range(1, 8)) AS lag
+        FROM masks m, anchor a
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(sum(bit_count(mask & (mask >> lag))) AS BIGINT)
+               AS active_day_pairs,
+           CAST(sum(bit_count(mask & ((CAST(1 AS BIGINT) << (n_days - lag)) - 1)))
+               AS BIGINT) AS eligible_active_days,
+           round(sum(bit_count(mask & (mask >> lag))) * 1.0
+                 / sum(bit_count(mask & ((CAST(1 AS BIGINT) << (n_days - lag)) - 1))),
+                 4) AS retention_rate
+    FROM lagged
+    GROUP BY lag
+    ORDER BY lag
+    """,
+    tags=("events", "retention", "bitmap", "scale"),
+)
+def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled day-N retention from per-user activity BITMASKS — the
+    bitmap-index pattern for engagement analytics: one ``bit_or``
+    aggregate folds each user's activity history into a single
+    BIGINT (bit d = active on day d), and every retention lag is then
+    pure bitwise arithmetic over that one row per user:
+    ``bit_count(mask & (mask >> L))`` counts the (day, day+L)
+    active pairs, ``bit_count(mask & ((1 << (D-L)) - 1))`` the
+    eligible anchor days. No self-join of activity against itself,
+    no per-lag re-scan — the classic retention query's day-vs-day
+    join collapses into popcounts.
+
+    Scale shape: one groupBy(user) with a map-side-combinable
+    ``bit_or``, then a x7 lag explode over USER rows (not events) and
+    one final 7-group aggregate. The calendar anchor and day count
+    are ONE tiny broadcast aggregate. At calendars past 64 days the
+    same shape runs on a bitmap type (array<long> words / roaring
+    bitmaps) with identical popcount algebra; the demo corpus spans
+    30 days so a single BIGINT word is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.broadcast(
+        ev.agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1).alias(
+                "n_days"
+            ),
+        )
+    )
+    masks = (
+        ev.crossJoin(anchor)
+        .select(
+            "user_id",
+            "n_days",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), datediff(to_date(ts), d0))"
+            ).alias("day_bit"),
+        )
+        .groupBy("user_id", "n_days")
+        .agg(F.bit_or("day_bit").alias("mask"))
+    )
+    lagged = masks.select(
+        "mask",
+        "n_days",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    )
+    pairs = F.bit_count(F.expr("mask & shiftright(mask, lag)"))
+    eligible = F.bit_count(
+        F.expr("mask & (shiftleft(CAST(1 AS BIGINT), n_days - lag) - 1)")
+    )
+    return (
+        lagged.groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.sum(pairs).alias("active_day_pairs"),
+            F.sum(eligible).alias("eligible_active_days"),
+        )
+        .select(
+            "lag",
+            "active_day_pairs",
+            "eligible_active_days",
+            F.round(
+                F.col("active_day_pairs") / F.col("eligible_active_days"), 4
+            ).alias("retention_rate"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "events_survival_curve",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+                   AS lifespan
+        FROM events GROUP BY user_id
+    ),
+    total AS (SELECT count(*) AS n_users FROM spans),
+    contrib AS (
+        SELECT user_id, unnest(range(lifespan + 1)) AS t FROM spans
+    )
+    SELECT CAST(c.t AS BIGINT) AS t,
+           CAST(count(*) AS BIGINT) AS n_surviving,
+           round(count(*) * 1.0 / max(tt.n_users), 4) AS survival
+    FROM contrib c, total tt
+    GROUP BY c.t
+    ORDER BY t
+    """,
+    tags=("events", "survival", "scale"),
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifespan survival curve S(t) = fraction of users whose
+    observed activity span (days between first and last event)
+    reaches at least t days — the churn-analysis readout.
+
+    Built without a global window: the naive form sorts lifespans and
+    takes a reverse running count (one all-rows window — the
+    single-reducer shape the plan audit bans); instead each user's
+    span row fans out to the t values it survives (bounded by the
+    calendar, <=31 here), and ONE day-keyed aggregate counts
+    survivors per t — the same contribution-explode trick as
+    `events_dau_stickiness`'s WAU. The denominator is a tiny
+    broadcast aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("lifespan")
+    )
+    total = F.broadcast(spans.agg(F.count(F.lit(1)).alias("n_users")))
+    contrib = spans.select(
+        F.explode(F.sequence(F.lit(0), F.col("lifespan"))).alias("t")
+    )
+    return (
+        contrib.groupBy(F.col("t").cast("long").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n_surviving"))
+        .crossJoin(total)
+        .select(
+            "t",
+            "n_surviving",
+            F.round(F.col("n_surviving") / F.col("n_users"), 4).alias("survival"),
+        )
+        .orderBy("t")
+    )
