@@ -794,3 +794,45 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+_PHASH_CC_ORACLE = f"""
+    WITH RECURSIVE phash_pairs AS ({_PHASH_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM phash_pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM phash_pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS component_id
+    FROM reach
+    GROUP BY u
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_phash_clusters",
+    oracle=_PHASH_CC_ORACLE,
+    tags=("multimodal", "dedup", "graph", "iterative"),
+)
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over the perceptual-hash near-dup pairs:
+    images chained by small edits (A~B, B~C) collapse into one
+    cluster labeled by its minimum doc_id — the keeper rule for image
+    dedup, exactly as `dedup_connected_components` is for text. Runs
+    the shared alternating-star CC (O(log n) shuffle rounds,
+    dedup.py:connected_components_edges) over `dedup_image_phash`'s
+    verified pair set (which reuses the session-materialized hash
+    relation, so a session running both pays the decode once). The
+    oracle replays pixel -> hash -> band -> verify -> reachability
+    fixpoint end to end in one recursive CTE."""
+    from rdbms_scala_spark.pipeline.dedup import connected_components_edges
+
+    pairs = dedup_image_phash(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _rounds = connected_components_edges(pairs)
+    return labels.select("doc_id", "component_id").orderBy("doc_id")

@@ -543,3 +543,43 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+_RESERVOIR_K = 100
+
+
+@register(
+    "sample_reservoir_exact_k",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           md5('rsv:' || CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents
+    ORDER BY sample_key
+    LIMIT {_RESERVOIR_K}
+    """,
+    tags=("sample", "reservoir", "topk", "scale"),
+)
+def sample_reservoir_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample via hash-rank top-k — the distributed
+    reservoir: rank every row by a deterministic per-row hash and
+    keep the k smallest. Equivalent in distribution to classic
+    reservoir sampling (any k-subset is equally likely under a
+    uniform hash) but embarrassingly parallel where the textbook
+    algorithm is inherently sequential: each partition keeps its own
+    k smallest (TakeOrderedAndProject partial), and only k rows per
+    partition reach the driver-side final heap — no global sort, no
+    single reducer over the corpus.
+
+    Unlike `sample_deterministic_hash` (fixed FRACTION, size drifts
+    with the corpus), this pins exact sample SIZE; membership is
+    still append-stable in the weaker sense that adding rows can only
+    displace the largest-keyed members, never reshuffle survivors
+    arbitrarily. The hash is seed-prefixed md5 (engine-independent),
+    so the oracle is the same ORDER BY + LIMIT."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .orderBy("sample_key")
+        .limit(_RESERVOIR_K)
+    )

@@ -2349,3 +2349,125 @@ def embeddings_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimensionality reduction)
+
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic +-1 projection matrix: sign of output-dim j,
+    input-dim i is +1 iff the first hex char of md5("j:i") is < '8'
+    (the digest's high bit) — a public, engine-independent coin flip
+    both sides can rebuild. Achlioptas (2003) shows +-1 entries
+    satisfy the JL lemma exactly like Gaussians."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] < "8" else -1
+            for i in range(_JL_IN_DIM)
+        ]
+        for j in range(_JL_OUT_DIM)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    y_terms = [
+        "0 "
+        + " ".join(
+            ("+" if s > 0 else "-") + f" vq[{i + 1}]"
+            for i, s in enumerate(row)
+        )
+        for row in signs
+    ]
+    y_cols = ",\n           ".join(
+        f"({y_terms[j]}) AS y{j}" for j in range(_JL_OUT_DIM)
+    )
+    proj_sq = " + ".join(f"y{j}*y{j}" for j in range(_JL_OUT_DIM))
+    sig = ", ".join(f"y{j}" for j in range(_JL_OUT_DIM))
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(x * 4096) AS BIGINT)) AS vq
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id,
+               list_sum(list_transform(vq, v -> v * v)) AS orig_sq,
+               {y_cols}
+        FROM q
+    )
+    SELECT vec_id,
+           CAST(orig_sq AS BIGINT) AS orig_sq,
+           CAST({proj_sq} AS BIGINT) AS proj_sq,
+           round(({proj_sq}) * 1.0 / ({_JL_OUT_DIM} * orig_sq), 4)
+               AS distortion,
+           concat_ws(',', {sig}) AS proj_sig
+    FROM proj
+    """
+
+
+@register(
+    "embeddings_jl_projection",
+    oracle=_jl_oracle(),
+    tags=("embeddings", "projection", "scale"),
+)
+def embeddings_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    deterministic +-1 matrix (:func:`_jl_signs`) — the standard
+    pre-step that makes downstream ANN / clustering pay 4x less per
+    distance while preserving norms within the JL bound. Emits each
+    vector's exact integer norm before and after, the distortion
+    ratio ``proj_sq / (k * orig_sq)`` (expectation 1.0 under +-1
+    projections), and the projected vector itself as an integer
+    signature.
+
+    Execution shape: pure per-row JVM arithmetic — components
+    quantize to ``floor(x * 4096)`` BIGINTs (the LSH tier's exact
+    power-of-two scaling) and each output dim is a static +-sum of
+    the 64 inputs, fully inside whole-stage codegen: no shuffle, no
+    UDF, no state. At 100 TB this is a map-only pass you pipeline in
+    front of the ANN index build; the matrix ships as code (a seed),
+    never as data. Oracle: DuckDB rebuilds the same +-1 sums from the
+    same md5 coin flips and the driver hash-compares every signature."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _jl_signs()
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 4096) AS BIGINT))"
+        ).alias("vq"),
+    )
+    y_exprs = [
+        (
+            "0 "
+            + " ".join(
+                ("+" if s > 0 else "-") + f" element_at(vq, {i + 1})"
+                for i, s in enumerate(row)
+            )
+        )
+        for row in signs
+    ]
+    proj = q.select(
+        "vec_id",
+        F.expr("aggregate(vq, 0L, (a, v) -> a + v * v)").alias("orig_sq"),
+        *[F.expr(e).cast("long").alias(f"y{j}") for j, e in enumerate(y_exprs)],
+    )
+    proj_sq = sum(F.col(f"y{j}") * F.col(f"y{j}") for j in range(_JL_OUT_DIM))
+    return proj.select(
+        "vec_id",
+        "orig_sq",
+        proj_sq.cast("long").alias("proj_sq"),
+        F.round(
+            proj_sq / (F.lit(float(_JL_OUT_DIM)) * F.col("orig_sq")), 4
+        ).alias("distortion"),
+        F.concat_ws(",", *[F.col(f"y{j}") for j in range(_JL_OUT_DIM)]).alias(
+            "proj_sig"
+        ),
+    )

@@ -1295,3 +1295,211 @@ def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_label", "lang_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics readouts: vocabulary growth and source divergence
+
+_HEAPS_BUCKETS = 10
+
+
+@register(
+    "text_heaps_law",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(ceil((max(doc_id) + 1) * 1.0 / {_HEAPS_BUCKETS}) AS BIGINT)
+                   AS bsize
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id // b.bsize AS bucket,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS token
+        FROM documents, bounds b
+    ),
+    tokens_per_bucket AS (
+        SELECT bucket, count(*) AS n_tok FROM tok GROUP BY bucket
+    ),
+    first_seen AS (
+        SELECT token, min(bucket) AS first_bucket FROM tok GROUP BY token
+    ),
+    types_per_bucket AS (
+        SELECT first_bucket AS bucket, count(*) AS n_new
+        FROM first_seen GROUP BY first_bucket
+    ),
+    cum_tok AS (
+        SELECT p AS bucket, sum(n_tok) AS cum_tokens
+        FROM (SELECT bucket, n_tok,
+                     unnest(range(bucket, {_HEAPS_BUCKETS})) AS p
+              FROM tokens_per_bucket)
+        GROUP BY p
+    ),
+    cum_types AS (
+        SELECT p AS bucket, sum(n_new) AS cum_types
+        FROM (SELECT bucket, n_new,
+                     unnest(range(bucket, {_HEAPS_BUCKETS})) AS p
+              FROM types_per_bucket)
+        GROUP BY p
+    )
+    SELECT CAST(t.bucket AS BIGINT) AS bucket,
+           CAST(t.cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(y.cum_types AS BIGINT) AS cum_types,
+           round(ln(y.cum_types) / ln(t.cum_tokens), 4) AS heaps_exponent
+    FROM cum_tok t JOIN cum_types y ON t.bucket = y.bucket
+    ORDER BY bucket
+    """,
+    tags=("text", "corpus-stats", "scale"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct token
+    TYPES vs cumulative token INSTANCES over 10 doc_id-ordered corpus
+    prefixes, plus the empirical Heaps exponent ln(V)/ln(N) per
+    prefix — the readout that tells a data pipeline whether more
+    corpus keeps buying vocabulary (and how fast tokenizer vocab
+    budgets saturate).
+
+    A naive prefix-distinct re-counts the vocabulary 10 times (10
+    corpus scans). Instead: prefix-distinct decomposes by FIRST
+    OCCURRENCE — one groupBy(token) -> min(bucket) pass, then each
+    bucket's new-type count fans out to the prefixes it contributes
+    to (a <=10x explode over a 10-row relation). One corpus-sized
+    shuffle keyed by token, everything after is tiny. The bucket size
+    derives from one broadcast max(doc_id) aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = F.broadcast(
+        docs.agg(
+            F.ceil((F.max("doc_id") + 1) / F.lit(_HEAPS_BUCKETS))
+            .cast("long")
+            .alias("bsize")
+        )
+    )
+    tok = (
+        docs.crossJoin(bounds)
+        .select(
+            (F.col("doc_id") / F.col("bsize")).cast("long").alias("bucket"),
+            F.explode(tokens()).alias("token"),
+        )
+    )
+    tokens_per_bucket = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tok"))
+    first_seen = tok.groupBy("token").agg(F.min("bucket").alias("first_bucket"))
+    types_per_bucket = first_seen.groupBy(
+        F.col("first_bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    cum_tok = (
+        tokens_per_bucket.select(
+            "n_tok",
+            F.explode(
+                F.sequence(F.col("bucket"), F.lit(_HEAPS_BUCKETS - 1))
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("n_tok").alias("cum_tokens"))
+    )
+    cum_types = (
+        types_per_bucket.select(
+            "n_new",
+            F.explode(
+                F.sequence(F.col("bucket"), F.lit(_HEAPS_BUCKETS - 1))
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("n_new").alias("cum_types"))
+    )
+    return (
+        cum_tok.join(cum_types, "bucket")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "cum_tokens",
+            "cum_types",
+            F.round(
+                F.log(F.col("cum_types").cast("double"))
+                / F.log(F.col("cum_tokens").cast("double")),
+                4,
+            ).alias("heaps_exponent"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "text_js_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS token
+        FROM documents
+    ),
+    st AS (
+        SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+    ),
+    s_tot AS (SELECT source, sum(c) AS n_s FROM st GROUP BY source),
+    corpus AS (SELECT token, sum(c) AS c_t FROM st GROUP BY token),
+    c_tot AS (SELECT sum(c) AS n FROM st),
+    grid AS (
+        SELECT s.source, v.token,
+               coalesce(st.c, 0) * 1.0 / t.n_s AS p,
+               v.c_t * 1.0 / ct.n AS m
+        FROM (SELECT DISTINCT source FROM st) s
+        CROSS JOIN corpus v
+        CROSS JOIN c_tot ct
+        JOIN s_tot t ON t.source = s.source
+        LEFT JOIN st ON st.source = s.source AND st.token = v.token
+    )
+    SELECT source,
+           CAST(max(n_s_out) AS BIGINT) AS n_tokens,
+           round(sum(CASE WHEN p > 0
+                          THEN 0.5 * p * ln(2.0 * p / (p + m)) ELSE 0 END)
+                 + sum(0.5 * m * ln(2.0 * m / (p + m))), 4) AS jsd
+    FROM (SELECT g.*, t.n_s AS n_s_out
+          FROM grid g JOIN s_tot t ON t.source = g.source)
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "corpus-stats", "divergence"),
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the corpus-wide distribution — the domain-drift
+    readout a mixture-sampling pipeline monitors (a source whose JSD
+    rises is drifting away from the blend it was weighted for;
+    sampling weights in `sample_domain_mixture` assume it hasn't).
+
+    Shape: one token-keyed count per (source, token), two tiny
+    marginals, then the (source x vocab) probability grid — bounded
+    by #sources * vocab size, NOT corpus size (the corpus-sized work
+    is the single groupBy). m > 0 everywhere by construction (every
+    vocab token occurs somewhere), p = 0 rows contribute only the
+    m-side term, so the sum is well-defined without epsilons. Both
+    engines sum the same <=vocab-size term set per source and round
+    to 4dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens()).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corpus = st.groupBy("token").agg(F.sum("c").alias("c_t"))
+    c_tot = F.broadcast(st.agg(F.sum("c").alias("n")))
+    grid = (
+        s_tot.crossJoin(corpus)
+        .crossJoin(c_tot)
+        .join(st, ["source", "token"], "left")
+        .select(
+            "source",
+            "n_s",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("n_s")).alias("p"),
+            (F.col("c_t") / F.col("n")).alias("m"),
+        )
+    )
+    p_term = F.when(
+        F.col("p") > 0,
+        0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("m"))),
+    ).otherwise(F.lit(0.0))
+    m_term = 0.5 * F.col("m") * F.log(2.0 * F.col("m") / (F.col("p") + F.col("m")))
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.round(F.sum(p_term) + F.sum(m_term), 4).alias("jsd"),
+        )
+        .orderBy("source")
+    )
