@@ -775,3 +775,42 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionByName(rows[1]).orderBy("pair")
+
+
+@register(
+    "agg_decimal_money_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_exact,
+           round(sum(l_extendedprice), 2) AS sum_double
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "decimal", "exactness"),
+)
+def agg_decimal_money_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money aggregation next to the double-precision
+    sum — the SURVEY §1.2 note made live: the reference stores TPC-H
+    money as Float/Double (its 5-type system has no decimal;
+    Microbase.scala:971-977), so every money sum it prints carries
+    float addition error that grows with row count. Casting to
+    DECIMAL(14,2) at the scan makes the sum EXACT (integer
+    arithmetic under the hood) and order-independent — at 100 TB,
+    summing 10^11 prices in doubles drifts in the cents while the
+    decimal sum is bit-stable regardless of partitioning or AQE
+    re-planning. Emitted side by side so the readout shows what the
+    upgrade buys; both engines agree on each column independently."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias(
+                "sum_exact"
+            ),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_double"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -836,3 +836,101 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_image_phash(spark, sf_dir).select("doc_a", "doc_b")
     labels, _rounds = connected_components_edges(pairs)
     return labels.select("doc_id", "component_id").orderBy("doc_id")
+
+
+_KCORE_K = 4
+_KCORE_ORACLE_ROUNDS = 16  # unroll margin; fixture converges in 7
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling oracle: each round drops nodes with in-core
+    degree < k and keeps only edges between survivors. Peeling is
+    monotone (rounds past the fixpoint are no-ops), so unrolling MORE
+    rounds than the fixpoint needs is safe; unrolling fewer would
+    mismatch the Spark side's true fixpoint and fail the gate — the
+    margin is asserted by test_kcore_fixpoint_within_oracle_margin."""
+    parts = [
+        f"WITH phash_pairs AS MATERIALIZED ({_PHASH_ORACLE}),",
+        """e0 AS MATERIALIZED (
+        SELECT doc_a AS u, doc_b AS v FROM phash_pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM phash_pairs
+    )""",
+    ]
+    for r in range(_KCORE_ORACLE_ROUNDS):
+        parts.append(f"""d{r} AS MATERIALIZED (
+        SELECT u, count(*) AS c FROM e{r} GROUP BY u
+    )""")
+        parts.append(f"""e{r + 1} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{r} e
+        JOIN d{r} a ON a.u = e.u AND a.c >= {_KCORE_K}
+        JOIN d{r} b ON b.u = e.v AND b.c >= {_KCORE_K}
+    )""")
+    body = ",\n    ".join(parts[1:])
+    last = f"e{_KCORE_ORACLE_ROUNDS}"
+    return f"""
+    {parts[0]}
+    {body}
+    SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM {last}
+    GROUP BY u
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative", "multimodal"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k=4) of the image near-dup graph by
+    iterative peeling: repeatedly drop nodes whose degree within the
+    surviving subgraph falls below k, until stable — the standard
+    densest-region extractor (a 4-core member has >= 4 near-dup
+    neighbors that THEMSELVES survive the same test, so cores mark
+    template/boilerplate image families the way high raw degree
+    alone cannot: a hub with degree 50 whose neighbors are all
+    leaves peels away in round 2).
+
+    Scale shape per round: one degree aggregate + two semi-joins,
+    all keyed on node id — the CC/PageRank shuffle pattern; rounds
+    are O(peeling depth), each over a SHRINKING edge set, with
+    ``localCheckpoint`` truncating lineage. Convergence probe is a
+    single edge count (peeling is monotone, so an unchanged count IS
+    the fixpoint). The oracle unrolls more peel rounds than the
+    fixpoint needs (monotonicity makes over-unrolling a no-op) over
+    the same verified phash pairs."""
+    pairs = dedup_image_phash(spark, sf_dir).select("doc_a", "doc_b")
+    E = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = E.count()
+    for _ in range(_KCORE_ORACLE_ROUNDS):
+        if n_edges == 0:
+            break
+        deg = E.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= _KCORE_K).select("u")
+        E = (
+            E.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        cur = E.count()
+        if cur == n_edges:
+            break
+        n_edges = cur
+    else:
+        raise RuntimeError(
+            f"k-core did not converge within {_KCORE_ORACLE_ROUNDS} rounds "
+            "(oracle unroll margin exceeded)"
+        )
+    return (
+        E.groupBy(F.col("u").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("doc_id")
+    )

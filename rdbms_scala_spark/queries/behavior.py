@@ -1846,3 +1846,47 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@register(
+    "events_decay_score",
+    oracle="""
+    WITH t AS (SELECT max(epoch_us(ts)) AS t_max FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * exp(-(t.t_max - epoch_us(ts))
+                                 / (7.0 * 86400 * 1000000))), 4)
+               AS decay_score
+    FROM events, t
+    GROUP BY user_id, t.t_max
+    ORDER BY user_id
+    """,
+    tags=("events", "feature", "scale"),
+)
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user
+    (half-life-style weighting, tau = 7 days anchored at the corpus
+    max timestamp) — the recency-weighted feature a ranking or churn
+    model consumes instead of a raw count, computed as ONE
+    map-side-combinable aggregate: the decay weight is a per-row
+    scalar expression (no window, no self-join against 'now' rows),
+    so the whole pass is a single user-keyed shuffle. The anchor is
+    one tiny broadcast max aggregate. At 100 TB, scores refresh
+    incrementally: exp decay factorizes (score(T2) =
+    score(T1) * exp(-(T2-T1)/tau) + new events), so yesterday's
+    scores fold forward without rescanning history."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.broadcast(ev.agg(F.max(F.unix_micros("ts")).alias("t_max")))
+    tau_us = 7.0 * 86400 * 1_000_000
+    w = F.col("value") * F.exp(
+        -(F.col("t_max") - F.unix_micros("ts")) / F.lit(tau_us)
+    )
+    return (
+        ev.crossJoin(t)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(w), 4).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )

@@ -635,3 +635,75 @@ def maintenance_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return out.orderBy("check_id")
+
+
+_INCR_SPLIT_DAY = 16  # events before this day-of-month are "base"
+
+
+@register(
+    "maintenance_incremental_stats",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE WHEN day(CAST(ts AS DATE)) < {_INCR_SPLIT_DAY}
+                    THEN 'base' ELSE 'delta' END AS part,
+               value, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    parts AS (
+        SELECT part,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               CAST(min(ts_us) AS BIGINT) AS min_ts_us,
+               CAST(max(ts_us) AS BIGINT) AS max_ts_us
+        FROM tagged GROUP BY part
+    )
+    SELECT * FROM parts
+    UNION ALL
+    SELECT 'merged',
+           CAST(sum(n_rows) AS BIGINT),
+           CAST(sum(sum_value_cents) AS BIGINT),
+           min(min_ts_us),
+           max(max_ts_us)
+    FROM parts
+    ORDER BY part
+    """,
+    tags=("maintenance", "stats", "incremental", "scale"),
+)
+def maintenance_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental statistics maintenance: per-partition stat rows
+    ('base' = history, 'delta' = the newly-landed partition) MERGED
+    into table-level stats without rescanning history — the
+    discipline that keeps CBO stats fresh at 100 TB, where a full
+    ANALYZE after every ingest is unaffordable. Every stat here is a
+    mergeable summary (count/sum/min/max fold associatively:
+    merged = f(stats(base), stats(delta)), never f(rescan)); NDV
+    joins the scheme as a mergeable HLL sketch — demonstrated
+    separately by `agg_hll_mergeable`, whose union-then-estimate is
+    exactly this merge step. Value sums are held as integer cents so
+    base+delta merge is bit-exact, not float-drifting. The 'merged'
+    row is derived FROM the part rows (one tiny 2-row aggregate),
+    and the oracle recomputes both levels to certify the fold."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.when(F.dayofmonth(F.to_date("ts")) < _INCR_SPLIT_DAY, "base")
+        .otherwise("delta")
+        .alias("part"),
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    parts = tagged.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "sum_value_cents"
+        ),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+    merged = parts.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_value_cents").alias("sum_value_cents"),
+        F.min("min_ts_us").alias("min_ts_us"),
+        F.max("max_ts_us").alias("max_ts_us"),
+    ).select(F.lit("merged").alias("part"), "*")
+    return parts.unionByName(merged).orderBy("part")

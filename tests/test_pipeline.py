@@ -359,6 +359,41 @@ def test_phash_planted_neardups_are_recalled(spark, sf_dir):
     assert all(0 <= r.hamming <= multimodal.PHASH_HAMMING_MAX for r in rows)
 
 
+def test_kcore_fixpoint_within_oracle_margin(spark, sf_dir):
+    """The Spark side peels to the TRUE fixpoint; the oracle unrolls
+    a fixed number of rounds. Monotonicity makes over-unrolling safe,
+    but under-unrolling would silently diverge — so pin that the
+    fixture converges well inside the margin, and that the result IS
+    a k-core (every member's in-core degree >= k)."""
+    rows = multimodal.graph_kcore(spark, sf_dir).collect()
+    assert rows, "k-core unexpectedly empty"
+    assert all(r.core_degree >= multimodal._KCORE_K for r in rows)
+    # re-peel in pure Python from the verified pairs and count rounds
+    pairs = multimodal.dedup_image_phash(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for r in pairs:
+        adj[r.doc_a].add(r.doc_b)
+        adj[r.doc_b].add(r.doc_a)
+    nodes, rounds = set(adj), 0
+    while True:
+        drop = {
+            n
+            for n in nodes
+            if sum(1 for m in adj[n] if m in nodes) < multimodal._KCORE_K
+        }
+        if not drop:
+            break
+        nodes -= drop
+        rounds += 1
+    assert rounds <= multimodal._KCORE_ORACLE_ROUNDS // 2, (
+        f"fixture peels in {rounds} rounds — too close to the "
+        f"{multimodal._KCORE_ORACLE_ROUNDS}-round oracle unroll margin"
+    )
+    assert nodes == {r.doc_id for r in rows}
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     a = multimodal.multimodal_features_array(spark, sf_dir).orderBy("doc_id").limit(5).collect()
     b = multimodal.multimodal_features_array(spark, sf_dir).orderBy("doc_id").limit(5).collect()
