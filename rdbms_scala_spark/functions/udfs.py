@@ -17,6 +17,8 @@ Python workers don't have this repo on sys.path.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -203,3 +205,43 @@ def udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, chunk_id
         """
     )
+
+
+@register(
+    "pandas_udf_scalar_iter",
+    oracle="""
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-(value - 10.0) / 5.0)), 4) AS score
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    tags=("udf", "pandas-udf", "scalar-iter"),
+)
+def pandas_udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER): the third scalar
+    UDF evaluation shape, for per-EXECUTOR amortized setup — the
+    iterator form runs its preamble once per worker task and then
+    streams every Arrow batch through the already-initialized state.
+    That's the pattern for 'load the model once, score a million
+    rows': here the 'model' is a logistic scorer whose parameters are
+    'loaded' before the batch loop (a stand-in for an expensive
+    weight load; the arithmetic itself is the oracle's expression,
+    which is exactly what makes it a transport check, as with
+    `pandas_udf_scalar`). Rounding stays JVM-side (pandas rounds
+    half-even; the engines round half-up)."""
+    @pandas_udf(T.DoubleType())
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        # per-task setup: runs once, not once per batch/row
+        mid, scale = 10.0, 5.0
+        for values in batches:
+            yield 1.0 / (1.0 + np.exp(-(values - mid) / scale))
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return ev.select(
+        "event_id", F.round(score("value"), 4).alias("score")
+    ).orderBy("event_id")

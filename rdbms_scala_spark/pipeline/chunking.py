@@ -320,3 +320,144 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pack_id")
     )
+
+
+_PACK_CTX_LEVELS = (128, 256, 512, 1024)
+
+
+@register(
+    "pipeline_pack_efficiency_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS VARCHAR) AS hx,
+               len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, n_tokens,
+               CASE
+                   WHEN hx BETWEEN '0' AND '9'
+                       THEN CAST(hx AS INTEGER) % {_PACK_SHARDS}
+                   ELSE (ascii(hx) - ascii('a') + 10) % {_PACK_SHARDS}
+               END AS shard
+        FROM toks
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM sharded
+    ),
+    levels AS (SELECT unnest([{", ".join(map(str, _PACK_CTX_LEVELS))}]) AS ctx),
+    straddle AS (
+        SELECT l.ctx,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (
+                   WHERE n_tokens > 0
+                     AND cum_before // l.ctx
+                         <> (cum_before + n_tokens - 1) // l.ctx
+               ) AS BIGINT) AS n_straddling
+        FROM packed, levels l
+        GROUP BY l.ctx
+    ),
+    shard_tot AS (
+        SELECT shard, sum(n_tokens) AS total FROM sharded GROUP BY shard
+    ),
+    packs AS (
+        SELECT l.ctx,
+               CAST(sum((total + l.ctx - 1) // l.ctx) AS BIGINT) AS n_packs,
+               CAST(sum(((total + l.ctx - 1) // l.ctx) * l.ctx - total)
+                   AS BIGINT) AS pad_waste_tokens
+        FROM shard_tot, levels l
+        GROUP BY l.ctx
+    )
+    SELECT CAST(s.ctx AS BIGINT) AS ctx, s.n_docs, s.n_straddling,
+           round(s.n_straddling * 1.0 / s.n_docs, 4) AS straddle_rate,
+           p.n_packs, p.pad_waste_tokens
+    FROM straddle s JOIN packs p ON s.ctx = p.ctx
+    ORDER BY ctx
+    """,
+    tags=("pipeline", "packing", "scale"),
+)
+def pipeline_pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency curve across context lengths (128/256/512/
+    1024): for each candidate training context size, how many
+    documents straddle a pack boundary (attention-masking overhead),
+    how many packs the corpus fills, and the padding waste in the
+    final pack of each shard — the readout that picks a context
+    length BEFORE committing a 100 TB repack.
+
+    Costs one corpus-sized pass regardless of how many context sizes
+    are evaluated: the per-shard prefix sum (`text_pack_sequences`'s
+    window, per-reducer work |corpus|/shards) is computed once, then
+    each ctx level is pure per-row arithmetic on (cum_before,
+    n_tokens) — a 4x fan-out over already-tiny columns, not 4
+    repacks."""
+    from rdbms_scala_spark.pipeline.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hx = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 1)
+    sharded = docs.select(
+        "doc_id",
+        F.size(tokens()).alias("n_tokens"),
+        (F.conv(hx, 16, 10).cast("int") % _PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = sharded.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    levels = spark.range(len(_PACK_CTX_LEVELS)).select(
+        F.element_at(
+            F.array(*[F.lit(c) for c in _PACK_CTX_LEVELS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("ctx")
+    )
+    straddles = (
+        packed.crossJoin(F.broadcast(levels))
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_tokens") > 0)
+                    & (
+                        F.expr("cum_before div ctx")
+                        != F.expr("(cum_before + n_tokens - 1) div ctx")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_straddling"),
+        )
+    )
+    shard_tot = sharded.groupBy("shard").agg(F.sum("n_tokens").alias("total"))
+    packs = (
+        shard_tot.crossJoin(F.broadcast(levels))
+        .groupBy("ctx")
+        .agg(
+            F.sum(F.expr("(total + ctx - 1) div ctx")).alias("n_packs"),
+            F.sum(
+                F.expr("((total + ctx - 1) div ctx) * ctx - total")
+            ).alias("pad_waste_tokens"),
+        )
+    )
+    return (
+        straddles.join(packs, "ctx")
+        .select(
+            F.col("ctx").cast("long").alias("ctx"),
+            "n_docs",
+            "n_straddling",
+            F.round(F.col("n_straddling") / F.col("n_docs"), 4).alias(
+                "straddle_rate"
+            ),
+            "n_packs",
+            "pad_waste_tokens",
+        )
+        .orderBy("ctx")
+    )

@@ -2471,3 +2471,84 @@ def embeddings_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "proj_sig"
         ),
     )
+
+
+_MATRYOSHKA_LEVELS = (8, 16, 32, 64)
+
+
+@register(
+    "embeddings_matryoshka_energy",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(x * 4096) AS BIGINT)) AS vq
+        FROM embeddings
+    ),
+    levels AS (SELECT unnest([{", ".join(map(str, _MATRYOSHKA_LEVELS))}]) AS lvl),
+    ratios AS (
+        SELECT l.lvl,
+               list_sum(list_transform(vq[1:l.lvl], v -> v * v)) * 1.0
+                   / list_sum(list_transform(vq, v -> v * v)) AS energy
+        FROM q, levels l
+    )
+    SELECT CAST(lvl AS BIGINT) AS level,
+           round(avg(energy), 4) AS avg_energy,
+           round(min(energy), 4) AS min_energy,
+           CAST(count(*) FILTER (WHERE energy >= 0.9) AS BIGINT)
+               AS n_above_90pct
+    FROM ratios
+    GROUP BY lvl
+    ORDER BY level
+    """,
+    tags=("embeddings", "truncation", "scale"),
+)
+def embeddings_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation energy curve (the Matryoshka question): what
+    fraction of each vector's squared norm survives truncating 64
+    dims to the first 8/16/32 — the measurement that decides whether
+    a cheap prefix index (4x less memory and bandwidth per distance)
+    can serve first-stage retrieval with full-dim re-rank, the same
+    coarse->fine split the IVF-PQ tier makes. Emits per level the
+    mean and worst-case retained energy plus how many vectors keep
+    >= 90 %.
+
+    Shape: components quantize to ``floor(x * 4096)`` BIGINTs (exact
+    on doubles), prefix and total squared norms are per-row integer
+    sums via ``slice``/``aggregate`` inside codegen, the 4 levels fan
+    out from ONE scan, and a 4-group aggregate finishes — map-only
+    until the final tiny shuffle. The fixture's embeddings carry no
+    trained dimension ordering, so the curve ~tracks dim fraction
+    (8/64 = 0.125...); a Matryoshka-trained model would bow it upward
+    — the query is the measuring stick, not the claim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 4096) AS BIGINT))"
+        ).alias("vq"),
+    )
+    levels = spark.range(len(_MATRYOSHKA_LEVELS)).select(
+        F.element_at(
+            F.array(*[F.lit(c) for c in _MATRYOSHKA_LEVELS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("level")
+    )
+    ratios = q.crossJoin(F.broadcast(levels)).select(
+        "level",
+        (
+            F.expr("aggregate(slice(vq, 1, level), 0L, (a, v) -> a + v * v)")
+            / F.expr("aggregate(vq, 0L, (a, v) -> a + v * v)")
+        ).alias("energy"),
+    )
+    return (
+        ratios.groupBy(F.col("level").cast("long").alias("level"))
+        .agg(
+            F.round(F.avg("energy"), 4).alias("avg_energy"),
+            F.round(F.min("energy"), 4).alias("min_energy"),
+            F.sum(F.when(F.col("energy") >= 0.9, 1).otherwise(0)).alias(
+                "n_above_90pct"
+            ),
+        )
+        .orderBy("level")
+    )
