@@ -103,6 +103,16 @@ EXTENSION = [
     "maintenance_table_stats_sketch",
     "embeddings_knn_vote",
     "events_session_paths",
+    # round-9: the image phash tier (decode+hash pays once into the
+    # session relation on the warm pass; timed passes measure the
+    # banded join + verify), k-core peeling over its pairs, the
+    # bitmap-retention popcount rewrite, the span-level dedup corpus
+    # pass, and the codegen JL projection map pass
+    "dedup_image_phash",
+    "graph_kcore",
+    "events_bitmap_retention",
+    "dedup_span_exact",
+    "embeddings_jl_projection",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -782,7 +782,8 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_items,
-           sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_exact,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
+               AS sum_exact,
            round(sum(l_extendedprice), 2) AS sum_double
     FROM lineitem
     GROUP BY l_returnflag
@@ -801,15 +802,19 @@ def agg_decimal_money_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     summing 10^11 prices in doubles drifts in the cents while the
     decimal sum is bit-stable regardless of partitioning or AQE
     re-planning. Emitted side by side so the readout shows what the
-    upgrade buys; both engines agree on each column independently."""
+    upgrade buys; the exact sum travels as its canonical decimal
+    STRING so the comparison is digit-for-digit (python Decimal vs
+    float64 objects would false-mismatch in raw-object comparators
+    even when equal); both engines agree on each column
+    independently."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias(
-                "sum_exact"
-            ),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("string")
+            .alias("sum_exact"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_double"),
         )
         .orderBy("l_returnflag")

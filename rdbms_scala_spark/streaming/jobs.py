@@ -647,20 +647,6 @@ def view_purchase_attribution(ev: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "streaming_transform_with_state",
-    oracle="""
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
-               AS n_purchases,
-           round(max(value), 2) AS max_value
-    FROM events
-    GROUP BY user_id
-    ORDER BY user_id
-    """,
-    tags=("streaming", "stateful", "transformWithState"),
-)
 def transform_with_state_backend() -> str:
     """Which stateful backend `streaming_transform_with_state` will
     run HERE: "transformWithStateInPandas" when `google.protobuf` (the
@@ -678,6 +664,20 @@ def transform_with_state_backend() -> str:
         return "applyInPandasWithState"
 
 
+@register(
+    "streaming_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "transformWithState"),
+)
 def streaming_transform_with_state(
     spark: SparkSession,
     sf_dir: str,
