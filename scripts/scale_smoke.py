@@ -331,6 +331,26 @@ def main() -> None:
         "  corpus-scoring floor (fixed 100-query block against a 64x",
         "  corpus); scan_dynamic_partition_pruning is flat (1.4x) because",
         "  the pruned day subset grows with the calendar, not the corpus.",
+        "- round 9 measurement notes: streaming_stream_stream_join's",
+        "  former flat 8-9 s floor was PROFILED (not asserted) as",
+        "  state-store commit overhead scaling with partition count (32",
+        "  inherited shuffle partitions x 4 join stores paid 54-78 s",
+        "  aggregate commitTimeMs per drain); the join now sizes its",
+        "  state partitions to state volume (jobs.py:_SS_JOIN_STATE_",
+        "  PARTITIONS) and the row should read ~3x lower at every tier —",
+        "  any residual flatness is the 2-micro-batch availableNow drain",
+        "  itself. dedup_image_phash amplifies cleanly: per-copy doc_id",
+        "  offsets give each copy fresh content keys, so the planted",
+        "  near-dup cluster structure is constant per copy (the marker-",
+        "  interleave argument, transposed to pixels); its decode+hash",
+        "  pass is map-only and the pair join is bucket-cap-bounded.",
+        "  graph_kcore measures the peel loop over the session-cached",
+        "  phash relation (warm pass pays the decode, as with pagerank).",
+        "  events_bitmap_retention and events_survival_curve fan out",
+        "  over USER rows (x7 / x<=31), not event rows — their walls",
+        "  should track the user count. agg_hll_intersection and",
+        "  window_time_range_rolling / window_running_distinct are the",
+        "  r8 scale-claim debt rows the r8 verdict asked to measure.",
         "",
         f"Rows: {json.dumps(rows)}",
         "",

@@ -467,3 +467,52 @@ def test_source_signature_group_limit(spark, sf_dir):
 
     plan = physical_plan(SPECS["text_source_signature_terms"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
+
+
+def test_reservoir_exact_k_is_take_ordered(spark, sf_dir):
+    """sample_reservoir_exact_k must compile to TakeOrderedAndProject
+    (per-partition partial top-k, k rows per partition to the driver)
+    — a global Sort would be the single-reducer shape the hash-rank
+    reservoir exists to avoid."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["sample_reservoir_exact_k"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Sort " not in plan, plan[:2000]
+
+
+def test_jl_projection_is_map_only(spark, sf_dir):
+    """embeddings_jl_projection is a pure per-row pass: no Exchange
+    (shuffle), no Python evaluation — the +-1 sums stay in JVM
+    codegen."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["embeddings_jl_projection"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_span_dedup_shuffles_only_aggregated_spans(spark, sf_dir):
+    """dedup_span_exact: span assembly (Generate over array slices)
+    must sit BELOW a partial aggregate, so only combined (span,
+    doc_id, count) rows ever shuffle — token rows are never moved
+    just to be reassembled. The two exchanges are Spark's standard
+    COUNT(DISTINCT) expansion: (span, doc_id) dedup phase, then the
+    span phase."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["dedup_span_exact"].fn(spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning(span") == 2, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
+
+
+def test_bitmap_retention_aggregates_users_not_events(spark, sf_dir):
+    """events_bitmap_retention: the lag fan-out must sit ABOVE the
+    user-keyed bit_or aggregate (explode over user rows, not event
+    rows), and the anchor must arrive by broadcast."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["events_bitmap_retention"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan[:2000]
+    # one exchange for the user aggregate, one for the 7-row lag agg
+    assert plan.count("Arguments: hashpartitioning") <= 2, plan[:2000]
