@@ -1890,3 +1890,276 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: time-series diagnostics — change-point, autocorrelation,
+# forecast backtest. The reference has no time-series surface at all
+# (Microbase.scala stops at GROUP BY); these are the monitoring
+# readouts an event warehouse layers on the daily-aggregate relation
+# that events_daily_trend / events_dow_seasonality already reduce to.
+
+
+@register(
+    "events_change_point_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(y) AS BIGINT) AS total
+        FROM daily
+    ),
+    cusum AS (
+        SELECT d, y,
+               CAST(t.n_days * sum(y) OVER (ORDER BY d) AS BIGINT)
+                   - CAST(row_number() OVER (ORDER BY d) * t.total AS BIGINT)
+                   AS s_scaled,
+               t.n_days
+        FROM daily, tot t
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, y AS n_events,
+           round(CAST(s_scaled AS DOUBLE) / n_days, 4) AS cusum,
+           abs(s_scaled) = (SELECT max(abs(s_scaled)) FROM cusum)
+               AS is_change_point
+    FROM cusum
+    ORDER BY day
+    """,
+    tags=("events", "timeseries", "changepoint", "scale"),
+)
+def events_change_point_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event-count series:
+    the cumulative sum of deviations from the corpus mean peaks (in
+    absolute value) at the most likely level-shift day — the standard
+    single-change-point estimator, and the drift alarm a pipeline puts
+    on its ingest volume.
+
+    Integer-exact cross-engine: instead of accumulating float
+    deviations (y_i - mean), accumulate the N-scaled integer form
+    N * prefix_sum(y) - t * total (identical telescoping, zero float
+    drift) and divide by N only in the final rounded projection.
+
+    Scale shape: the corpus-sized pass is one map-side-combinable
+    daily count; the running sum is a global window over the
+    CALENDAR-bounded daily relation (~30 rows per fixture month,
+    ~thousands at any horizon) — allowlisted in
+    scripts/plan_audit.py with the bound named. The (n_days, total)
+    pair is one broadcast aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    tot = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).alias("n_days"), F.sum("y").alias("total")
+        )
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cusum = (
+        daily.crossJoin(tot)
+        .withColumn(
+            "s_scaled",
+            F.col("n_days") * F.sum("y").over(w)
+            - F.row_number().over(W.orderBy("d")) * F.col("total"),
+        )
+    )
+    peak = F.broadcast(
+        cusum.agg(F.max(F.abs(F.col("s_scaled"))).alias("s_peak"))
+    )
+    return (
+        cusum.crossJoin(peak)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("y").alias("n_events"),
+            F.round(
+                F.col("s_scaled").cast("double") / F.col("n_days"), 4
+            ).alias("cusum"),
+            (F.abs(F.col("s_scaled")) == F.col("s_peak")).alias(
+                "is_change_point"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_autocorr_weekly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, a.y AS x, b.y AS y
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.d = a.d + 7
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+               AS lag7_autocorr
+    FROM sums
+    ORDER BY event_type
+    """,
+    tags=("events", "timeseries", "autocorrelation", "scale"),
+)
+def events_autocorr_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of the per-type daily count series — the
+    one-number weekly-seasonality strength readout (Pearson r between
+    each day and the same weekday one week later), complementing
+    events_dow_seasonality's per-weekday index with a significance-
+    style scalar per event type.
+
+    Integer-exact moment accumulation: daily counts are integers, so
+    n/sx/sy/sxy/sxx/syy are exact BIGINTs in both engines and the only
+    float op is the final rounded quotient — no running-float corr
+    aggregate (Spark's F.corr and DuckDB's corr() accumulate doubles
+    in engine-specific orders; the moment form sidesteps that).
+
+    Scale shape: one map-side-combinable daily aggregate, a
+    calendar-bounded self-join on (type, d+7), and a per-type
+    reduction. Nothing corpus-sized survives past the first pass."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") == F.date_add(F.col("a.d"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.y").alias("x"),
+        F.col("b.y").alias("y"),
+    )
+    sums = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        sums.select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            F.round(num.cast("double") / den, 4).alias("lag7_autocorr"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               isodow(CAST(ts AS DATE)) - 1 AS dow,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2, 3
+    ),
+    split AS (
+        SELECT CAST(max(d) - 6 AS DATE) AS test_start FROM daily
+    ),
+    model AS (
+        SELECT event_type, dow,
+               CAST(sum(y) AS BIGINT) AS train_events,
+               CAST(count(*) AS BIGINT) AS train_days
+        FROM daily, split
+        WHERE d < test_start
+        GROUP BY event_type, dow
+    ),
+    scored AS (
+        SELECT t.event_type,
+               abs(CAST(t.y * m.train_days - m.train_events AS DOUBLE)
+                   / m.train_days) AS abs_err
+        FROM daily t
+        CROSS JOIN split
+        JOIN model m ON m.event_type = t.event_type AND m.dow = t.dow
+        WHERE t.d >= test_start
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_test_days,
+           round(sum(abs_err) / count(*), 4) AS mae
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "timeseries", "forecast", "scale"),
+)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each of the last 7
+    days' per-type counts as the training-period mean for that weekday
+    (0=Monday; Spark `weekday` == DuckDB `isodow - 1`), and report the
+    per-type mean absolute error — the baseline every volume-forecast
+    model must beat, and the cheapest capacity-planning sanity check.
+
+    The per-day error |y - train_events/train_days| is computed in the
+    integer-scaled form |y * train_days - train_events| / train_days —
+    one float division per scored row, no float accumulation of
+    intermediate means. The final MAE sum is over <=7 rows per type
+    (vs thousands of raw events), shrinking the reordered-float
+    surface to the established round-4 margin.
+
+    Scale shape: the corpus-sized pass is the daily aggregate; the
+    model is a (type x 7)-row broadcast; the backtest joins 7 days per
+    type against it. The split date is one broadcast max."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.weekday(F.to_date("ts")).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    split = F.broadcast(
+        daily.agg(F.date_add(F.max("d"), -6).alias("test_start"))
+    )
+    with_split = daily.crossJoin(split)
+    model = (
+        with_split.filter(F.col("d") < F.col("test_start"))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("y").alias("train_events"),
+            F.count(F.lit(1)).alias("train_days"),
+        )
+    )
+    test = with_split.filter(F.col("d") >= F.col("test_start"))
+    scored = test.join(F.broadcast(model), ["event_type", "dow"]).select(
+        "event_type",
+        (
+            F.abs(
+                (
+                    F.col("y") * F.col("train_days") - F.col("train_events")
+                ).cast("double")
+            )
+            / F.col("train_days")
+        ).alias("abs_err"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_days"),
+            F.round(F.sum("abs_err") / F.count(F.lit(1)), 4).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

@@ -63,6 +63,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "sample_quality_top_fraction": "1 percentile cut row",
     "date_dim_generate": "calendar spine",
     "events_concurrent_sessions": "day-partitioned sweep (see segmented variant)",
+    "events_change_point_cusum": "calendar-bounded daily relation (running CUSUM)",
 }
 
 # SortMergeJoins (surviving AQE) that are correct-by-construction.
