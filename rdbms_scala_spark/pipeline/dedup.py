@@ -2158,3 +2158,210 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. Round 9: label-propagation communities + k-hop reach over the
+# near-dup graph — the two remaining classics of the iterative-graph
+# toolkit (CC gives connectivity, PageRank centrality; LPA gives
+# COMMUNITIES inside a component, BFS gives blast-radius). Both reuse
+# the session-materialized pair relation and both replay EXACTLY in
+# DuckDB via chained CTEs (deterministic integer/tie-break updates —
+# the pagerank_edges discipline, no float state anywhere).
+
+_LPA_ITERS = 3
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous label-propagation round in DuckDB SQL: each
+    node adopts the most frequent label among its neighbors, ties
+    broken by MIN label — fully deterministic, so N chained rounds
+    replay the Spark loop bit-for-bit."""
+    return f"""
+    {out} AS (
+        SELECT doc_id, label FROM (
+            SELECT e.v AS doc_id, l.label, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY e.v
+                       ORDER BY count(*) DESC, l.label
+                   ) AS rn
+            FROM edges e JOIN {prev} l ON l.doc_id = e.u
+            GROUP BY e.v, l.label
+        ) WHERE rn = 1
+    )"""
+
+
+_LPA_ORACLE = f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT u AS doc_id, u AS label FROM edges),
+    {','.join(_lpa_round_sql(f'l{i}', f'l{i + 1}') for i in range(_LPA_ITERS))}
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM l{_LPA_ITERS}
+    GROUP BY label
+    ORDER BY community
+"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_LPA_ORACLE,
+    tags=("graph", "community", "iterative", "scale"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 rounds) over the trigram-
+    Jaccard near-dup graph: every node starts as its own label and
+    repeatedly adopts its neighbors' most frequent label (ties to the
+    MIN label). Where connected components answers "what is
+    transitively linked", LPA's majority dynamics split a component
+    into densely-linked template FAMILIES — the readout used to pick
+    one canonical doc per boilerplate cluster rather than per
+    reachability island. Deterministic by construction (count + min
+    tie-break, no randomized visit order), so the DuckDB oracle
+    replays all 3 rounds exactly via chained CTEs — an iterative
+    algorithm with a full value-hash oracle, like graph_pagerank.
+
+    Scale shape per round: one shuffle join of labels against the
+    edge list on the source key, one (node,label) count aggregate
+    (map-side combinable), one per-node WindowGroupLimit-style argmax
+    (partitioned window, never global). Deep iteration counts would
+    localCheckpoint every few rounds as connected_components_edges
+    does; at 3 rounds the lineage stays shallow. Edges come from the
+    session-materialized `cached_jaccard_pairs`, shared with the CC /
+    pagerank / degree family."""
+    pairs = cached_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    labels = edges.select(F.col("u").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        gathered = (
+            edges.join(labels, edges["u"] == labels["doc_id"])
+            .groupBy(F.col("v"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = W.partitionBy("v").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            gathered.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("doc_id"), "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("community")
+    )
+
+
+_KHOP_SEED_MOD = 17
+_KHOP_HOPS = 3
+
+
+def _khop_oracle() -> str:
+    rounds = []
+    for i in range(1, _KHOP_HOPS + 1):
+        rounds.append(f"""
+    f{i} AS (
+        SELECT DISTINCT e.v AS doc_id
+        FROM edges e JOIN f{i - 1} f ON f.doc_id = e.u
+        WHERE e.v NOT IN (SELECT doc_id FROM r{i - 1})
+    ),
+    r{i} AS (
+        SELECT doc_id FROM r{i - 1} UNION SELECT doc_id FROM f{i}
+    )""")
+    per_hop = "\nUNION ALL\n".join(
+        f"SELECT {i} AS hop, (SELECT count(*) FROM f{i}) AS frontier_size,"
+        f" (SELECT count(*) FROM r{i}) AS reached"
+        for i in range(_KHOP_HOPS + 1)
+    )
+    return f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    f0 AS (
+        SELECT DISTINCT u AS doc_id FROM edges WHERE u % {_KHOP_SEED_MOD} = 0
+    ),
+    r0 AS (SELECT doc_id FROM f0),
+    {','.join(rounds)}
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(frontier_size AS BIGINT) AS frontier_size,
+           CAST(reached AS BIGINT) AS reached
+    FROM ({per_hop})
+    ORDER BY hop
+"""
+
+
+@register(
+    "graph_khop_reach",
+    oracle=_khop_oracle(),
+    tags=("graph", "bfs", "iterative", "scale"),
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first k-hop reach from a deterministic seed set
+    (doc_id % 17 == 0): per hop, the NEW frontier size and the
+    cumulative reached count — the blast-radius readout for
+    contamination spread ("if these benchmark-tainted docs leak, how
+    much of the near-dup graph is within 3 links?") and the expansion
+    profile that decides whether a graph is BFS-friendly (frontier
+    growth rate) before running anything deeper.
+
+    Frontier discipline (the scale property of distributed BFS): each
+    hop joins only the CURRENT frontier against the edge list and
+    anti-joins the visited set, so per-hop work is O(frontier
+    out-edges), never O(V) — the standard Pregel/GraphX iteration
+    shape expressed as two relational ops. Counts are integers;
+    the DuckDB oracle replays the exact same 3 rounds via chained
+    CTEs (full value-hash parity, no fixpoint ambiguity at a fixed
+    hop budget)."""
+    pairs = cached_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    frontier = (
+        edges.select(F.col("u").alias("doc_id"))
+        .filter(F.col("doc_id") % _KHOP_SEED_MOD == 0)
+        .distinct()
+    )
+    reached = frontier
+    out = [
+        frontier.agg(F.count(F.lit(1)).alias("frontier_size")).select(
+            F.lit(0).cast("long").alias("hop"),
+            "frontier_size",
+            F.col("frontier_size").alias("reached"),
+        )
+    ]
+    for hop in range(1, _KHOP_HOPS + 1):
+        frontier = (
+            edges.join(frontier, edges["u"] == frontier["doc_id"])
+            .select(F.col("v").alias("doc_id"))
+            .distinct()
+            .join(reached, "doc_id", "left_anti")
+        )
+        reached = reached.unionByName(frontier).distinct()
+        out.append(
+            frontier.agg(F.count(F.lit(1)).alias("frontier_size")).crossJoin(
+                reached.agg(F.count(F.lit(1)).alias("reached"))
+            ).select(
+                F.lit(hop).cast("long").alias("hop"),
+                "frontier_size",
+                "reached",
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("hop")
