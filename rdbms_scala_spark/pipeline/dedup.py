@@ -2365,3 +2365,148 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("hop")
+
+
+# ---------------------------------------------------------------------------
+# 15. Round 9: winnowing fingerprints (the MOSS selection rule) — a
+# POSITION-AWARE near-dup tier: unlike MinHash (whole-set similarity)
+# or containment (set inclusion), winnowing guarantees that any
+# shared run of >= w+k-1 tokens leaves at least one shared selected
+# fingerprint, so it catches LOCAL plagiarism-style overlap between
+# otherwise-different documents.
+
+_WIN_GRAM = 4     # tokens per k-gram
+_WIN_WINDOW = 4   # winnowing window (positions per selection window)
+_WIN_MAX_DF = 64  # fingerprint df cap in the pair join
+_WIN_MIN_SHARED = 5
+
+_WINNOW_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i,
+               substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]),
+                      1, 8) AS h
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_WIN_GRAM - 2})) AS i
+              FROM toks WHERE len(t) >= {_WIN_GRAM})
+    ),
+    sel AS (
+        SELECT doc_id, i, h,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN {_WIN_WINDOW - 1} PRECEDING
+                            AND CURRENT ROW) AS wmin
+        FROM grams
+    ),
+    fp0 AS (
+        SELECT DISTINCT doc_id, h FROM sel WHERE h = wmin
+    ),
+    fdf AS (SELECT h, count(*) AS df FROM fp0 GROUP BY h),
+    fp AS (
+        SELECT f.doc_id, f.h FROM fp0 f JOIN fdf d USING (h)
+        WHERE d.df <= {_WIN_MAX_DF}
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared * 1.0 / least(x.n_fp, y.n_fp), 4) AS overlap
+    FROM shared
+    JOIN sz x ON x.doc_id = doc_a
+    JOIN sz y ON y.doc_id = doc_b
+    WHERE n_shared >= {_WIN_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=_WINNOW_ORACLE,
+    tags=("dedup", "neardup", "winnowing", "scale"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (Schleimer/Wilkerson/
+    Aiken's MOSS selection rule, robust-winnowing variant): hash every
+    4-token gram, slide a 4-position window per document, and SELECT a
+    gram where its hash equals the window minimum — the guarantee is
+    that any shared token run of length >= w + k - 1 (= 7 tokens)
+    leaves at least one shared selected fingerprint, while only
+    ~2/(w+1) of all grams are kept. Pairs sharing >= 5 surviving
+    fingerprints are reported with their overlap ratio
+    (n_shared / min fingerprint count) — the position-aware,
+    local-overlap sibling of the MinHash whole-document tier.
+
+    Hashes are md5-hex prefixes compared as strings (byte-identical
+    in DuckDB, same discipline as minhash_signatures); the window min
+    at partition heads uses the shrinking frame identically in both
+    engines, so selection replays exactly and the oracle is a full
+    value-hash row, not rows-only.
+
+    Scale shape: gram hashing + window-min are one partitioned window
+    over (doc, position) — no global state; selection keeps ~25% of
+    grams, the df cap (<= 64 docs per fingerprint) bounds the
+    inverted-index pair join exactly as MAX_SHINGLE_DF bounds the
+    Jaccard tier; everything downstream is count aggregates. At
+    100 TB the fingerprint relation persists next to the corpus and
+    new docs probe it incrementally (the dedup_incremental pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens().alias("t")).filter(
+        F.size("t") >= _WIN_GRAM
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_WIN_GRAM - 1}), "
+                f"i -> struct(i AS i, substring(md5(concat_ws(' ', "
+                f"t[i-1], t[i], t[i+1], t[i+2])), 1, 8) AS h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.h").alias("h"))
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_WIN_WINDOW - 1), W.currentRow)
+    )
+    fp0 = (
+        grams.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("h") == F.col("wmin"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    fdf = fp0.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    fp = fp0.join(fdf.filter(F.col("df") <= _WIN_MAX_DF).select("h"), "h")
+    sz = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    sx = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("nx"))
+    sy = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("ny"))
+    return (
+        shared.join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("nx", "ny"), 4
+            ).alias("overlap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -583,3 +583,83 @@ def sample_reservoir_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key")
         .limit(_RESERVOIR_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: token-budget mixture planning — the "how many epochs of
+# each source does an N-token run see" readout that sits one level
+# above sample_domain_mixture: that op REBALANCES docs; this one
+# PLANS the token budget allocation before any resampling happens.
+
+_MIX_ALPHA = 0.3
+_MIX_BUDGET = 10_000_000  # planned training tokens
+
+
+@register(
+    "pipeline_token_budget_mixture",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, n_tokens,
+               pow(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA}) AS w
+        FROM per_source
+    )
+    SELECT source, n_tokens,
+           round(w / (SELECT sum(w) FROM weighted), 4) AS mix_weight,
+           round({_MIX_BUDGET} * w / (SELECT sum(w) FROM weighted)
+                 / n_tokens, 4) AS epochs
+    FROM weighted
+    ORDER BY source
+    """,
+    tags=("pipeline", "mixture", "planning", "scale"),
+)
+def pipeline_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled token-budget mixture plan (alpha = 0.3, the
+    flattening exponent in the mT5/data-mixing family): per-source
+    token counts n_s give sampling weights n_s^alpha / sum(n_t^alpha),
+    and a 10M-token training budget converts each weight into EPOCHS
+    over that source (budget * weight / n_s) — the table that exposes
+    over-epoching before a run starts (a tail source at 8 epochs
+    memorizes; the standard guardrail is ~4).
+
+    vs sample_domain_mixture: that op emits a per-doc keep decision at
+    alpha = 0.5 (where the keep-rate closes to a float-sum-free form);
+    this one emits the PLAN — weights and epochs — and therefore does
+    carry one cross-source float sum (20 pow() terms). The sum spans
+    ~dozens of sources at any corpus size (sources are domains, not
+    rows), so the round-4 margin is the established small-sum stance,
+    not a scale risk.
+
+    Scale shape: one map-side-combinable token-count aggregate over
+    the corpus; everything after operates on the per-source relation
+    (broadcast-sized by construction)."""
+    from rdbms_scala_spark.pipeline.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(tokens())).alias("n_tokens")
+    )
+    weighted = per_source.select(
+        "source",
+        "n_tokens",
+        F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA)).alias("w"),
+    )
+    tot = F.broadcast(weighted.agg(F.sum("w").alias("tw")))
+    return (
+        weighted.crossJoin(tot)
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("w") / F.col("tw"), 4).alias("mix_weight"),
+            F.round(
+                F.lit(_MIX_BUDGET) * F.col("w") / F.col("tw") / F.col("n_tokens"),
+                4,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )

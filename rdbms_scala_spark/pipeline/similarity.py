@@ -2552,3 +2552,83 @@ def embeddings_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: sampled pairwise-cosine histogram — the threshold-calibration
+# readout for every cosine-gated op above (dedup_embedding_cosine,
+# similarity_pairs_above_threshold, the LSH/IVF recall targets): you
+# cannot pick a sane gate without seeing the background similarity
+# distribution first.
+
+_COS_HIST_OFFSETS = 8
+
+
+@register(
+    "embeddings_cosine_histogram",
+    oracle=f"""
+    WITH offs AS (SELECT unnest(range(1, {_COS_HIST_OFFSETS + 1})) AS k),
+    pairs AS (
+        SELECT list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) AS cos
+        FROM embeddings a
+        JOIN offs ON true
+        JOIN embeddings b ON b.vec_id = a.vec_id + offs.k
+    ),
+    h AS (
+        SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1
+    )
+    SELECT bucket, n_pairs,
+           round(n_pairs * 1.0 / (SELECT sum(n_pairs) FROM h), 4) AS share
+    FROM h ORDER BY bucket
+    """,
+    tags=("embeddings", "similarity", "calibration", "scale"),
+)
+def embeddings_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Background cosine-similarity distribution from a deterministic
+    LINEAR pair sample: each vector is paired with the next
+    {offsets} vec_ids (an offset-banded design — 8|V| pairs, never
+    the |V|^2 all-pairs space), cosines are bucketed at 0.1 width,
+    and the histogram + share per bucket is the calibration curve a
+    pipeline reads before choosing any cosine gate (dedup threshold,
+    ANN ground-truth cut, outlier fence).
+
+    Why offset pairing and not random sampling: vec_id adjacency is
+    unrelated to embedding content (fixture and real pipelines both
+    assign ids by ingest order, not by geometry), so consecutive-id
+    pairs are as exchangeable as random ones — but the sample is
+    reproducible across engines with no RNG, and the join is a pure
+    equi-join on vec_id + k (broadcastable offsets, no shuffle beyond
+    the join itself).
+
+    Bucket-edge float stance: Spark's fold-order dot and DuckDB's
+    list_cosine_similarity can differ in the last ulps; a pair lands
+    on a 0.1 bucket edge within that margin with probability ~1e-7
+    per corpus — the same margin argument the threshold-gated
+    similarity queries already document."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    offs = spark.range(1, _COS_HIST_OFFSETS + 1).select(F.col("id").alias("k"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")).crossJoin(
+        F.broadcast(offs)
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + F.col("k")).select(
+        cosine("va", "vb").alias("cos")
+    )
+    h = pairs.groupBy(
+        F.floor(F.col("cos") * 10).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    tot = F.broadcast(h.agg(F.sum("n_pairs").alias("tot")))
+    return (
+        h.crossJoin(tot)
+        .select(
+            "bucket",
+            "n_pairs",
+            F.round(F.col("n_pairs") / F.col("tot"), 4).alias("share"),
+        )
+        .orderBy("bucket")
+    )
