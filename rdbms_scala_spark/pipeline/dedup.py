@@ -2510,3 +2510,81 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+    stubs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM stubs
+    )
+    SELECT n AS n_directed_edges,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+               AS assortativity
+    FROM mom
+    """,
+    tags=("graph", "assortativity", "scale"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph (Newman's r): the
+    Pearson correlation of endpoint degrees over all directed edge
+    stubs. r > 0 means hubs link to hubs (one template family
+    cross-linking — a single canonical keeper suffices); r < 0 means
+    hub-and-spoke (one boilerplate master linked to many one-off
+    copies — keeper selection must fan out). Read together with
+    graph_degree_distribution before choosing a dedup keeper rule.
+
+    Integer-exact like events_autocorr_weekly / graph_pagerank:
+    degrees are BIGINTs, the five moment sums are exact in both
+    engines, and the only float ops are one sqrt and one rounded
+    division — no accumulating float corr aggregate.
+
+    Scale shape: two joins of the edge list against the (node,degree)
+    relation (each a fact-dimension join — degree relation is ~nodes,
+    broadcastable for any graph whose NODE set fits the broadcast
+    budget, else a shuffle join AQE handles), then a single global
+    moment reduction (map-side combinable). Edges come from the
+    session-materialized cached_jaccard_pairs."""
+    pairs = cached_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("y"))
+    stubs = edges.join(du, "u").join(dv, "v").select("x", "y")
+    mom = stubs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return mom.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(num / den, 4).alias("assortativity"),
+    )

@@ -1503,3 +1503,81 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: readability — the quality dimension the punct/stopword/CPT
+# heuristic (quality_weight_over) does not measure: sentence and
+# syllable structure.
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS n_words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+               AS flesch
+    FROM feats
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "readability", "scale"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, with the standard corpus-scale
+    syllable proxy (vowel-group runs [aeiouy]+ — the heuristic every
+    large-corpus readability pass uses, since true syllabification
+    needs a dictionary): flesch = 206.835 - 1.015 * words/sentence -
+    84.6 * syllables/word. Sentences are [.!?]+ runs (clamped to >= 1
+    so fragment docs score rather than divide by zero). Extreme
+    scores flag OCR noise (few sentence marks, vowel-poor garbage)
+    and boilerplate lists — failure modes invisible to the
+    punct/stopword quality heuristic, which is why readability rides
+    as an independent quality column in curation stacks.
+
+    All three counts are integers from the SAME regex semantics in
+    both engines (Spark regexp_count / DuckDB len(regexp_extract_all)
+    over identical patterns); the score is one arithmetic expression
+    evaluated term-for-term identically (the quality_weight_over IEEE
+    parity discipline), rounded to 4.
+
+    Scale shape: map-only — three regex counts and one expression per
+    row, no shuffle at all until the output sort."""
+    from rdbms_scala_spark.pipeline.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.size(tokens()).cast("long").alias("n_words"),
+        F.greatest(
+            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+        ).cast("long").alias("n_sentences"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    ).orderBy("doc_id")

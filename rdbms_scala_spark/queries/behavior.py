@@ -2163,3 +2163,89 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_user_burstiness",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS g
+        FROM events
+    ),
+    mom AS (
+        SELECT user_id,
+               CAST(count(g) AS BIGINT) AS n,
+               CAST(sum(g) AS BIGINT) AS sg,
+               CAST(sum(g * g) AS BIGINT) AS sgg
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY user_id
+        HAVING count(g) >= 2
+    )
+    SELECT user_id, n AS n_gaps,
+           round(CAST(sg AS DOUBLE) / n, 4) AS mean_gap_s,
+           round((sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) - sg)
+                 / (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) + sg), 4)
+               AS burstiness
+    FROM mom
+    ORDER BY user_id
+    """,
+    tags=("events", "timeseries", "burstiness", "scale"),
+)
+def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness index per user over inter-event gaps:
+    B = (sigma - mu) / (sigma + mu) in [-1, 1) — B ~ 0 is Poisson
+    (human-organic), B -> -1 is metronome-regular (the BOT signature:
+    scripted clients fire on fixed timers), B -> 1 is heavy-tailed
+    bursts (scrapers between rate-limit windows). The standard
+    automation-detection readout, emitted as a score rather than an
+    arbitrary flag threshold.
+
+    Integer-exact moments: gaps are floored SECONDS (exact BIGINTs in
+    both engines; squares stay far from the 2^63 line at any realistic
+    gap), so n/sg/sgg are exact and B = (sqrt(n*sgg - sg^2) - sg) /
+    (sqrt(n*sgg - sg^2) + sg) — the n-scaled algebraic form with ONE
+    sqrt and one division, both computed identically from identical
+    integers in either engine.
+
+    Scale shape: one user-partitioned lag window (single user_id
+    exchange, the events_session_paths discipline) feeding a
+    map-side-combinable moment aggregate. Tie-break (ts, event_id) in
+    the lag ordering makes the gap sequence deterministic under
+    equal timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    mom = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sgg"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    disc = F.sqrt(
+        (F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg")).cast("double")
+    )
+    return (
+        mom.select(
+            "user_id",
+            F.col("n").alias("n_gaps"),
+            F.round(F.col("sg").cast("double") / F.col("n"), 4).alias(
+                "mean_gap_s"
+            ),
+            F.round((disc - F.col("sg")) / (disc + F.col("sg")), 4).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy("user_id")
+    )
