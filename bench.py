@@ -113,6 +113,13 @@ EXTENSION = [
     "events_bitmap_retention",
     "dedup_span_exact",
     "embeddings_jl_projection",
+    # round-9 (cont.): the winnowing fingerprint pair join (the new
+    # position-aware dedup tier — its df-capped inverted index is the
+    # row to watch), label-propagation over the shared pair relation,
+    # and the offset-banded cosine histogram corpus pass
+    "dedup_winnowing_pairs",
+    "graph_label_propagation",
+    "embeddings_cosine_histogram",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

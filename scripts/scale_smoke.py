@@ -127,6 +127,17 @@ QUERIES = (
     "events_cohort_ltv",
     "agg_hll_intersection",
     "dedup_image_phash",
+    # round 9 batch 2: the winnowing pair join (df-capped inverted
+    # index — the pair-space op that must prove it tracks the data,
+    # not the square), LPA + assortativity over the shared cached
+    # pair relation (per-round label/edge join; stub moment joins),
+    # the offset-banded cosine histogram (8|V| equi-join pairs), and
+    # the single-exchange burstiness moments.
+    "dedup_winnowing_pairs",
+    "graph_label_propagation",
+    "graph_assortativity",
+    "embeddings_cosine_histogram",
+    "events_user_burstiness",
 )
 
 

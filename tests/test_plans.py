@@ -516,3 +516,41 @@ def test_bitmap_retention_aggregates_users_not_events(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan[:2000]
     # one exchange for the user aggregate, one for the 7-row lag agg
     assert plan.count("Arguments: hashpartitioning") <= 2, plan[:2000]
+
+
+def test_burstiness_single_user_exchange(spark, sf_dir):
+    """events_user_burstiness: the user-partitioned lag window and the
+    per-user moment aggregate must share ONE user_id exchange — the
+    events_session_paths discipline; a second shuffle would mean the
+    aggregate failed to reuse the window's partitioning."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["events_user_burstiness"].fn(spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_cosine_histogram_no_cartesian(spark, sf_dir):
+    """embeddings_cosine_histogram: the offset fan-out must arrive by
+    broadcast and the pair derivation must stay an equi-join on
+    vec_id + k — never a CartesianProduct, and never Python eval (the
+    dot stays in JVM codegen)."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["embeddings_cosine_histogram"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_winnowing_window_is_doc_partitioned(spark, sf_dir):
+    """dedup_winnowing_pairs: the window-min selection must be
+    partitioned by doc_id (never an empty-partition global window),
+    and the pair join must aggregate with a partial count below the
+    shuffle."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["dedup_winnowing_pairs"].fn(spark, sf_dir))
+    assert "windowspecdefinition(doc_id" in plan, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
