@@ -2588,3 +2588,117 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_directed_edges"),
         F.round(num / den, 4).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 16. Round 9: cross-tier dedup report — the one-page readout that
+# composes the tiers above. A pipeline does not read 5 pair tables;
+# it reads "how much duplication does each tier see" and then drills
+# into whichever tier is surprising.
+
+_REPORT_WINNOW_MIN = _WIN_MIN_SHARED
+
+
+@register(
+    "dedup_tier_report",
+    oracle=f"""
+    WITH exact AS (
+        SELECT count(*) AS n_groups,
+               CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_redundant
+        FROM (SELECT count(*) AS n FROM documents
+              GROUP BY md5(lower(trim(text))) HAVING count(*) > 1)
+    ),
+    jac AS (
+        SELECT count(*) AS n_pairs FROM ({_JACCARD_ORACLE})
+    ),
+    win AS (
+        SELECT count(*) AS n_pairs FROM ({_WINNOW_ORACLE})
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tier, n_findings,
+           round(n_findings * 1.0 / (SELECT n_docs FROM total), 4)
+               AS per_doc_rate
+    FROM (
+        SELECT 'exact_groups' AS tier,
+               CAST((SELECT n_groups FROM exact) AS BIGINT) AS n_findings
+        UNION ALL
+        SELECT 'exact_redundant_docs',
+               CAST((SELECT n_redundant FROM exact) AS BIGINT)
+        UNION ALL
+        SELECT 'jaccard_pairs', CAST((SELECT n_pairs FROM jac) AS BIGINT)
+        UNION ALL
+        SELECT 'winnowing_pairs', CAST((SELECT n_pairs FROM win) AS BIGINT)
+    )
+    ORDER BY tier
+    """,
+    tags=("dedup", "report", "scale"),
+)
+def dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tier duplication summary: exact duplicate groups and
+    redundant-copy counts, trigram-Jaccard near-dup pairs, and
+    winnowing local-overlap pairs, each normalized per corpus doc —
+    the single table a curation run reads FIRST (is duplication
+    exact-dominated, near-dup-dominated, or local-overlap-dominated?)
+    before drilling into the per-pair tiers. Composes the session-
+    materialized pair relation (free if any graph/dedup query already
+    ran) with the winnowing tier's capped pair join.
+
+    Scale shape: each tier is the already-bounded derivation its
+    standalone query uses (hash groupBy; df-capped inverted indexes);
+    the report itself reduces every tier to ONE row, so the union is
+    driver-trivial. The per-doc rate uses one broadcast corpus
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    exact_groups = (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.col("n") - 1).alias("n_redundant"),
+        )
+    )
+    jac = cached_jaccard_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    win = dedup_winnowing_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    rows = (
+        exact_groups.select(
+            F.lit("exact_groups").alias("tier"),
+            F.col("n_groups").cast("long").alias("n_findings"),
+        )
+        .unionByName(
+            exact_groups.select(
+                F.lit("exact_redundant_docs").alias("tier"),
+                F.coalesce(F.col("n_redundant"), F.lit(0))
+                .cast("long")
+                .alias("n_findings"),
+            )
+        )
+        .unionByName(
+            jac.select(
+                F.lit("jaccard_pairs").alias("tier"),
+                F.col("n_pairs").cast("long").alias("n_findings"),
+            )
+        )
+        .unionByName(
+            win.select(
+                F.lit("winnowing_pairs").alias("tier"),
+                F.col("n_pairs").cast("long").alias("n_findings"),
+            )
+        )
+    )
+    return (
+        rows.crossJoin(n_docs)
+        .select(
+            "tier",
+            "n_findings",
+            F.round(F.col("n_findings") / F.col("n_docs"), 4).alias(
+                "per_doc_rate"
+            ),
+        )
+        .orderBy("tier")
+    )

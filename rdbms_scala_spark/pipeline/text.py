@@ -1581,3 +1581,87 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_token_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS token
+            FROM documents
+        )
+        GROUP BY doc_id, token
+    ),
+    terms AS (
+        SELECT doc_id, c,
+               CAST(round(c * ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                   AS clnc_q
+        FROM counts
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(clnc_q) AS BIGINT) AS s_q
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(ln(CAST(n_tokens AS DOUBLE))
+                 - (CAST(s_q AS DOUBLE) / 1e6) / n_tokens, 4) AS entropy
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "entropy", "scale"),
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram (token) Shannon entropy per document, in nats:
+    H = ln(n) - (1/n) * sum(c * ln c) over the doc's token counts —
+    the lexical-diversity quality signal: near-zero entropy is the
+    templated/repetitive-doc fingerprint (a curation gate upstream of
+    the repetition-ratio and winnowing tiers), and entropy close to
+    ln(n_types) is healthy prose.
+
+    Cross-engine float stance (the events_power_law_alpha pattern):
+    each per-type term c*ln(c) is QUANTIZED to an integer at 1e-6
+    resolution before summation, so the corpus-sized aggregation is
+    an exact BIGINT sum in both engines; the only unquantized float
+    ops (one ln, one division, one subtraction) happen once per
+    OUTPUT row on identical inputs.
+
+    Scale shape: one (doc, token) count aggregate (map-side
+    combinable) and one per-doc reduction — the same two-level shape
+    as text_vocab_induction, nothing global anywhere."""
+    from rdbms_scala_spark.pipeline.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    terms = counts.select(
+        "doc_id",
+        "c",
+        F.round(F.col("c") * F.log(F.col("c").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("clnc_q"),
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("clnc_q").alias("s_q"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - (F.col("s_q").cast("double") / 1e6) / F.col("n_tokens"),
+            4,
+        ).alias("entropy"),
+    ).orderBy("doc_id")

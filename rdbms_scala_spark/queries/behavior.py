@@ -2249,3 +2249,73 @@ def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_user_type_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    terms AS (
+        SELECT user_id, c,
+               CAST(round(c * ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                   AS clnc_q
+        FROM counts
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(clnc_q) AS BIGINT) AS s_q
+        FROM terms GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           round(ln(CAST(n_events AS DOUBLE))
+                 - (CAST(s_q AS DOUBLE) / 1e6) / n_events, 4) AS entropy
+    FROM per_user
+    ORDER BY user_id
+    """,
+    tags=("events", "entropy", "diversity", "scale"),
+)
+def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type Shannon entropy (nats): how spread a
+    user's activity is across event types — 0 is a single-action
+    account (scripted pattern; read beside events_user_burstiness'
+    timing signature), ln(n_types) is uniformly diverse usage. The
+    behavioral-diversity feature in engagement scoring stacks.
+
+    Same integer-quantized c*ln(c) discipline as
+    text_token_entropy / events_power_law_alpha: the corpus-sized sum
+    is exact BIGINT; per-output-row floats are computed once on
+    identical inputs in both engines.
+
+    Scale shape: one (user, type) count (map-side combinable), one
+    per-user reduction — two aggregations, no windows, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    terms = counts.select(
+        "user_id",
+        "c",
+        F.round(F.col("c") * F.log(F.col("c").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("clnc_q"),
+    )
+    per_user = terms.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("clnc_q").alias("s_q"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(
+            F.log(F.col("n_events").cast("double"))
+            - (F.col("s_q").cast("double") / 1e6) / F.col("n_events"),
+            4,
+        ).alias("entropy"),
+    ).orderBy("user_id")
