@@ -362,6 +362,20 @@ def main() -> None:
         "  should track the user count. agg_hll_intersection and",
         "  window_time_range_rolling / window_running_distinct are the",
         "  r8 scale-claim debt rows the r8 verdict asked to measure.",
+        "- round 9 batch 2 rows: dedup_winnowing_pairs is the pair-space",
+        "  op to watch — selection keeps ~2/(w+1) of grams and the",
+        "  fingerprint df cap (<=64) bounds the inverted-index join the",
+        "  way MAX_SHINGLE_DF bounds the Jaccard tier, BUT the marker",
+        "  interleave doubles each copy's gram count, so the row runs",
+        "  against ~128x gram volume at x64 (read it like the",
+        "  token-volume ops above). graph_label_propagation and",
+        "  graph_assortativity measure their iteration/moment stages",
+        "  over the session-cached pair relation (warm pass pays the",
+        "  derivation, as with pagerank). embeddings_cosine_histogram is",
+        "  a linear 8|V|-pair equi-join — its wall should track the",
+        "  vector count exactly. events_user_burstiness is one",
+        "  user-keyed exchange feeding exact integer moments — the",
+        "  single-shuffle floor.",
         "",
         f"Rows: {json.dumps(rows)}",
         "",
