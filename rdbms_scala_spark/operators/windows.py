@@ -351,3 +351,59 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, y,
+           round(quantile_cont(y, 0.5) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 1)
+               AS rolling_median_7d
+    FROM daily
+    ORDER BY event_type, day
+    """,
+    tags=("window", "rolling", "median", "scale"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of the per-type daily count series — the
+    robust smoother that (unlike window_moving_avg's mean) ignores a
+    single spike day, which is exactly what you want under incident
+    traffic or backfill bursts. Spark's exact `percentile` aggregate
+    evaluated over a row frame and DuckDB's `quantile_cont` share the
+    same definition (linear interpolation on the sorted frame — the
+    sample_quality_top_fraction parity), and the frame holds <= 7
+    small integers, so the interpolated value is exact in both
+    engines at round-1.
+
+    Scale shape: the corpus-sized pass is the daily aggregate; the
+    window runs per event_type over the calendar-bounded daily
+    relation. A per-KEY rolling median over raw events would need the
+    two-heap sketch instead — at the daily-aggregate altitude the
+    exact frame percentile is free."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "y",
+            F.round(
+                F.expr("percentile(y, 0.5)").over(w), 1
+            ).alias("rolling_median_7d"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -2192,7 +2192,7 @@ def _lpa_round_sql(prev: str, out: str) -> str:
 
 
 _LPA_ORACLE = f"""
-    WITH pairs AS ({_JACCARD_ORACLE}),
+    WITH pairs AS ({_jaccard_pairs_sql(_PAGERANK_MAX_DF)}),
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION ALL
@@ -2233,9 +2233,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partitioned window, never global). Deep iteration counts would
     localCheckpoint every few rounds as connected_components_edges
     does; at 3 rounds the lineage stays shallow. Edges come from the
-    session-materialized `cached_jaccard_pairs`, shared with the CC /
-    pagerank / degree family."""
-    pairs = cached_jaccard_pairs(spark, sf_dir)
+    session-materialized `cached_jaccard_pairs` at graph_pagerank's
+    TIGHT df cap (100, not the 5000 dedup default): a shingle shared
+    by >100 docs carries no >=0.7-Jaccard signal, and the uncapped
+    inverted-index join's sum(df^2) blow-up is exactly what filled
+    the disk when this query first joined the x64 smoke — the same
+    failure pagerank hit in round 6. One cap, one shared cache entry
+    for the whole iterative-graph family."""
+    pairs = cached_jaccard_pairs(spark, sf_dir, max_df=_PAGERANK_MAX_DF)
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -2286,7 +2291,7 @@ def _khop_oracle() -> str:
         for i in range(_KHOP_HOPS + 1)
     )
     return f"""
-    WITH pairs AS ({_JACCARD_ORACLE}),
+    WITH pairs AS ({_jaccard_pairs_sql(_PAGERANK_MAX_DF)}),
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION ALL
@@ -2326,8 +2331,9 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape expressed as two relational ops. Counts are integers;
     the DuckDB oracle replays the exact same 3 rounds via chained
     CTEs (full value-hash parity, no fixpoint ambiguity at a fixed
-    hop budget)."""
-    pairs = cached_jaccard_pairs(spark, sf_dir)
+    hop budget). Edges use the iterative-graph family's tight df cap
+    (see graph_label_propagation)."""
+    pairs = cached_jaccard_pairs(spark, sf_dir, max_df=_PAGERANK_MAX_DF)
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -2515,7 +2521,7 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_assortativity",
     oracle=f"""
-    WITH pairs AS ({_JACCARD_ORACLE}),
+    WITH pairs AS ({_jaccard_pairs_sql(_PAGERANK_MAX_DF)}),
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION ALL
@@ -2562,8 +2568,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable for any graph whose NODE set fits the broadcast
     budget, else a shuffle join AQE handles), then a single global
     moment reduction (map-side combinable). Edges come from the
-    session-materialized cached_jaccard_pairs."""
-    pairs = cached_jaccard_pairs(spark, sf_dir)
+    session-materialized cached_jaccard_pairs at the iterative-graph
+    family's tight df cap (see graph_label_propagation)."""
+    pairs = cached_jaccard_pairs(spark, sf_dir, max_df=_PAGERANK_MAX_DF)
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))

@@ -398,3 +398,128 @@ def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: hybrid retrieval — reciprocal-rank fusion of the BM25
+# lexical ranking with a dense cosine ranking. The standard fusion
+# rule in two-tower search stacks (and the retrieval shape a
+# decontamination/curation lookup actually ships: lexical catches
+# exact phrasing, dense catches paraphrase).
+
+_RRF_K = 60
+_RRF_TOPK = 15
+_RRF_QUERY_VEC = 0  # vec_id whose embedding is the dense query
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH lex AS (
+        SELECT doc_id AS id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        FROM ({_BM25_ORACLE})
+    ),
+    qv AS (
+        SELECT embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id = {_RRF_QUERY_VEC}
+    ),
+    scored AS (
+        SELECT e.vec_id AS id,
+               CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], q.v)
+                          * 1e6, 0) AS BIGINT) AS cos_q
+        FROM embeddings e CROSS JOIN qv q
+        WHERE e.vec_id <> {_RRF_QUERY_VEC}
+    ),
+    dense AS (
+        SELECT id, row_number() OVER (ORDER BY cos_q DESC, id) AS rank_dense
+        FROM scored
+        ORDER BY cos_q DESC, id
+        LIMIT {_RRF_TOPK}
+    )
+    SELECT coalesce(l.id, d.id) AS id,
+           CAST(l.rank_lex AS BIGINT) AS rank_lex,
+           CAST(d.rank_dense AS BIGINT) AS rank_dense,
+           round(coalesce(1.0 / ({_RRF_K} + l.rank_lex), 0.0)
+                 + coalesce(1.0 / ({_RRF_K} + d.rank_dense), 0.0), 6)
+               AS rrf_score
+    FROM lex l FULL OUTER JOIN dense d ON l.id = d.id
+    ORDER BY rrf_score DESC, id
+"""
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=_HYBRID_RRF_ORACLE,
+    tags=("retrieval", "hybrid", "rrf", "scale"),
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k = 60) of two top-15 rankings: the
+    BM25 lexical list (text_bm25_search's exact pipeline) and a dense
+    cosine list for a fixed query vector (vec_id 0's embedding,
+    excluded from its own results; fixture doc_ids and vec_ids share
+    an id space, standing in for a doc<->embedding key). Docs ranked
+    by only one system still score (the other term coalesces to 0) —
+    exactly why RRF is the default fusion rule: no score calibration
+    between systems is needed, only ranks.
+
+    Determinism: the lexical ranks order by the integer-quantized
+    BM25 sum (exact), the dense ranks order by cosine QUANTIZED to
+    1e-6 (the house integer trick — unquantized float ranks could
+    flip across engines on near-ties), both with id tie-breaks; the
+    RRF score itself is one float expression per OUTPUT row evaluated
+    on identical rank integers in both engines.
+
+    Scale shape: each ranker is its own already-bounded top-k (BM25's
+    TakeOrdered postings pass; the dense scan is one broadcast-query
+    corpus pass, the similarity_topk_bruteforce shape); the fusion
+    joins two <=15-row lists — driver-trivial. At 100 TB the two
+    rankers run against persisted indexes (bucketed postings, IVF
+    cells) and fusion cost is unchanged."""
+    lex_w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = text_bm25_search(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(lex_w).alias("rank_lex"),
+    )
+    from rdbms_scala_spark.pipeline.similarity import _as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+            F.col("v").alias("qv")
+        )
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine("v", "qv") * 1e6).cast("long").alias("cos_q"),
+        )
+    )
+    dense_w = Window.orderBy(F.col("cos_q").desc(), "id")
+    dense = (
+        scored.orderBy(F.col("cos_q").desc(), "id")
+        .limit(_RRF_TOPK)
+        .select("id", F.row_number().over(dense_w).alias("rank_dense"))
+    )
+    l, d = lex.alias("l"), dense.alias("d")
+    return (
+        l.join(d, F.col("l.id") == F.col("d.id"), "full_outer")
+        .select(
+            F.coalesce(F.col("l.id"), F.col("d.id")).alias("id"),
+            F.col("l.rank_lex").alias("rank_lex"),
+            F.col("d.rank_dense").alias("rank_dense"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("l.rank_lex")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("d.rank_dense")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "id")
+    )

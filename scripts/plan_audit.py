@@ -64,6 +64,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "date_dim_generate": "calendar spine",
     "events_concurrent_sessions": "day-partitioned sweep (see segmented variant)",
     "events_change_point_cusum": "calendar-bounded daily relation (running CUSUM)",
+    "retrieval_hybrid_rrf": "two <=15-row top-k rank lists (post-limit)",
 }
 
 # SortMergeJoins (surviving AQE) that are correct-by-construction.
