@@ -362,6 +362,20 @@ def main() -> None:
         "  should track the user count. agg_hll_intersection and",
         "  window_time_range_rolling / window_running_distinct are the",
         "  r8 scale-claim debt rows the r8 verdict asked to measure.",
+        "- round-9 run note (read before the ratios): the r9 table",
+        "  carries ONE contiguous host-load bubble spanning the end of",
+        "  the x1 tier through the head of the x4 tier (x1 rows from",
+        "  ~graph_triangle_count_lsh to events_user_burstiness and x4",
+        "  rows through ~similarity_ivf are inflated 3-8x vs their r8",
+        "  values and vs their own neighboring tiers, e.g.",
+        "  customer_ltv_deciles x1 2.7 vs x4 0.47, similarity_lsh_ann",
+        "  x4 6.1 vs x16 1.1). Because x1/x4 are the CHEAP tiers, the",
+        "  bubble deflates or inflates ratios without touching the",
+        "  x16/x64 walls that carry the scale signal — read x64/x16",
+        "  deltas (clean) where an x64/x1 ratio looks odd. Min-of-2",
+        "  cannot reject a bubble longer than a query's two passes;",
+        "  the bench's min-of-5 + calibration row is the precise",
+        "  instrument, this smoke is the shape check.",
         "- round 9 batch 2 rows: dedup_winnowing_pairs is the pair-space",
         "  op to watch — selection keeps ~2/(w+1) of grams and the",
         "  fingerprint df cap (<=64) bounds the inverted-index join the",
