@@ -2709,3 +2709,208 @@ def dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# 17. Round 9: LSH bucket-occupancy stats + global clustering
+# coefficient — the two operational readouts the tiers above are
+# TUNED by: bucket occupancy is what _BAND_BUCKET_CAP was set from
+# (the x64 generator artifact that motivated the purge showed up as
+# exactly this histogram exploding), and the clustering coefficient
+# is the one-number graph-shape summary behind the triangle tiers.
+
+
+def _bands_all_sql() -> str:
+    """The signature + UNCAPPED band-key derivation shared with
+    _minhash_oracle (pre-purge: occupancy stats must see the buckets
+    the cap would drop)."""
+    h = [
+        f"min(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(_NUM_PERM)
+    ]
+    bands = []
+    for b in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"h{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+        )
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM sig"
+        )
+    return f"""
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    sig AS (
+        SELECT doc_id, {', '.join(h)}
+        FROM sh GROUP BY doc_id
+    ),
+    bands_all AS (
+        {' UNION ALL '.join(bands)}
+    )"""
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+    WITH {_bands_all_sql()},
+    sizes AS (
+        SELECT band, band_hash, CAST(count(*) AS BIGINT) AS n
+        FROM bands_all GROUP BY band, band_hash
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN n > {_BAND_BUCKET_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purged,
+           CAST(sum(CASE WHEN n <= {_BAND_BUCKET_CAP}
+                         THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+               AS kept_pairs
+    FROM sizes
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("dedup", "lsh", "diagnostics", "scale"),
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-occupancy statistics over the UNCAPPED
+    band keys: bucket count, singleton count, the largest bucket, how
+    many buckets the _BAND_BUCKET_CAP purge would drop, and the
+    candidate-pair volume the kept buckets generate (sum n*(n-1)/2) —
+    the exact table `_BAND_BUCKET_CAP` was tuned from. This is the
+    dial a 100 TB dedup run reads BEFORE the pair join: kept_pairs is
+    the join's output size to within dedup, max_bucket is the skew,
+    and a purge count that suddenly jumps means the corpus grew a
+    degenerate key (the x64 generator-marker incident, caught by
+    exactly this readout).
+
+    All columns are exact integers (counts and an integer triangular
+    number); determinism is inherited from the md5-derived band keys
+    shared with dedup_minhash_lsh's certified pipeline.
+
+    Scale shape: one exchange on (band, band_hash) — the same
+    aggregation skeleton as candidate generation itself — then a
+    7-row per-band reduction. Signatures come from the shared
+    session-materialized relation when the dedup suite already ran."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands0 = minhash_band_buckets(
+        minhash_signatures(shingles_df(docs, n=3))
+    )
+    sizes = bands0.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        sizes.groupBy(F.col("band").cast("long").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
+                "n_singletons"
+            ),
+            F.max("n").alias("max_bucket"),
+            F.sum(
+                F.when(F.col("n") > _BAND_BUCKET_CAP, 1).otherwise(0)
+            ).alias("n_purged"),
+            F.sum(
+                F.when(
+                    F.col("n") <= _BAND_BUCKET_CAP,
+                    (F.col("n") * (F.col("n") - 1) / 2).cast("long"),
+                ).otherwise(0)
+            ).alias("kept_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_a, doc_b FROM ({_jaccard_pairs_sql(_PAGERANK_MAX_DF)})
+    ),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM p e1
+        JOIN p e2 ON e2.doc_a = e1.doc_b
+        JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    deg AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT doc_a AS u FROM p UNION ALL SELECT doc_b AS u FROM p)
+        GROUP BY u
+    ),
+    wed AS (
+        SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d) // 2 AS BIGINT) AS n_edges
+        FROM deg
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           round(3.0 * n_triangles / n_wedges, 4) AS global_clustering
+    FROM wed CROSS JOIN tri
+    """,
+    tags=("graph", "clustering", "scale"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the near-dup graph:
+    3 * triangles / wedges — the one-number transitivity summary
+    behind the triangle tiers (a near-1 coefficient says near-dup
+    links are CLIQUE-like template families, so connected components
+    over-merge little; a low one says chains, where transitive
+    closure is doing real work — read before trusting
+    dedup_connected_components keepers).
+
+    Triangles count ordered doc_a < doc_b pairs closed over two joins
+    of the pair relation against itself (x<y<z with all three edges
+    present — each triangle counted exactly once); wedges are the
+    exact integer sum d*(d-1)/2 over degrees. Everything before the
+    final rounded ratio is BIGINT.
+
+    Scale shape: two equi-joins on the capped pair relation (the
+    session-materialized cache, tight df cap — see
+    graph_label_propagation) and one degree aggregate; at 100 TB the
+    same statistic runs over the persisted pairs table, and the
+    LSH-candidate edge tier (graph_triangle_count_lsh) substitutes
+    when even the capped pair relation is too hot."""
+    pairs = cached_jaccard_pairs(spark, sf_dir, max_df=_PAGERANK_MAX_DF).select(
+        "doc_a", "doc_b"
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("u"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("CAST(sum(d) div 2 AS BIGINT)").alias("n_edges"),
+        F.sum(F.expr("CAST(d * (d - 1) div 2 AS BIGINT)")).alias("n_wedges"),
+    )
+    return wed.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4
+        ).alias("global_clustering"),
+    )
