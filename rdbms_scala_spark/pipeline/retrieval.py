@@ -502,20 +502,37 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_TOPK)
         .select("id", F.row_number().over(dense_w).alias("rank_dense"))
     )
-    l, d = lex.alias("l"), dense.alias("d")
+    # Fusion is a UNION + one aggregate, not a join: each ranker
+    # contributes (id, its rank in its own slot); groupBy(id) folds
+    # the two slots together. A full-outer join of two 15-row lists
+    # would plan as a SortMergeJoin (full-outer is never
+    # broadcastable) — semantically fine at this size, but the union
+    # form is join-free at ANY fan-in (3 rankers = 3 unioned lists,
+    # same single aggregate), which is how RRF actually composes.
+    both = lex.select(
+        "id", F.col("rank_lex"), F.lit(None).cast("int").alias("rank_dense")
+    ).unionByName(
+        dense.select(
+            "id", F.lit(None).cast("int").alias("rank_lex"), F.col("rank_dense")
+        )
+    )
     return (
-        l.join(d, F.col("l.id") == F.col("d.id"), "full_outer")
+        both.groupBy("id")
+        .agg(
+            F.max("rank_lex").alias("rank_lex"),
+            F.max("rank_dense").alias("rank_dense"),
+        )
         .select(
-            F.coalesce(F.col("l.id"), F.col("d.id")).alias("id"),
-            F.col("l.rank_lex").alias("rank_lex"),
-            F.col("d.rank_dense").alias("rank_dense"),
+            "id",
+            "rank_lex",
+            "rank_dense",
             F.round(
                 F.coalesce(
-                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("l.rank_lex")),
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")),
                     F.lit(0.0),
                 )
                 + F.coalesce(
-                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("d.rank_dense")),
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_dense")),
                     F.lit(0.0),
                 ),
                 6,
