@@ -295,3 +295,122 @@ def test_int8_quantize_reconstruction_bound(spark, vecs):
             assert abs(x - recon) <= step / 2 + 1e-12 * max(1.0, abs(x)), (
                 x, code, recon, step,
             )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: winnowing guarantee, burstiness bounds, LPA determinism
+
+
+@given(
+    shared=st.lists(st.integers(0, 9), min_size=7, max_size=12),
+    pre_a=st.lists(st.integers(10, 19), min_size=0, max_size=6),
+    pre_b=st.lists(st.integers(20, 29), min_size=0, max_size=6),
+)
+@_spark_settings
+def test_winnowing_shared_run_guarantee(spark, shared, pre_a, pre_b):
+    """The winnowing GUARANTEE (Schleimer et al. thm 1, robust
+    variant): two documents sharing a token run of length
+    >= w + k - 1 (= 7 for w=4, k=4) must share at least one selected
+    fingerprint — for ANY surrounding text. Build two docs from
+    disjoint prefixes + an identical shared run and assert a shared
+    selected hash survives.
+
+    (The df cap and pair threshold of the full query are
+    deliberately NOT applied — the property is about selection.)"""
+    from pyspark.sql.window import Window as W
+
+    from rdbms_scala_spark.pipeline.dedup import tokens
+
+    doc_a = " ".join(f"t{x}" for x in pre_a + shared)
+    doc_b = " ".join(f"t{x}" for x in pre_b + shared)
+    docs = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    toks = docs.select("doc_id", tokens().alias("t")).filter(F.size("t") >= 4)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 3), "
+                "i -> struct(i AS i, substring(md5(concat_ws(' ', "
+                "t[i-1], t[i], t[i+1], t[i+2])), 1, 8) AS h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.h").alias("h"))
+    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(-3, W.currentRow)
+    fp = (
+        grams.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("h") == F.col("wmin"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    a = {r["h"] for r in fp.filter(F.col("doc_id") == 0).collect()}
+    b = {r["h"] for r in fp.filter(F.col("doc_id") == 1).collect()}
+    assert a & b, (doc_a, doc_b)
+
+
+@given(
+    gaps=st.lists(st.integers(0, 10_000), min_size=2, max_size=20),
+)
+@_spark_settings
+def test_burstiness_bounds_and_extremes(spark, gaps):
+    """B = (sqrt(D) - sg) / (sqrt(D) + sg) with D = n*sgg - sg^2 must
+    lie in [-1, 1) for any non-negative gap sequence, hit exactly -1
+    for a constant positive sequence (sigma = 0), and be NaN-free
+    unless all gaps are zero."""
+    import math
+
+    n = len(gaps)
+    sg = sum(gaps)
+    sgg = sum(g * g for g in gaps)
+    d = n * sgg - sg * sg
+    if sg == 0:
+        return  # all-zero gaps: mean 0, B undefined — excluded by HAVING in-query
+    b = (math.sqrt(d) - sg) / (math.sqrt(d) + sg)
+    assert -1.0 <= b < 1.0
+    if len(set(gaps)) == 1:
+        assert b == -1.0
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=12,
+    ).map(lambda es: [(a, b) for a, b in es if a != b])
+)
+@_spark_settings
+def test_label_propagation_is_deterministic_and_closed(spark, edges):
+    """3-round min-tie-break LPA must (a) be deterministic across
+    repeated runs on the same edges and (b) only ever assign labels
+    that are node ids of the graph — for any small random graph,
+    including disconnected and multi-edge ones."""
+    if not edges:
+        return
+    und = edges + [(b, a) for a, b in edges]
+    edf = spark.createDataFrame(und, "u long, v long")
+    nodes = {a for a, _ in und}
+
+    def run():
+        labels = edf.select(F.col("u").alias("doc_id")).distinct().select(
+            "doc_id", F.col("doc_id").alias("label")
+        )
+        from pyspark.sql.window import Window as W
+
+        for _ in range(3):
+            gathered = (
+                edf.join(labels, edf["u"] == labels["doc_id"])
+                .groupBy(F.col("v"), F.col("label"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            w = W.partitionBy("v").orderBy(F.col("c").desc(), F.col("label"))
+            labels = (
+                gathered.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("v").alias("doc_id"), "label")
+            )
+        return sorted((r["doc_id"], r["label"]) for r in labels.collect())
+
+    r1, r2 = run(), run()
+    assert r1 == r2
+    assert all(lab in nodes for _, lab in r1)
