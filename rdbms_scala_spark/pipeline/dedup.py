@@ -2430,6 +2430,66 @@ _WINNOW_ORACLE = f"""
 """
 
 
+_WINNOW_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
+def cached_winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """The df-capped winnowing fingerprint relation (doc_id, h),
+    materialized ONCE per (session, sf_dir) behind an eager
+    localCheckpoint — the cached_jaccard_pairs discipline applied to
+    the winnowing tier: selection + window-min dominate the tier's
+    cost, and both dedup_winnowing_pairs and dedup_tier_report
+    consume the same relation. Same staleness contract as the pair
+    cache (documents file fingerprint). ``checkpoint=False`` returns
+    the raw lineage without materializing or caching — the plan-pin
+    tests inspect the derivation through it."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    fp_tag = _table_fingerprint(sf_dir, "documents")
+    hit = _WINNOW_CACHE.get(key)
+    if hit is not None and hit[0] == fp_tag:
+        return hit[1]
+    if hit is not None:
+        try:
+            hit[1]._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass
+        del _WINNOW_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens().alias("t")).filter(
+        F.size("t") >= _WIN_GRAM
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_WIN_GRAM - 1}), "
+                f"i -> struct(i AS i, substring(md5(concat_ws(' ', "
+                f"t[i-1], t[i], t[i+1], t[i+2])), 1, 8) AS h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.h").alias("h"))
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_WIN_WINDOW - 1), W.currentRow)
+    )
+    fp0 = (
+        grams.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("h") == F.col("wmin"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    fdf = fp0.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    fp = fp0.join(fdf.filter(F.col("df") <= _WIN_MAX_DF).select("h"), "h")
+    if not checkpoint:
+        return fp
+    fp = fp.localCheckpoint(eager=True)
+    _WINNOW_CACHE[key] = (fp_tag, fp)
+    return fp
+
+
 @register(
     "dedup_winnowing_pairs",
     oracle=_WINNOW_ORACLE,
@@ -2459,34 +2519,11 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index pair join exactly as MAX_SHINGLE_DF bounds the
     Jaccard tier; everything downstream is count aggregates. At
     100 TB the fingerprint relation persists next to the corpus and
-    new docs probe it incrementally (the dedup_incremental pattern)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens().alias("t")).filter(
-        F.size("t") >= _WIN_GRAM
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {_WIN_GRAM - 1}), "
-                f"i -> struct(i AS i, substring(md5(concat_ws(' ', "
-                f"t[i-1], t[i], t[i+1], t[i+2])), 1, 8) AS h))"
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.h").alias("h"))
-    w = (
-        W.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(-(_WIN_WINDOW - 1), W.currentRow)
-    )
-    fp0 = (
-        grams.withColumn("wmin", F.min("h").over(w))
-        .filter(F.col("h") == F.col("wmin"))
-        .select("doc_id", "h")
-        .distinct()
-    )
-    fdf = fp0.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    fp = fp0.join(fdf.filter(F.col("df") <= _WIN_MAX_DF).select("h"), "h")
+    new docs probe it incrementally (the dedup_incremental pattern).
+    The fingerprint relation is session-materialized
+    (cached_winnow_fingerprints) and shared with dedup_tier_report —
+    the cached_jaccard_pairs discipline."""
+    fp = cached_winnow_fingerprints(spark, sf_dir)
     sz = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fp.alias("a"), fp.alias("b")
     shared = (

@@ -544,13 +544,18 @@ def test_cosine_histogram_no_cartesian(spark, sf_dir):
 
 
 def test_winnowing_window_is_doc_partitioned(spark, sf_dir):
-    """dedup_winnowing_pairs: the window-min selection must be
-    partitioned by doc_id (never an empty-partition global window),
-    and the pair join must aggregate with a partial count below the
-    shuffle."""
+    """The winnowing fingerprint DERIVATION (inspected pre-checkpoint
+    via cached_winnow_fingerprints(checkpoint=False)) must partition
+    its window-min by doc_id — never an empty-partition global
+    window; the full query must aggregate the pair join with a
+    partial count below the shuffle and stay cartesian-free."""
+    from rdbms_scala_spark.pipeline.dedup import cached_winnow_fingerprints
     from rdbms_scala_spark.plans import physical_plan
 
+    deriv = physical_plan(
+        cached_winnow_fingerprints(spark, sf_dir, checkpoint=False)
+    )
+    assert "windowspecdefinition(doc_id" in deriv, deriv[:2000]
     plan = physical_plan(SPECS["dedup_winnowing_pairs"].fn(spark, sf_dir))
-    assert "windowspecdefinition(doc_id" in plan, plan[:2000]
     assert "partial_count" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
