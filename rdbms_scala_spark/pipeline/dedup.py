@@ -2447,15 +2447,16 @@ def cached_winnow_fingerprints(
     tests inspect the derivation through it."""
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     fp_tag = _table_fingerprint(sf_dir, "documents")
-    hit = _WINNOW_CACHE.get(key)
-    if hit is not None and hit[0] == fp_tag:
-        return hit[1]
-    if hit is not None:
-        try:
-            hit[1]._jdf.queryExecution().toRdd().unpersist(False)
-        except Exception:
-            pass
-        del _WINNOW_CACHE[key]
+    if checkpoint:  # raw-lineage callers must not see the cache
+        hit = _WINNOW_CACHE.get(key)
+        if hit is not None and hit[0] == fp_tag:
+            return hit[1]
+        if hit is not None:
+            try:
+                hit[1]._jdf.queryExecution().toRdd().unpersist(False)
+            except Exception:
+                pass
+            del _WINNOW_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens().alias("t")).filter(
         F.size("t") >= _WIN_GRAM
