@@ -2090,18 +2090,27 @@ def events_autocorr_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d < test_start
         GROUP BY event_type, dow
     ),
+    gmodel AS (
+        SELECT event_type,
+               CAST(sum(train_events) AS BIGINT) AS g_events,
+               CAST(sum(train_days) AS BIGINT) AS g_days
+        FROM model GROUP BY event_type
+    ),
     scored AS (
         SELECT t.event_type,
-               abs(CAST(t.y * m.train_days - m.train_events AS DOUBLE)
-                   / m.train_days) AS abs_err
+               abs(CAST(t.y * coalesce(m.train_days, g.g_days)
+                        - coalesce(m.train_events, g.g_events) AS DOUBLE)
+                   / coalesce(m.train_days, g.g_days)) AS abs_err
         FROM daily t
         CROSS JOIN split
-        JOIN model m ON m.event_type = t.event_type AND m.dow = t.dow
+        LEFT JOIN model m ON m.event_type = t.event_type AND m.dow = t.dow
+        LEFT JOIN gmodel g ON g.event_type = t.event_type
         WHERE t.d >= test_start
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_test_days,
-           round(sum(abs_err) / count(*), 4) AS mae
+           CASE WHEN count(abs_err) > 0
+                THEN round(sum(abs_err) / count(abs_err), 4) END AS mae
     FROM scored
     GROUP BY event_type
     ORDER BY event_type
@@ -2122,9 +2131,18 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
     (vs thousands of raw events), shrinking the reordered-float
     surface to the established round-4 margin.
 
+    Coverage (round-9 advice): the model join is a LEFT join, so a
+    test day whose (type, weekday) cell never occurs in training is
+    NOT silently dropped — it falls back to the per-type GLOBAL
+    training mean (the non-seasonal naive, the honest prior when the
+    weekday cell is empty), and a type with no training history at
+    all still reports its n_test_days with a NULL mae. n_test_days
+    therefore counts every test day.
+
     Scale shape: the corpus-sized pass is the daily aggregate; the
-    model is a (type x 7)-row broadcast; the backtest joins 7 days per
-    type against it. The split date is one broadcast max."""
+    model is a (type x 7)-row broadcast (the global fallback a
+    type-count-sized rollup of it); the backtest left-joins 7 days
+    per type against both. The split date is one broadcast max."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
@@ -2143,23 +2161,31 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("train_days"),
         )
     )
+    gmodel = model.groupBy("event_type").agg(
+        F.sum("train_events").alias("g_events"),
+        F.sum("train_days").alias("g_days"),
+    )
     test = with_split.filter(F.col("d") >= F.col("test_start"))
-    scored = test.join(F.broadcast(model), ["event_type", "dow"]).select(
-        "event_type",
-        (
-            F.abs(
-                (
-                    F.col("y") * F.col("train_days") - F.col("train_events")
-                ).cast("double")
-            )
-            / F.col("train_days")
-        ).alias("abs_err"),
+    days = F.coalesce("train_days", "g_days")
+    evs = F.coalesce("train_events", "g_events")
+    scored = (
+        test.join(F.broadcast(model), ["event_type", "dow"], "left")
+        .join(F.broadcast(gmodel), "event_type", "left")
+        .select(
+            "event_type",
+            (F.abs((F.col("y") * days - evs).cast("double")) / days).alias(
+                "abs_err"
+            ),
+        )
     )
     return (
         scored.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_test_days"),
-            F.round(F.sum("abs_err") / F.count(F.lit(1)), 4).alias("mae"),
+            F.when(
+                F.count("abs_err") > 0,
+                F.round(F.sum("abs_err") / F.count("abs_err"), 4),
+            ).alias("mae"),
         )
         .orderBy("event_type")
     )

@@ -12,8 +12,24 @@ import sys
 
 import duckdb
 import pytest
+from hypothesis import settings as hyp_settings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Hypothesis profiles (round-9 verdict #2): the default "ci" profile is
+# DERANDOMIZED so a committed run is reproducible — a green pytest
+# certifies exactly the 6 examples every future run will draw, never
+# seed luck. Round-boundary certification runs the "thorough" profile
+# (HYPOTHESIS_PROFILE=thorough → 200 randomized examples per property,
+# example DB on, so found falsifiers replay); SELFCHECK records which
+# profile certified.
+hyp_settings.register_profile(
+    "ci", max_examples=6, derandomize=True, deadline=None
+)
+hyp_settings.register_profile(
+    "thorough", max_examples=200, derandomize=False, deadline=None
+)
+hyp_settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "ci"))
 
 from rdbms_scala_spark.catalog import TABLES, table_path
 from rdbms_scala_spark.session import get_spark

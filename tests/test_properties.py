@@ -3,8 +3,12 @@ hold for ANY input, not just the testdata — the adversarial
 complement to the oracle comparisons (empty tables, all-duplicate
 keys, hot keys, negative values).
 
-Spark-backed properties keep max_examples small: each example pays a
-createDataFrame + job round trip.
+Spark-backed properties keep max_examples small (each example pays a
+createDataFrame + job round trip): the count comes from the loaded
+hypothesis profile — conftest registers "ci" (6 examples,
+DERANDOMIZED: committed runs are reproducible, never seed-lucky) and
+"thorough" (HYPOTHESIS_PROFILE=thorough: 200 randomized examples for
+round-boundary certification).
 """
 
 from __future__ import annotations
@@ -13,9 +17,9 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+# max_examples / derandomize / deadline inherit from the profile
+# conftest loaded; only the fixture health-check is pinned here.
 _spark_settings = settings(
-    max_examples=6,
-    deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -308,42 +312,29 @@ def test_int8_quantize_reconstruction_bound(spark, vecs):
 )
 @_spark_settings
 def test_winnowing_shared_run_guarantee(spark, shared, pre_a, pre_b):
-    """The winnowing GUARANTEE (Schleimer et al. thm 1, robust
-    variant): two documents sharing a token run of length
+    """The winnowing GUARANTEE (Schleimer et al. thm, per-window-min
+    selection): two documents sharing a token run of length
     >= w + k - 1 (= 7 for w=4, k=4) must share at least one selected
-    fingerprint — for ANY surrounding text. Build two docs from
-    disjoint prefixes + an identical shared run and assert a shared
-    selected hash survives.
+    fingerprint — for ANY surrounding text. The shared run yields
+    >= w consecutive identical grams, so the full window starting at
+    the first shared gram exists in both docs and selects the same
+    min hash. Build two docs from disjoint prefixes + an identical
+    shared run and assert a shared selected hash survives.
 
-    (The df cap and pair threshold of the full query are
-    deliberately NOT applied — the property is about selection.)"""
-    from pyspark.sql.window import Window as W
-
-    from rdbms_scala_spark.pipeline.dedup import tokens
+    Runs the PRODUCTION selection (winnow_fingerprints) directly —
+    the round-9 falsifier was a doc whose prefix token hashed below
+    every shared gram, which the old trailing-frame ``h == wmin``
+    rule let swallow the whole window. (The df cap and pair threshold
+    of the full query are deliberately NOT applied — the property is
+    about selection.)"""
+    from rdbms_scala_spark.pipeline.dedup import winnow_fingerprints
 
     doc_a = " ".join(f"t{x}" for x in pre_a + shared)
     doc_b = " ".join(f"t{x}" for x in pre_b + shared)
     docs = spark.createDataFrame(
         [(0, doc_a), (1, doc_b)], "doc_id long, text string"
     )
-    toks = docs.select("doc_id", tokens().alias("t")).filter(F.size("t") >= 4)
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 3), "
-                "i -> struct(i AS i, substring(md5(concat_ws(' ', "
-                "t[i-1], t[i], t[i+1], t[i+2])), 1, 8) AS h))"
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.h").alias("h"))
-    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(-3, W.currentRow)
-    fp = (
-        grams.withColumn("wmin", F.min("h").over(w))
-        .filter(F.col("h") == F.col("wmin"))
-        .select("doc_id", "h")
-        .distinct()
-    )
+    fp = winnow_fingerprints(docs)
     a = {r["h"] for r in fp.filter(F.col("doc_id") == 0).collect()}
     b = {r["h"] for r in fp.filter(F.col("doc_id") == 1).collect()}
     assert a & b, (doc_a, doc_b)
