@@ -2386,8 +2386,12 @@ _WIN_WINDOW = 4   # winnowing window (positions per selection window)
 _WIN_MAX_DF = 64  # fingerprint df cap in the pair join
 _WIN_MIN_SHARED = 5
 
-_WINNOW_ORACLE = f"""
-    WITH toks AS (
+# The per-window-min selection as a reusable oracle CTE chain
+# (toks -> grams -> sel -> fp0): shared by the pair query, the tier
+# report, and the incremental probe so every consumer replays the
+# EXACT same selection the Spark side (winnow_fingerprints) runs.
+_WINNOW_FP_CTES = f"""
+    toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
         FROM documents
     ),
@@ -2411,7 +2415,10 @@ _WINNOW_ORACLE = f"""
     fp0 AS (
         SELECT DISTINCT doc_id, wmin AS h FROM sel
         WHERE wcnt = {_WIN_WINDOW} OR i = 1
-    ),
+    )"""
+
+_WINNOW_ORACLE = f"""
+    WITH {_WINNOW_FP_CTES},
     fdf AS (SELECT h, count(*) AS df FROM fp0 GROUP BY h),
     fp AS (
         SELECT f.doc_id, f.h FROM fp0 f JOIN fdf d USING (h)
@@ -2587,6 +2594,118 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_winnowing_incremental",
+    oracle=f"""
+    WITH {_WINNOW_FP_CTES},
+    split AS (SELECT max(doc_id) // 2 AS split_at FROM documents),
+    existing0 AS (
+        SELECT doc_id AS existing_id, h FROM fp0, split
+        WHERE doc_id < split_at
+    ),
+    fdf AS (SELECT h, count(*) AS df FROM existing0 GROUP BY h),
+    existing AS (
+        SELECT existing_id, h FROM existing0 JOIN fdf USING (h)
+        WHERE df <= {_WIN_MAX_DF}
+    ),
+    incoming AS (
+        SELECT doc_id AS new_doc_id, h FROM fp0, split
+        WHERE doc_id >= split_at
+    ),
+    nfp AS (
+        SELECT new_doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        FROM incoming GROUP BY new_doc_id
+    ),
+    matches AS (
+        SELECT i.new_doc_id, e.existing_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM incoming i JOIN existing e USING (h)
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT new_doc_id, existing_id, n_shared,
+               row_number() OVER (PARTITION BY new_doc_id
+                                  ORDER BY n_shared DESC, existing_id)
+                   AS rn
+        FROM matches
+    )
+    SELECT n.new_doc_id, n.n_fp,
+           b.existing_id AS best_match_id,
+           CAST(coalesce(b.n_shared, 0) AS BIGINT) AS n_shared
+    FROM nfp n
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (new_doc_id)
+    ORDER BY new_doc_id
+    """,
+    tags=("dedup", "incremental", "winnowing", "scale"),
+)
+def dedup_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing probe: fingerprint only the INCOMING
+    batch (winnow_fingerprints on its docs) and join it against the
+    standing corpus's persisted, df-capped fingerprint store — the
+    ingest-time shape dedup_winnowing_pairs' docstring promises
+    (the dedup_incremental pattern applied to the position-aware
+    tier). Each incoming doc reports its fingerprint count, its best
+    existing match (most shared fingerprints, min-id tie-break; NULL
+    when the batch doc has no local overlap with the corpus) and the
+    shared count — so batch-level contamination/plagiarism triage
+    never re-fingerprints the standing corpus.
+
+    The corpus is split at ``max(doc_id) div 2`` (integer division on
+    both engines, the dedup_incremental pivot discipline) to stand in
+    for existing-vs-new. The df cap is computed over the EXISTING
+    store only — in production the persisted relation is capped when
+    written, and a batch doc probing a boilerplate fingerprint that
+    was capped out simply finds no match, identical semantics.
+
+    Scale shape: the incoming batch is the only thing fingerprinted
+    and shuffled; the existing store is a persisted relation bucketed
+    by h (here: the same derivation behind a broadcast split), the
+    probe is one equi-join bounded by the df cap, and the best-match
+    argmax is a per-new-doc window over <= 64 * n_fp candidate rows.
+    Every incoming doc appears in the output (left join), so a
+    dup-free batch cannot make the gate vacuous."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp0 = winnow_fingerprints(docs)
+    split = docs.agg(F.expr("max(doc_id) div 2").alias("split_at"))
+    keyed = fp0.crossJoin(F.broadcast(split))
+    existing0 = keyed.filter(F.col("doc_id") < F.col("split_at")).select(
+        F.col("doc_id").alias("existing_id"), "h"
+    )
+    fdf = existing0.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    existing = existing0.join(
+        fdf.filter(F.col("df") <= _WIN_MAX_DF).select("h"), "h"
+    )
+    incoming = keyed.filter(F.col("doc_id") >= F.col("split_at")).select(
+        F.col("doc_id").alias("new_doc_id"), "h"
+    )
+    nfp = incoming.groupBy("new_doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    matches = (
+        incoming.join(existing, "h")
+        .groupBy("new_doc_id", "existing_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w = W.partitionBy("new_doc_id").orderBy(
+        F.col("n_shared").desc(), F.col("existing_id")
+    )
+    best = (
+        matches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        nfp.join(best, "new_doc_id", "left")
+        .select(
+            "new_doc_id",
+            "n_fp",
+            F.col("existing_id").alias("best_match_id"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias(
+                "n_shared"
+            ),
+        )
+        .orderBy("new_doc_id")
     )
 
 

@@ -809,3 +809,150 @@ def streaming_transform_with_state(
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: watermark observability — the late-data METRICS surface
+# (StreamingQueryProgress.stateOperators.numRowsDroppedByWatermark),
+# the one Structured Streaming readout a production pipeline alarms
+# on ("how much data are we LOSING to the watermark?") that was not
+# yet oracle-checked.
+
+_LATE_DELAYS_MIN = (30, 120, 360)
+
+
+def _drain_with_progress(stream_df: DataFrame) -> tuple[int, int]:
+    """Drain an append-mode streaming aggregation to a memory sink
+    (availableNow) and return (n_dropped_windows, n_finalized_windows):
+    the summed numRowsDroppedByWatermark across every micro-batch's
+    state operators, and the sink row count. Progress objects are
+    driver-held metrics (control plane), not data."""
+    import json as _json
+
+    spark = stream_df.sparkSession
+    name = f"late_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = 0
+        for p in q.recentProgress:
+            j = _json.loads(p.json)
+            dropped += sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for op in j["stateOperators"]
+            )
+    finalized = spark.table(name).count()
+    spark.catalog.dropTempView(name)
+    return dropped, finalized
+
+
+@register(
+    "streaming_late_data_metrics",
+    oracle="""
+    WITH delays(delay_minutes) AS (VALUES (30), (120), (360)),
+    wm0 AS (
+        SELECT epoch_us(max(ts)) // 1000 AS max0_ms
+        FROM events WHERE event_id % 3 = 0
+    ),
+    wmall AS (SELECT epoch_us(max(ts)) // 1000 AS maxall_ms FROM events),
+    w AS (
+        SELECT event_id % 3 AS b, date_trunc('hour', ts) AS wstart,
+               epoch_us(date_trunc('hour', ts)) // 1000 + 3600000 AS wend_ms
+        FROM events
+    )
+    SELECT CAST(d.delay_minutes AS BIGINT) AS delay_minutes,
+           CAST((SELECT count(DISTINCT wstart) FROM w, wm0
+                 WHERE b = 2
+                   AND wend_ms <= max0_ms - d.delay_minutes * 60000)
+               AS BIGINT) AS n_dropped_windows,
+           CAST((SELECT count(DISTINCT wstart) FROM w, wm0, wmall
+                 WHERE NOT (b = 2
+                            AND wend_ms <= max0_ms - d.delay_minutes * 60000)
+                   AND wend_ms <= maxall_ms - d.delay_minutes * 60000)
+               AS BIGINT) AS n_finalized_windows
+    FROM delays d
+    ORDER BY delay_minutes
+    """,
+    tags=("streaming", "watermark", "metrics", "observability"),
+)
+def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data observability: replay the events table as a
+    THREE-batch stream (files split by event_id mod 3, oldest-mtime
+    first) through a watermarked 1-hour tumbling aggregation at three
+    watermark delays, and report per delay how many windows the
+    watermark DROPPED (numRowsDroppedByWatermark summed over every
+    micro-batch's state operators) vs how many it FINALIZED into the
+    append sink — the dropped-vs-delay curve an operator reads before
+    choosing a production watermark.
+
+    The oracle replays Spark's exact (empirically pinned) semantics:
+    (a) watermark = floor-to-ms(max event time seen) - delay;
+    (b) the LATE-EVENT filter of micro-batch N uses the watermark as
+    of batch N-1's planning (one batch of lag — Spark is deliberately
+    conservative so a watermark advance never drops same-batch data),
+    so with three batches only batch 2 drops, with the watermark from
+    batch 0's max; (c) the filter runs at the state operator on the
+    MERGED partial aggregate, so the metric counts distinct dropped
+    WINDOWS (window end <= watermark), not raw input rows; (d) the
+    append sink holds every admitted window whose end <= the final
+    watermark (max over ALL batches - delay). Batching is
+    deterministic (maxFilesPerTrigger=1, mtime-ordered single-file
+    batches), so the drop counts are exact, not flaky.
+
+    Scale shape: the split/write is a one-pass partitioned write (the
+    stand-in for a real multi-batch arrival order); each drain is the
+    same bounded-state windowed aggregation streaming_tumbling_counts
+    runs; metrics come from driver-held progress JSON — nothing about
+    the observability readout itself touches data volume."""
+    import glob
+    import os
+    import shutil
+
+    from rdbms_scala_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    workdir = tempfile.mkdtemp(prefix="late_metrics_")
+    try:
+        input_dir = os.path.join(workdir, "input")
+        os.makedirs(input_dir)
+        for k in range(3):
+            d = os.path.join(workdir, f"w{k}")
+            ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.parquet(d)
+            [part] = glob.glob(os.path.join(d, "part-*.parquet"))
+            dst = os.path.join(input_dir, f"b{k}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1000 * (k + 1), 1000 * (k + 1)))
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        rows = []
+        for delay_min in _LATE_DELAYS_MIN:
+            stream = (
+                spark.readStream.schema(schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .load(input_dir)
+            )
+            agg = (
+                stream.withWatermark("ts", f"{delay_min} minutes")
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            dropped, finalized = _drain_with_progress(agg)
+            rows.append((delay_min, dropped, finalized))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "delay_minutes long, n_dropped_windows long, n_finalized_windows long",
+    ).orderBy("delay_minutes")
