@@ -2632,3 +2632,145 @@ def embeddings_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: SemDeDup — semantic deduplication via embedding clusters
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): the pair space is bounded PER
+# CLUSTER, which is the entire trick — all-pairs cosine over the
+# corpus is O(n^2), but within k-means clusters it is
+# sum(|cluster|^2) ~ n^2/K, and clusters are where the semantic
+# near-dups live by construction.
+
+_SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM corpus WHERE vec_id < {_IVF_K}),
+    assign AS (
+        SELECT vec_id, v, cent_id FROM (
+            SELECT c.vec_id, c.v, ct.cent_id,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id
+                   ) AS rn
+            FROM corpus c CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT b.vec_id, a.vec_id AS keeper_cand,
+               list_cosine_similarity(a.v, b.v) AS cos
+        FROM assign a JOIN assign b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {_SEMDEDUP_TAU}
+    ),
+    keeper AS (
+        SELECT vec_id, keeper_cand, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, keeper_cand) AS rn
+        FROM pairs
+    )
+    SELECT s.vec_id, s.cent_id,
+           CASE WHEN k.keeper_cand IS NULL THEN 'keep' ELSE 'drop' END AS status,
+           k.keeper_cand AS keeper_id,
+           round(k.cos, 3) AS keeper_cos
+    FROM assign s
+    LEFT JOIN (SELECT * FROM keeper WHERE rn = 1) k USING (vec_id)
+    ORDER BY vec_id
+    """,
+    tags=("dedup", "embeddings", "semdedup", "scale"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: assign every vector to its
+    nearest coarse centroid (the deterministic first-K seed set the
+    IVF anchor uses, so the oracle replays assignment exactly), form
+    cosine pairs WITHIN each cluster only, and mark every vector that
+    has a same-cluster neighbor with cosine >= tau and a lower vec_id
+    as a semantic duplicate of its highest-cosine such neighbor
+    (min-id tie-break). Output is the full per-vector decision table
+    — (vec_id, cluster, keep/drop, keeper, cosine-to-keeper) — the
+    artifact a curation run joins back to documents, and never
+    vacuous whatever the corpus looks like.
+
+    tau = 0.35, not the paper's ~0.95: the synthetic embeddings are
+    near-orthogonal (max pairwise cosine ~0.51, cosine-histogram
+    query), so the production threshold would gate zero rows; 0.35
+    sits in the distribution's top tail and exercises the same
+    machinery (the threshold is the one tunable, the shape is the
+    operator).
+
+    Scale shape: assignment is one map-only pass against broadcast
+    centroids collapsed by a max_by hash aggregate (the _ivf_topk
+    plan); the pair join shuffles on cent_id so the pair space is
+    sum(|cluster|^2) bounded by the cluster granularity (at 100 TB, K
+    scales with the corpus so |cluster| stays ~constant and the tier
+    is linear; AQE splits any hot cluster); keeper selection is one
+    max_by per dropped vector. In production the centroids come from
+    lloyd_centroids (similarity_ivf_kmeans) — the seed set is used
+    here for exact cross-engine assignment, the downstream shape is
+    identical."""
+    emb = _load_vectors(spark, sf_dir)
+    cent_n = (
+        emb.filter(F.col("vec_id") < _IVF_K)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+        .withColumn("cn", norm("cv"))
+    )
+    emb_n = emb.withColumn("vn", norm("v"))
+    assign = (
+        emb_n.crossJoin(F.broadcast(cent_n))
+        .select(
+            "vec_id", "v", "vn", "cent_id",
+            cosine_pre("v", "cv", "vn", "cn").alias("ccos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("ccos"), -F.col("cent_id"))
+            ).alias("cent_id"),
+            F.first("v").alias("v"),
+            F.first("vn").alias("vn"),
+        )
+    )
+    a = assign.select(
+        F.col("vec_id").alias("keeper_cand"),
+        F.col("cent_id").alias("ca"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    b = assign.select(
+        "vec_id", F.col("cent_id").alias("cb"),
+        F.col("v").alias("vb"), F.col("vn").alias("nb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & (F.col("keeper_cand") < F.col("vec_id")),
+        )
+        .withColumn("cos", cosine_pre("va", "vb", "na", "nb"))
+        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+    )
+    keeper = pairs.groupBy("vec_id").agg(
+        F.max_by(
+            "keeper_cand", F.struct(F.col("cos"), -F.col("keeper_cand"))
+        ).alias("keeper_id"),
+        F.max("cos").alias("kcos"),
+    )
+    return (
+        assign.select("vec_id", "cent_id")
+        .join(keeper, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.when(F.col("keeper_id").isNotNull(), F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+            "keeper_id",
+            F.round("kcos", 3).alias("keeper_cos"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1665,3 +1665,164 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 10: Gopher-style quality RULES report (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", table A1) — the rule-based
+# complement to text_quality_score's continuous score: production
+# pipelines gate on named boolean rules (so a curation run can see
+# WHICH rule is removing data), not on one blended score.
+
+_GOPHER_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH d AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+               len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n,
+               length(regexp_replace(trim(text), '\\s+', '', 'g')) AS swl,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) // 3
+                   AS n_ellipsis
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT n, swl, n_hash, n_ellipsis,
+               len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   AS n_alpha,
+               len(list_filter(w, x -> x IN
+                   ('the','be','to','of','and','that','have','with')))
+                   AS n_stop
+        FROM d
+    ),
+    flags AS (
+        SELECT CASE WHEN n < 50 THEN 1 ELSE 0 END AS f_word_count_low,
+               CASE WHEN n > 100000 THEN 1 ELSE 0 END AS f_word_count_high,
+               CASE WHEN swl < 3 * n OR swl > 10 * n THEN 1 ELSE 0 END
+                   AS f_mean_word_len_out,
+               CASE WHEN 10 * (n_hash + n_ellipsis) > n THEN 1 ELSE 0 END
+                   AS f_symbol_ratio_high,
+               CASE WHEN 5 * n_alpha < 4 * n THEN 1 ELSE 0 END
+                   AS f_alpha_words_low,
+               CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stopword_scarce
+        FROM per_doc
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f_word_count_low) AS BIGINT) AS word_count_low,
+               CAST(sum(f_word_count_high) AS BIGINT) AS word_count_high,
+               CAST(sum(f_mean_word_len_out) AS BIGINT) AS mean_word_len_out,
+               CAST(sum(f_symbol_ratio_high) AS BIGINT) AS symbol_ratio_high,
+               CAST(sum(f_alpha_words_low) AS BIGINT) AS alpha_words_low,
+               CAST(sum(f_stopword_scarce) AS BIGINT) AS stopword_scarce,
+               CAST(sum(CASE WHEN f_word_count_low + f_word_count_high
+                            + f_mean_word_len_out + f_symbol_ratio_high
+                            + f_alpha_words_low + f_stopword_scarce > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS any_rule
+        FROM flags
+    )
+    SELECT rule, n_failed,
+           round(n_failed * 1.0 / (SELECT n_docs FROM agg), 4) AS fail_rate
+    FROM (
+        SELECT 'alpha_words_low' AS rule, alpha_words_low AS n_failed FROM agg
+        UNION ALL SELECT 'any_rule', any_rule FROM agg
+        UNION ALL SELECT 'mean_word_len_out', mean_word_len_out FROM agg
+        UNION ALL SELECT 'stopword_scarce', stopword_scarce FROM agg
+        UNION ALL SELECT 'symbol_ratio_high', symbol_ratio_high FROM agg
+        UNION ALL SELECT 'word_count_high', word_count_high FROM agg
+        UNION ALL SELECT 'word_count_low', word_count_low FROM agg
+    )
+    ORDER BY rule
+    """,
+    tags=("text", "quality", "gopher", "scale"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality report: the named boolean document filters
+    of Rae et al.'s table A1 — word count in [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio (# and ...) <= 0.1, >= 80%
+    of words containing an alphabetic character, >= 2 stop-word hits —
+    each reported as (rule, n_failed, fail_rate) plus an ``any_rule``
+    row, so a curation run sees WHICH rule removes how much data
+    before gating (the per-rule attribution a single blended quality
+    score cannot give). Line-level Gopher rules (bullet/ellipsis line
+    starts) are omitted: the corpus is single-line.
+
+    Every rule is evaluated in INTEGER form (swl < 3*n, 10*symbols >
+    n, 5*alpha < 4*n) — no float ratio is ever compared against a
+    float threshold, so the per-doc booleans are bit-exact across
+    engines and the only floats are the final rounded rates.
+
+    Scale shape: one map-only pass computes the six per-doc flags
+    (split + two regexp counts, no explode of token rows), one
+    combinable aggregate reduces them to a single row of counters,
+    and the report unpivots driver-free via stack — the cheapest
+    possible corpus-wide readout shape (same plan family as
+    text_quality_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    n = F.size(w)
+    swl = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(
+        F.filter(w, lambda x: x.isin(*_GOPHER_STOPWORDS))
+    )
+    flags = docs.select(
+        (n < 50).cast("long").alias("f_word_count_low"),
+        (n > 100000).cast("long").alias("f_word_count_high"),
+        ((swl < 3 * n) | (swl > 10 * n)).cast("long").alias(
+            "f_mean_word_len_out"
+        ),
+        (10 * (n_hash + n_ellipsis.cast("long")) > n).cast("long").alias(
+            "f_symbol_ratio_high"
+        ),
+        (5 * n_alpha < 4 * n).cast("long").alias("f_alpha_words_low"),
+        (n_stop < 2).cast("long").alias("f_stopword_scarce"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_word_count_low").alias("word_count_low"),
+        F.sum("f_word_count_high").alias("word_count_high"),
+        F.sum("f_mean_word_len_out").alias("mean_word_len_out"),
+        F.sum("f_symbol_ratio_high").alias("symbol_ratio_high"),
+        F.sum("f_alpha_words_low").alias("alpha_words_low"),
+        F.sum("f_stopword_scarce").alias("stopword_scarce"),
+        F.sum(
+            (
+                F.col("f_word_count_low")
+                + F.col("f_word_count_high")
+                + F.col("f_mean_word_len_out")
+                + F.col("f_symbol_ratio_high")
+                + F.col("f_alpha_words_low")
+                + F.col("f_stopword_scarce")
+                > 0
+            ).cast("long")
+        ).alias("any_rule"),
+    )
+    unpivoted = agg.select(
+        "n_docs",
+        F.expr(
+            "stack(7,"
+            " 'alpha_words_low', alpha_words_low,"
+            " 'any_rule', any_rule,"
+            " 'mean_word_len_out', mean_word_len_out,"
+            " 'stopword_scarce', stopword_scarce,"
+            " 'symbol_ratio_high', symbol_ratio_high,"
+            " 'word_count_high', word_count_high,"
+            " 'word_count_low', word_count_low"
+            ") AS (rule, n_failed)"
+        ),
+    )
+    return unpivoted.select(
+        "rule",
+        "n_failed",
+        F.round(F.col("n_failed") / F.col("n_docs"), 4).alias("fail_rate"),
+    ).orderBy("rule")

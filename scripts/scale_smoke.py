@@ -138,7 +138,43 @@ QUERIES = (
     "graph_assortativity",
     "embeddings_cosine_histogram",
     "events_user_burstiness",
+    # round 10: the four r9-batch-3 ops the r9 verdict flagged as
+    # row-less — rolling median carries the O(w) per-row frame and is
+    # the one to watch; RRF is the join-free union+aggregate fusion;
+    # bucket stats is ONE groupBy over the uncapped band keys;
+    # clustering coefficient runs over the session-cached pair
+    # relation (warm pass pays the derivation). Plus the two new
+    # round-10 ops: the incremental winnowing probe (batch fingerprint
+    # + df-capped store join) and the late-data metrics sweep (three
+    # bounded-state windowed drains + one partitioned rewrite of
+    # events; the metrics readout itself is driver-held progress).
+    "retrieval_hybrid_rrf",
+    "window_rolling_median",
+    "dedup_lsh_bucket_stats",
+    "graph_clustering_coefficient",
+    "dedup_winnowing_incremental",
+    "streaming_late_data_metrics",
 )
+
+
+def calibration_sec(spark) -> float:
+    """The bench.py host-speed probe (500M-row pure-codegen hash sum,
+    min-of-3 here): plan-invariant and data-independent, so per-TIER
+    calibration rows turn 'is this tier's wall inflated by host load?'
+    from eyeballing neighbors (the r9 bubble diagnosis) into a
+    measurement."""
+    q = lambda: (  # noqa: E731
+        spark.range(500_000_000)
+        .selectExpr("sum(id * 2654435761 % 1000) AS s")
+        .collect()
+    )
+    q()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        q()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
 
 
 def amplify(spark, k: int) -> str:
@@ -247,25 +283,30 @@ def main() -> None:
     specs = all_queries()
     results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
     rows: dict[int, dict[str, int]] = {}
+    calib: dict[int, tuple[float, float]] = {}
     for k in FACTORS:
         sf_dir = amplify(spark, k)
         rows[k] = {
             t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
             for t in ("documents", "embeddings", "events", "orders", "lineitem")
         }
+        calib_start = calibration_sec(spark)
         for q in QUERIES:
             specs[q].fn(spark, sf_dir).count()  # warm (codegen+JIT)
             times = []
-            # r7 flagged two non-monotone rows (x16 > x64) as likely
-            # measurement noise; give them one extra rep everywhere
-            # so min-of-3 damps host drift.
-            reps = 3 if q in ("basket_brand_pairs", "customer_ltv_deciles") else 2
+            # x1/x4 are the CHEAP tiers where a host-load bubble can
+            # out-last a query's passes (the r9 bubble): min-of-3
+            # there; min-of-2 on the expensive tiers where each pass
+            # is long enough to straddle transient load anyway.
+            reps = 3 if k <= 4 else 2
             for _ in range(reps):
                 t0 = time.perf_counter()
                 specs[q].fn(spark, sf_dir).count()
                 times.append(time.perf_counter() - t0)
             results[q][k] = round(min(times), 3)
             print(f"x{k} {q}: {results[q][k]}s", flush=True)
+        calib[k] = (calib_start, calibration_sec(spark))
+        print(f"x{k} calibration: {calib[k]}", flush=True)
 
     lines = [
         "# SCALE — amplified-corpus smoke (generated by scripts/scale_smoke.py)",
@@ -362,20 +403,6 @@ def main() -> None:
         "  should track the user count. agg_hll_intersection and",
         "  window_time_range_rolling / window_running_distinct are the",
         "  r8 scale-claim debt rows the r8 verdict asked to measure.",
-        "- round-9 run note (read before the ratios): the r9 table",
-        "  carries ONE contiguous host-load bubble spanning the end of",
-        "  the x1 tier through the head of the x4 tier (x1 rows from",
-        "  ~graph_triangle_count_lsh to events_user_burstiness and x4",
-        "  rows through ~similarity_ivf are inflated 3-8x vs their r8",
-        "  values and vs their own neighboring tiers, e.g.",
-        "  customer_ltv_deciles x1 2.7 vs x4 0.47, similarity_lsh_ann",
-        "  x4 6.1 vs x16 1.1). Because x1/x4 are the CHEAP tiers, the",
-        "  bubble deflates or inflates ratios without touching the",
-        "  x16/x64 walls that carry the scale signal — read x64/x16",
-        "  deltas (clean) where an x64/x1 ratio looks odd. Min-of-2",
-        "  cannot reject a bubble longer than a query's two passes;",
-        "  the bench's min-of-5 + calibration row is the precise",
-        "  instrument, this smoke is the shape check.",
         "- round 9 batch 2 rows: dedup_winnowing_pairs is the pair-space",
         "  op to watch — selection keeps ~2/(w+1) of grams and the",
         "  fingerprint df cap (<=64) bounds the inverted-index join the",
@@ -390,8 +417,46 @@ def main() -> None:
         "  vector count exactly. events_user_burstiness is one",
         "  user-keyed exchange feeding exact integer moments — the",
         "  single-shuffle floor.",
+        "- round 10 measurement notes: the r9 'host-load bubble' read",
+        "  protocol (x1/x4 rows inflated 3-8x, diagnosed by eyeballing",
+        "  neighboring tiers) is replaced by instrumentation — each",
+        "  tier now brackets its query loop with the bench's",
+        "  plan-invariant 500M-row codegen calibration probe (row",
+        "  below: an inflated tier shows an inflated probe, a clean",
+        "  probe means the walls are real), and the cheap x1/x4 tiers",
+        "  run min-of-3. dedup_winnowing_pairs re-measured after the",
+        "  selection-rule fix (true per-window min: a second window",
+        "  aggregate over the same doc-partitioned frame + the",
+        "  full-window filter — same single-exchange shape, selection",
+        "  density unchanged at ~2/(w+1), so the row should track r9's",
+        "  against the same ~128x gram amplification).",
+        "  dedup_winnowing_incremental fingerprints HALF the corpus",
+        "  (the incoming split) and probes the df-capped store — its",
+        "  wall should sit below the pair row's.",
+        "  window_rolling_median is the round-10 row to watch: the",
+        "  7-day range frame materializes O(frame) values per row",
+        "  (median is not combinable), so its wall tracks",
+        "  rows x frame-width; at x64 user-density is constant by",
+        "  construction so growth should stay ~linear — super-linear",
+        "  here would mean the frame is absorbing the amplification",
+        "  (it must not, users are disjoint per copy).",
+        "  retrieval_hybrid_rrf is the join-free union+aggregate",
+        "  fusion; dedup_lsh_bucket_stats is one groupBy over the",
+        "  UNCAPPED band keys (the occupancy histogram the caps are",
+        "  tuned from); graph_clustering_coefficient reuses the",
+        "  session-cached triangle/wedge relation.",
+        "  streaming_late_data_metrics pays three bounded-state",
+        "  windowed drains plus one partitioned rewrite of events per",
+        "  call — expect the drain floor (state commit) to dominate",
+        "  until event volume catches up, as with the other streaming",
+        "  rows.",
         "",
         f"Rows: {json.dumps(rows)}",
+        "",
+        "Per-tier host-speed calibration (bench.py probe, min-of-3,",
+        "measured at tier start / tier end — read a tier's walls",
+        "against these two numbers):",
+        f"Calibration: {json.dumps({f'x{k}': v for k, v in calib.items()})}",
         "",
         "| query | " + " | ".join(f"x{k}" for k in FACTORS) + f" | x{FACTORS[-1]}/x1 |",
         "|---" * (len(FACTORS) + 2) + "|",
