@@ -120,6 +120,13 @@ EXTENSION = [
     "dedup_winnowing_pairs",
     "graph_label_propagation",
     "embeddings_cosine_histogram",
+    # round-10: the corrected winnowing tier's incremental batch probe
+    # (store join is the steady-state ingest cost), cluster-bounded
+    # SemDeDup over the embedding corpus, and the map-only
+    # Gopher-rules corpus readout
+    "dedup_winnowing_incremental",
+    "dedup_semdedup",
+    "text_gopher_rules",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")
