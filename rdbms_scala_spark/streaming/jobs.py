@@ -647,6 +647,122 @@ def view_purchase_attribution(ev: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "streaming_stream_stream_outer_join",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT epoch_us(max(ts)) // 1000 FROM v),
+                     (SELECT epoch_us(max(ts)) // 1000 FROM p))
+               - 3600000 AS wm_ms
+    ),
+    matched AS (
+        SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+               p.value AS purchase_value
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    ),
+    unmatched AS (
+        SELECT v.user_id, v.event_id AS view_id,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS BIGINT) AS gap_us,
+               CAST(NULL AS DOUBLE) AS purchase_value
+        FROM v, wm
+        WHERE v.event_id NOT IN (SELECT view_id FROM matched)
+          AND epoch_us(v.ts) // 1000 + 7200000 < wm_ms
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched
+    ORDER BY view_id, purchase_id
+    """,
+    tags=("streaming", "join", "outer", "watermark", "scale"),
+)
+def streaming_stream_stream_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every view
+    is attributed to its 2-hour purchases, and a view with NO purchase
+    is still emitted — with NULLs — once the watermark proves no match
+    can ever arrive (the funnel-abandonment topology: inner join
+    answers 'who converted', this answers 'who did NOT'). The outer
+    side is the semantically hard half of streaming joins: a null row
+    is a NEGATIVE claim, only safe to emit at state eviction.
+
+    The oracle replays the emission rule exactly: matched pairs are
+    watermark-independent (as in the inner sibling); a null row
+    appears iff the view is unmatched AND its join window is fully
+    below the final global watermark — min over both sides of
+    floor-to-ms(max event time) minus the 1-hour delay — i.e.
+    view_ts + 2h < watermark, the point the engine evicts the view's
+    state. Unmatched views inside the trailing window are withheld
+    (still in state when the bounded drain ends), exactly as on an
+    unbounded stream — the oracle excludes them by the same
+    predicate, so the check is exact, not rows-only. (Boundary ties
+    between view_ts + 2h and the ms-quantized watermark would
+    distinguish < from <=; none exist in any testdata tier, and the
+    pinned predicate matches the engine's eviction boundary row for
+    row.)
+
+    Scale shape: identical to streaming_stream_stream_join — state
+    hash-partitioned on user_id, both sides' retention bounded by the
+    interval condition, state partitions sized to state volume
+    (_SS_JOIN_STATE_PARTITIONS). The outer join adds no state: null
+    emission rides the eviction pass the inner join already does."""
+    ev = read_events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "purchase_ts >= view_ts AND "
+            "purchase_ts <= view_ts + INTERVAL 2 HOURS"
+        ),
+        "left_outer",
+    )
+    out = joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias(
+            "gap_us"
+        ),
+        "purchase_value",
+    )
+    with _conf_override(
+        spark,
+        **{"spark.sql.shuffle.partitions": str(_SS_JOIN_STATE_PARTITIONS)},
+    ):
+        drained = drain_to_table(out, "append")
+    return drained.orderBy("view_id", "purchase_id")
+
+
 def transform_with_state_backend() -> str:
     """Which stateful backend `streaming_transform_with_state` will
     run HERE: "transformWithStateInPandas" when `google.protobuf` (the
