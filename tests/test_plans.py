@@ -559,3 +559,39 @@ def test_winnowing_window_is_doc_partitioned(spark, sf_dir):
     plan = physical_plan(SPECS["dedup_winnowing_pairs"].fn(spark, sf_dir))
     assert "partial_count" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_semdedup_cluster_bounded_pair_join(spark, sf_dir):
+    """SemDeDup's pair space must stay cluster-bounded: centroid
+    assignment broadcasts the seed set (never a CartesianProduct
+    against the corpus), the within-cluster pair join is an equi-join
+    on cent_id, and everything stays JVM-side."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["dedup_semdedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_gopher_rules_single_pass(spark, sf_dir):
+    """The Gopher-rules report is one map-only flag pass + one global
+    aggregate: no join, no window, no Python eval — the cheapest
+    corpus-readout plan shape."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["text_gopher_rules"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_winnowing_incremental_probe_shape(spark, sf_dir):
+    """The incremental probe must stay an equi-join pipeline (store
+    probe on h, split via broadcast 1-row cross join) with partial
+    aggregation below the shuffles — cartesian-free."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["dedup_winnowing_incremental"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
