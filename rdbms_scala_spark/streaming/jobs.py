@@ -1064,7 +1064,20 @@ def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy(F.window("ts", "1 hour"))
                 .agg(F.count(F.lit(1)).alias("n"))
             )
-            dropped, finalized = _drain_with_progress(agg)
+            # State partitions sized to state volume, not the batch
+            # shuffle default — each store pays a fixed commit cost
+            # per micro-batch (x4 micro-batches x3 delays here), which
+            # at 32 inherited partitions dominated this query's wall
+            # (the same profile as _SS_JOIN_STATE_PARTITIONS).
+            with _conf_override(
+                spark,
+                **{
+                    "spark.sql.shuffle.partitions": str(
+                        _SS_JOIN_STATE_PARTITIONS
+                    )
+                },
+            ):
+                dropped, finalized = _drain_with_progress(agg)
             rows.append((delay_min, dropped, finalized))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
