@@ -427,9 +427,14 @@ def main() -> None:
         "  run min-of-3. dedup_winnowing_pairs re-measured after the",
         "  selection-rule fix (true per-window min: a second window",
         "  aggregate over the same doc-partitioned frame + the",
-        "  full-window filter — same single-exchange shape, selection",
-        "  density unchanged at ~2/(w+1), so the row should track r9's",
-        "  against the same ~128x gram amplification).",
+        "  full-window filter — same single-exchange shape). The fix",
+        "  also collapsed the row's x64 wall (r9 20.4 s -> 1.7 s): the",
+        "  old trailing-frame h==wmin rule selected EVERY member of an",
+        "  equal-hash run, and marker-interleaved text is full of",
+        "  repeated grams, so the r9 fingerprint relation was inflated",
+        "  far past the true ~2/(w+1) density; per-window min +",
+        "  DISTINCT keeps exact selection — the correctness fix was",
+        "  also the scale fix.",
         "  dedup_winnowing_incremental fingerprints HALF the corpus",
         "  (the incoming split) and probes the df-capped store — its",
         "  wall should sit below the pair row's.",
