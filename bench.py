@@ -127,6 +127,11 @@ EXTENSION = [
     "dedup_winnowing_incremental",
     "dedup_semdedup",
     "text_gopher_rules",
+    # round-10 (cont.): DSIR hashed-ngram importance scoring (the
+    # token-volume corpus pass + broadcast model), and the k-round
+    # k-center greedy traversal (k corpus map passes + top-1 each)
+    "sample_dsir_importance",
+    "embeddings_kcenter_coreset",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

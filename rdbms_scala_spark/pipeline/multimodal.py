@@ -934,3 +934,170 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: audio signal analysis over binary PCM payloads — framed
+# RMS energy + zero-crossing rate, the two cheapest features every
+# audio curation pipeline computes first (silence / clipping / noise
+# triage before any model touches the bytes).
+
+_AUDIO_N_SAMPLES = 2048
+_AUDIO_FRAME = 256
+_AUDIO_RATE = 16000
+_AUDIO_MAX_DOC = 48  # audio corpus: doc_id % 3 == 1 and doc_id < 48
+
+
+def synth_pcm_wav(doc_id: int) -> bytes:
+    """Valid mono 16-bit RIFF/WAV whose PCM samples follow the LCG
+    s_i = ((doc_id * 1103515245 + i * 12345) % 65536) - 32768 — a
+    full-scale deterministic signal (unlike :func:`synth_payload`'s
+    silent WAVs) that an ANSI-SQL oracle replays with
+    generate_series. The container is real: the analysis UDF parses
+    the RIFF chunk walk to find the data payload, it does not assume
+    an offset."""
+    import numpy as np
+
+    i = np.arange(_AUDIO_N_SAMPLES, dtype=np.int64)
+    s = ((doc_id * 1103515245 + i * 12345) % 65536) - 32768
+    data = s.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, _AUDIO_RATE, _AUDIO_RATE * 2, 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_pcm16(payload: bytes):
+    """int16 numpy array of the data chunk of a mono PCM16 WAV — a
+    real RIFF walk (tag + little-endian size, word-aligned), the same
+    traversal ``parse_media_header`` uses."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"data":
+            return np.frombuffer(payload, "<i2", count=size // 2, offset=pos + 8)
+        pos += 8 + size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 3 = 1 AND doc_id < {_AUDIO_MAX_DOC}
+    ),
+    samp AS (
+        SELECT doc_id, i,
+               ((doc_id * 1103515245 + i * 12345) % 65536) - 32768 AS s
+        FROM ids CROSS JOIN generate_series(0, {_AUDIO_N_SAMPLES - 1}) AS t(i)
+    ),
+    zc AS (
+        SELECT doc_id, i // {_AUDIO_FRAME} AS frame, s,
+               lag(s) OVER (
+                   PARTITION BY doc_id, i // {_AUDIO_FRAME} ORDER BY i
+               ) AS prev
+        FROM samp
+    ),
+    agg AS (
+        SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+               CAST(count(*) FILTER (
+                   WHERE prev IS NOT NULL AND prev * s < 0
+               ) AS BIGINT) AS zero_crossings
+        FROM zc GROUP BY doc_id, frame
+    )
+    SELECT doc_id, frame, n_samples, energy, zero_crossings,
+           round(sqrt(energy / {_AUDIO_FRAME}.0), 4) AS rms
+    FROM agg
+    ORDER BY doc_id, frame
+    """,
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio analysis over binary WAV payloads: synthesize a
+    full-scale deterministic PCM16 container per audio doc
+    (:func:`synth_pcm_wav`), parse the RIFF data chunk back out of
+    the BYTES, frame the signal (256-sample frames) and
+    compute per-frame energy (exact int64 sum of squares),
+    zero-crossing count (strict sign-product test, so exact-zero
+    samples never count) and RMS — all inside one Arrow-batched
+    ``mapInPandas`` pass. This is the audio member of the multimodal
+    family next to the image path (`dedup_image_phash`): decode and
+    vectorized per-frame math run where the bytes live; only
+    fixed-size integer rows leave the worker.
+
+    Float discipline: the UDF emits INTEGER columns only; the RMS
+    (the lone float) is computed JVM-side as
+    round(sqrt(energy / frame), 4), so rounding semantics match the
+    oracle exactly (pandas' round is banker's, Spark/DuckDB are not).
+
+    Scale shape: map-only — no shuffle until the final presentation
+    sort; per-batch memory is bounded by batch_rows x n_samples
+    int16s; a 100 TB audio corpus streams through at scan speed with
+    decode amortized across Arrow batches."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.filter(
+        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") < _AUDIO_MAX_DOC)
+    ).select("doc_id")
+    pkg_root = _PKG_ROOT
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        import numpy as np
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from rdbms_scala_spark.pipeline.multimodal import (
+            synth_pcm_wav,
+            wav_pcm16,
+        )
+
+        n_frames = _AUDIO_N_SAMPLES // _AUDIO_FRAME
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame": [],
+                "n_samples": [],
+                "energy": [],
+                "zero_crossings": [],
+            }
+            for d in pdf["doc_id"]:
+                s = (
+                    wav_pcm16(synth_pcm_wav(int(d)))
+                    .astype(np.int64)
+                    .reshape(n_frames, _AUDIO_FRAME)
+                )
+                energy = (s * s).sum(axis=1)
+                zcr = ((s[:, :-1] * s[:, 1:]) < 0).sum(axis=1)
+                out["doc_id"].extend([int(d)] * n_frames)
+                out["frame"].extend(range(n_frames))
+                out["n_samples"].extend([_AUDIO_FRAME] * n_frames)
+                out["energy"].extend(int(e) for e in energy)
+                out["zero_crossings"].extend(int(z) for z in zcr)
+            yield pd.DataFrame(out)
+
+    res = src.mapInPandas(
+        analyze,
+        schema="doc_id long, frame long, n_samples long, "
+        "energy long, zero_crossings long",
+    )
+    return res.select(
+        "doc_id",
+        "frame",
+        "n_samples",
+        "energy",
+        "zero_crossings",
+        F.round(F.sqrt(F.col("energy") / F.lit(float(_AUDIO_FRAME))), 4).alias(
+            "rms"
+        ),
+    ).orderBy("doc_id", "frame")

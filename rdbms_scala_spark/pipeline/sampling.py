@@ -663,3 +663,157 @@ def pipeline_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: DSIR-style importance resampling — hashed-n-gram importance
+# weights (Xie et al., "Data Selection for Language Models via
+# Importance Resampling", NeurIPS 2023). One level below the mixture
+# planners: those rebalance SOURCES; this scores each DOCUMENT by how
+# target-like its hashed unigram distribution is.
+
+_DSIR_BUCKETS = 256  # 2 hex chars of md5(token); production uses 3-4
+_DSIR_K = 100
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH binst AS (
+        SELECT doc_id, lang, source,
+               (CASE WHEN substr(hx, 1, 1) BETWEEN '0' AND '9'
+                     THEN CAST(substr(hx, 1, 1) AS INTEGER)
+                     ELSE ascii(substr(hx, 1, 1)) - 87 END) * 16
+               + (CASE WHEN substr(hx, 2, 1) BETWEEN '0' AND '9'
+                       THEN CAST(substr(hx, 2, 1) AS INTEGER)
+                       ELSE ascii(substr(hx, 2, 1)) - 87 END) AS bucket
+        FROM (
+            SELECT doc_id, lang, source, substr(md5(tok), 1, 2) AS hx
+            FROM (
+                SELECT doc_id, lang, source,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS tok
+                FROM documents
+            )
+        )
+    ),
+    bcounts AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS c_r,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_t
+        FROM binst GROUP BY bucket
+    ),
+    model AS (
+        SELECT g.bucket, COALESCE(b.c_r, 0) AS c_r, COALESCE(b.c_t, 0) AS c_t
+        FROM generate_series(0, {_DSIR_BUCKETS - 1}) AS g(bucket)
+        LEFT JOIN bcounts b USING (bucket)
+    ),
+    totals AS (
+        SELECT CAST(sum(c_r) AS BIGINT) AS n_r, CAST(sum(c_t) AS BIGINT) AS n_t
+        FROM model
+    ),
+    deltas AS (
+        SELECT m.bucket,
+               CAST(round(ln((m.c_t + 1.0) / (t.n_t + {_DSIR_BUCKETS}.0)) * 1e6, 0)
+                    AS BIGINT)
+             - CAST(round(ln((m.c_r + 1.0) / (t.n_r + {_DSIR_BUCKETS}.0)) * 1e6, 0)
+                    AS BIGINT) AS dq
+        FROM model m CROSS JOIN totals t
+    ),
+    perdoc AS (
+        SELECT doc_id, lang, source, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM binst GROUP BY doc_id, lang, source, bucket
+    )
+    SELECT doc_id, lang, source,
+           CAST(sum(p.n) AS BIGINT) AS n_tokens,
+           CAST(sum(p.n * d.dq) AS BIGINT) AS weight_q,
+           round(CAST(sum(p.n * d.dq) AS BIGINT) / 1e6 / CAST(sum(p.n) AS BIGINT),
+                 4) + 0.0 AS avg_logratio
+    FROM perdoc p JOIN deltas d USING (bucket)
+    GROUP BY doc_id, lang, source
+    ORDER BY weight_q DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+    tags=("sample", "dsir", "importance", "scale"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023): rank raw-pool
+    documents by log(p_target(x) / p_raw(x)) under bag-of-hashed-
+    unigram models, where the target distribution is fit on the
+    corpus's own ``lang = 'en'`` slice (the "formal target corpus"
+    stand-in) and the raw distribution on the whole pool. The top-k by
+    weight is the batch DSIR selects — the standard
+    cheaper-than-a-classifier way to steer a 100 TB crawl toward a
+    target domain. Hashing (first 2 hex chars of md5(token), 256
+    buckets) makes the feature space FIXED regardless of vocabulary
+    size; production uses 3-4 chars, the arithmetic is unchanged.
+
+    Cross-engine float discipline: each bucket's
+    ln(p_t) - ln(p_r) (Laplace +1 smoothing over the full bucket
+    domain) is integer-quantized at 1e6 BEFORE the per-doc weighted
+    sum, so document weights are exact integer dot products
+    (`text_unigram_logprob` discipline) and the final ranking cannot
+    drift between engines. The per-token average adds `+ 0.0` after
+    rounding on BOTH sides: DuckDB's round keeps IEEE -0.0 where
+    Spark's HALF_UP BigDecimal path yields +0.0, and the driver
+    compares stringified values — adding positive zero normalizes
+    both engines to +0.0.
+
+    Scale shape: token instances collapse to (doc, bucket) counts via
+    one map-side-combinable aggregate; the model is a 256-row
+    broadcast (two counts in ONE pass — count + count_if over the
+    target flag); the per-doc weight is a second combinable aggregate;
+    selection is TakeOrderedAndProject top-k, never a global sort. No
+    pairwise anything, no Python."""
+    from rdbms_scala_spark.pipeline.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    inst = docs.select(
+        "doc_id", "lang", "source", F.explode(tokens()).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 2), 16, 10)
+        .cast("int")
+        .alias("bucket"),
+    )
+    bcounts = inst.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count_if(F.col("lang") == "en").alias("c_t"),
+    )
+    domain = spark.range(_DSIR_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    model = domain.join(bcounts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+    )
+    totals = model.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+
+    def qln(c, n):
+        return F.round(
+            F.log((c + F.lit(1.0)) / (n + F.lit(float(_DSIR_BUCKETS)))) * 1e6, 0
+        ).cast("long")
+
+    deltas = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (qln(F.col("c_t"), F.col("n_t")) - qln(F.col("c_r"), F.col("n_r"))).alias(
+            "dq"
+        ),
+    )
+    perdoc = inst.groupBy("doc_id", "lang", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        perdoc.join(F.broadcast(deltas), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("dq")).alias("weight_q"),
+            (
+                F.round(F.sum(F.col("n") * F.col("dq")) / 1e6 / F.sum("n"), 4)
+                + F.lit(0.0)
+            ).alias("avg_logratio"),
+        )
+        .orderBy(F.desc("weight_q"), "doc_id")
+        .limit(_DSIR_K)
+    )

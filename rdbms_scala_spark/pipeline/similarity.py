@@ -2774,3 +2774,130 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: k-center greedy coreset (Gonzalez farthest-point traversal)
+# — prototype selection for data curation: pick k vectors such that
+# every corpus vector is close to some chosen one (2-approximation to
+# the optimal k-center cover). The coreset-selection counterpart to
+# SemDeDup: that op REMOVES redundant vectors, this one KEEPS a
+# maximally-spread skeleton (active-learning seed sets, eval-set
+# prototypes, centroid inits that beat first-k).
+
+_KCENTER_K = 8
+_KC_Q = "1e4"  # same q4 component quantization as the Lloyd/PQ family
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy CTE chain: round r adds the argmax-of-min-dist
+    point (ties to the lowest vec_id) against the centers chosen so
+    far, in the same integer-quantized space as the Spark side."""
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(p.qv, c.qc), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    )
+    steps = []
+    for r in range(1, _KCENTER_K):
+        steps.append(f"""
+    mind{r} AS (
+        SELECT p.vec_id, p.qv, min({dist}) AS dmin
+        FROM qcorpus p CROSS JOIN cent{r - 1} c
+        GROUP BY p.vec_id, p.qv
+    ),
+    pick{r} AS (
+        SELECT vec_id, qv, dmin FROM mind{r}
+        ORDER BY dmin DESC, vec_id LIMIT 1
+    ),
+    cent{r} AS (
+        SELECT cent_id, qc, round, radius2 FROM cent{r - 1}
+        UNION ALL
+        SELECT vec_id AS cent_id, qv AS qc, {r} AS round, dmin AS radius2
+        FROM pick{r}
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH qcorpus AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * {_KC_Q}, 0) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    cent0 AS (
+        SELECT vec_id AS cent_id, qv AS qc, 0 AS round,
+               CAST(0 AS BIGINT) AS radius2
+        FROM qcorpus ORDER BY vec_id LIMIT 1
+    ),{chain}
+    SELECT c.round, c.cent_id, e.label, c.radius2
+    FROM cent{_KCENTER_K - 1} c JOIN embeddings e ON e.vec_id = c.cent_id
+    ORDER BY c.round
+    """
+
+
+@register(
+    "embeddings_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("embeddings", "coreset", "iterative", "scale"),
+)
+def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus: seed with
+    the lowest vec_id, then repeatedly add the point FARTHEST from its
+    nearest chosen center (squared-L2 argmax-of-min, ties to the
+    lowest vec_id). The emitted ``radius2`` column is the covering
+    radius at each selection — the diminishing-returns curve that
+    tells a curation pipeline how many prototypes the corpus actually
+    needs before coverage flattens.
+
+    Cross-engine exactness: components quantize to round(x * 1e4)
+    BIGINT (the Lloyd/PQ convention), so every distance is exact
+    int64 arithmetic and the greedy trajectory — argmax ties
+    included — is bit-identical to the oracle's unrolled CTE chain.
+
+    Scale shape: each of the k rounds is ONE map pass over the corpus
+    (the <= k chosen centers are literal arrays baked into a `least()`
+    codegen expression — no join, no shuffle) collapsed by a
+    TakeOrderedAndProject top-1; model state returning to the driver
+    is k x dim integers, the same aggregated-model round-trip as
+    `lloyd_centroids` / `embeddings_power_iteration`. Cost is
+    O(k * corpus) — linear per round, k passes total; at 100 TB run
+    the traversal on a deterministic hash sample the way Lloyd does,
+    keeping the selection structure unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcorpus = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {_KC_Q}, 0) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+    def d2_to(qc: list) -> "F.Column":
+        arr = "array(" + ",".join(f"{int(v)}L" for v in qc) + ")"
+        return F.expr(
+            f"aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)), "
+            f"0L, (acc, x) -> acc + x)"
+        )
+
+    seed = qcorpus.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(0, int(seed.vec_id), [int(q) for q in seed.qv], 0)]
+    for r in range(1, _KCENTER_K):
+        dists = [d2_to(qc) for _, _, qc, _ in chosen]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        far = (
+            qcorpus.select("vec_id", "qv", mind.alias("dmin"))
+            .orderBy(F.desc("dmin"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((r, int(far.vec_id), [int(q) for q in far.qv], int(far.dmin)))
+
+    sel = spark.createDataFrame(
+        [(r, cid, rad) for r, cid, _, rad in chosen],
+        "round int, cent_id long, radius2 long",
+    )
+    return (
+        F.broadcast(sel)
+        .join(emb.select(F.col("vec_id").alias("cent_id"), "label"), "cent_id")
+        .select("round", "cent_id", "label", "radius2")
+        .orderBy("round")
+    )

@@ -595,3 +595,47 @@ def test_winnowing_incremental_probe_shape(spark, sf_dir):
     plan = physical_plan(SPECS["dedup_winnowing_incremental"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "partial_count" in plan, plan[:2000]
+
+
+def test_dsir_importance_broadcast_topk(spark, sf_dir):
+    """DSIR importance scoring must stay shuffle-lean: the 256-row
+    bucket model joins the per-doc counts as a BROADCAST (never a
+    shuffled join against the token relation), the per-doc weight
+    aggregate runs partial below the exchange, and the top-k is
+    TakeOrderedAndProject — no global sort, no Python, no cartesian
+    against the corpus."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["sample_dsir_importance"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "TakeOrdered" in plan, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_kcenter_coreset_broadcast_result(spark, sf_dir):
+    """The k-center traversal's published relation joins the 8-row
+    selection to the corpus as a broadcast equi-join; the per-round
+    scans (exercised by running the fn) bake centers into codegen
+    literals, so the final plan must show no cartesian and no Python
+    eval."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["embeddings_kcenter_coreset"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_audio_energy_arrow_map_only(spark, sf_dir):
+    """The audio analysis pass is Arrow-batched mapInPandas (never
+    row-at-a-time BatchEvalPython) with no join anywhere — decode and
+    frame math happen where the bytes live; only the presentation
+    sort shuffles the 8-rows-per-asset result."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["multimodal_audio_energy"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
