@@ -945,7 +945,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUDIO_N_SAMPLES = 2048
 _AUDIO_FRAME = 256
 _AUDIO_RATE = 16000
-_AUDIO_MAX_DOC = 48  # audio corpus: doc_id % 3 == 1 and doc_id < 48
 
 
 def synth_pcm_wav(doc_id: int) -> bytes:
@@ -991,8 +990,7 @@ def wav_pcm16(payload: bytes):
     "multimodal_audio_energy",
     oracle=f"""
     WITH ids AS (
-        SELECT doc_id FROM documents
-        WHERE doc_id % 3 = 1 AND doc_id < {_AUDIO_MAX_DOC}
+        SELECT doc_id FROM documents WHERE doc_id % 3 = 1
     ),
     samp AS (
         SELECT doc_id, i,
@@ -1045,9 +1043,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     int16s; a 100 TB audio corpus streams through at scan speed with
     decode amortized across Arrow batches."""
     docs = load_table(spark, sf_dir, "documents")
-    src = docs.filter(
-        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") < _AUDIO_MAX_DOC)
-    ).select("doc_id")
+    src = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
     pkg_root = _PKG_ROOT
 
     def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

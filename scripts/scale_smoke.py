@@ -154,6 +154,17 @@ QUERIES = (
     "graph_clustering_coefficient",
     "dedup_winnowing_incremental",
     "streaming_late_data_metrics",
+    # round-10 batch 2: DSIR importance (token-volume corpus pass +
+    # 256-row broadcast model — read against the ~128x token
+    # amplification like the other token-stream ops), the k-center
+    # greedy traversal (8 corpus map passes + top-1 each, so ~8x the
+    # linear scan floor), and framed audio energy (map-only
+    # mapInPandas over the doc_id % 3 == 1 corpus; per-copy offsets
+    # put all amplified copies' assets on fresh doc_ids, so asset
+    # count tracks the corpus factor exactly).
+    "sample_dsir_importance",
+    "embeddings_kcenter_coreset",
+    "multimodal_audio_energy",
 )
 
 
