@@ -132,6 +132,7 @@ EXTENSION = [
     # k-center greedy traversal (k corpus map passes + top-1 each)
     "sample_dsir_importance",
     "embeddings_kcenter_coreset",
+    "sample_coverage_greedy",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

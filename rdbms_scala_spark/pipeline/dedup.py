@@ -381,6 +381,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIR_CACHE: dict[tuple[str, str, int], tuple[str, DataFrame]] = {}
+_SHINGLE_CACHE: dict[tuple[str, str, int], tuple[str, DataFrame]] = {}
 
 
 def _table_fingerprint(sf_dir: str, name: str) -> str:
@@ -450,6 +451,34 @@ def cached_jaccard_pairs(
         .localCheckpoint(eager=True)
     )
     _PAIR_CACHE[key] = (fp, df)
+    return df
+
+
+def cached_doc_shingles(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """The distinct (doc_id, shingle) relation, materialized ONCE per
+    (session, sf_dir, n) behind an eager ``localCheckpoint`` — the
+    shared input for iterative consumers that scan it several times
+    per call (``sample_coverage_greedy`` reads it ~2k times for k
+    greedy rounds; without the checkpoint every round replays the
+    tokenize + explode + distinct). Same staleness contract as
+    ``cached_jaccard_pairs``: entries are keyed on the documents
+    table's file fingerprint and rebuilt when it changes."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), n)
+    fp = _table_fingerprint(sf_dir, "documents")
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    if hit is not None:
+        try:  # free the superseded checkpoint's blocks eagerly
+            hit[1]._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass  # ContextCleaner reclaims once the dict ref is gone
+        del _SHINGLE_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents")
+    df = shingles_df(docs, n=n, distinct=True).localCheckpoint(eager=True)
+    _SHINGLE_CACHE[key] = (fp, df)
     return df
 
 

@@ -817,3 +817,156 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight_q"), "doc_id")
         .limit(_DSIR_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: submodular max-coverage greedy — the token-space
+# counterpart to embeddings_kcenter_coreset: that op spreads
+# prototypes in EMBEDDING space; this one picks the k documents whose
+# shingle sets jointly cover the most of the corpus vocabulary
+# (Nemhauser et al. 1978: the greedy is a (1 - 1/e)-approximation to
+# the NP-hard optimum), the classic coverage objective for training-
+# subset selection.
+
+_COVERAGE_K = 5
+_COVERAGE_N = 3  # word n-gram order, matches the dedup shingle tier
+
+
+def coverage_gain_pass(sh: DataFrame, selected_ids: list) -> DataFrame:
+    """One greedy round's marginal-gain relation, ranked: the covered
+    set (distinct shingles of the docs chosen so far — broadcast-sized
+    by construction, <= k docs) anti-joins the shingle relation, the
+    remainder counts per doc (map-side combinable), and the ordering
+    feeds a TakeOrderedAndProject top-1 at the caller's `.limit(1)`.
+    Shared by the query loop and the plan-pin test so the pinned plan
+    IS the executed plan."""
+    covered = (
+        sh.filter(F.col("doc_id").isin(selected_ids))
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.join(F.broadcast(covered), "shingle", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("gain"))
+        .orderBy(F.desc("gain"), "doc_id")
+    )
+
+
+def _coverage_oracle() -> str:
+    """Unrolled greedy CTE chain: round r counts each doc's NOT-YET-
+    COVERED distinct shingles, picks the argmax (ties to the lowest
+    doc_id), and folds its shingles into the covered set."""
+    steps = []
+    final = []
+    for r in range(_COVERAGE_K):
+        prev_sel = (
+            "SELECT doc_id FROM sh WHERE 1 = 0"
+            if r == 0
+            else " UNION ALL ".join(
+                f"SELECT doc_id FROM pick{i}" for i in range(r)
+            )
+        )
+        steps.append(f"""
+    sel{r} AS ({prev_sel}),
+    cov{r} AS (
+        SELECT DISTINCT s.shingle FROM sh s
+        WHERE s.doc_id IN (SELECT doc_id FROM sel{r})
+    ),
+    gain{r} AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain
+        FROM sh s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cov{r} c WHERE c.shingle = s.shingle
+        )
+        GROUP BY s.doc_id
+    ),
+    pick{r} AS (
+        SELECT doc_id, gain FROM gain{r} ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    total{r} AS (
+        SELECT CAST(count(DISTINCT s.shingle) AS BIGINT) AS covered_total
+        FROM sh s
+        WHERE s.doc_id IN (SELECT doc_id FROM sel{r}
+                           UNION ALL SELECT doc_id FROM pick{r})
+    )""")
+        final.append(
+            f"SELECT {r} AS round, p.doc_id, p.gain, t.covered_total "
+            f"FROM pick{r} p CROSS JOIN total{r} t"
+        )
+    chain = ",".join(steps)
+    body = " UNION ALL ".join(final)
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), LATERAL (
+                SELECT unnest(generate_series(1, len(t) - {_COVERAGE_N - 1}))
+                    AS i
+            )
+            WHERE len(t) >= {_COVERAGE_N}
+        )
+    ),{chain}
+    SELECT round, doc_id, gain, covered_total FROM ({body})
+    ORDER BY round
+    """
+
+
+@register(
+    "sample_coverage_greedy",
+    oracle=_coverage_oracle(),
+    tags=("sample", "coreset", "iterative", "scale"),
+)
+def sample_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage subset selection over word 3-gram
+    shingles: k rounds, each adding the document with the most
+    not-yet-covered distinct shingles (marginal gain; ties to the
+    lowest doc_id). Emits the selection trajectory — (round, doc_id,
+    marginal gain, cumulative distinct shingles covered) — whose
+    flattening gain curve is the submodular diminishing-returns
+    readout, the coverage twin of `embeddings_kcenter_coreset`'s
+    radius curve.
+
+    Scale shape per round: the shingle relation is the session-cached
+    ``cached_doc_shingles`` checkpoint (derived once per session, the
+    pagerank/minhash shared-materialization discipline — the greedy
+    reads it ~2k times, so re-deriving tokenize+explode+distinct per
+    round would dominate); the covered set is the distinct shingles
+    of the <= k docs chosen so far — broadcast-sized by construction
+    — so the marginal-gain pass is ONE broadcast left-anti join over
+    the cached relation feeding a map-side-combinable per-doc count,
+    collapsed by TakeOrderedAndProject top-1; the coverage total is a
+    count over the same broadcast-scale selected-doc slice. Model
+    state returning to the driver is (doc_id, gain, total) per round,
+    k rounds total — O(k * corpus-shingles) overall, no pairwise
+    anything. The DuckDB oracle unrolls the identical greedy chain,
+    so the trajectory (ties included) is replayed exactly."""
+    from rdbms_scala_spark.pipeline.dedup import cached_doc_shingles
+
+    sh = cached_doc_shingles(spark, sf_dir, n=_COVERAGE_N)
+
+    selected: list[tuple[int, int, int, int]] = []
+    for r in range(_COVERAGE_K):
+        ids = [d for _, d, _, _ in selected]
+        pick = (
+            coverage_gain_pass(sh, ids).limit(1).collect()[0]
+        )
+        total = (
+            sh.filter(F.col("doc_id").isin(ids + [int(pick.doc_id)]))
+            .select("shingle")
+            .distinct()
+            .count()
+        )
+        selected.append((r, int(pick.doc_id), int(pick.gain), int(total)))
+
+    return (
+        spark.createDataFrame(
+            selected, "round int, doc_id long, gain long, covered_total long"
+        )
+        .orderBy("round")
+    )

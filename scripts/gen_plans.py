@@ -19,7 +19,11 @@ names = ["tpch_q1","tpch_q3","tpch_q5","tpch_q6","tpch_q9","tpch_q18","join_skew
 # PartitionFilters; the LSH triangle tier's bounded candidate join;
 # the sketch stats pass (no exact-NDV Expand); kNN vote's two-level
 # WindowGroupLimit; the segmented sweep's two-pass window chain
-"scan_dynamic_partition_pruning","graph_triangle_count_lsh","maintenance_table_stats_sketch","embeddings_knn_vote","events_concurrent_sessions_segmented"]
+"scan_dynamic_partition_pruning","graph_triangle_count_lsh","maintenance_table_stats_sketch","embeddings_knn_vote","events_concurrent_sessions_segmented",
+# round 10: DSIR must show the 256-row broadcast model join + a
+# TakeOrderedAndProject top-k (no global sort over the corpus); the
+# audio pass must be MapInPandas (Arrow), never BatchEvalPython
+"sample_dsir_importance","multimodal_audio_energy"]
 out = io.StringIO()
 out.write("""# PLANS — physical plans of headline queries (generated)
 

@@ -165,6 +165,10 @@ QUERIES = (
     "sample_dsir_importance",
     "embeddings_kcenter_coreset",
     "multimodal_audio_energy",
+    # round-10 batch 3: the max-coverage greedy — k broadcast-anti
+    # passes over the shingle relation (token-volume op: read against
+    # the ~128x shingle amplification like DSIR above).
+    "sample_coverage_greedy",
 )
 
 

@@ -639,3 +639,24 @@ def test_audio_energy_arrow_map_only(spark, sf_dir):
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_coverage_greedy_gain_pass_shape(spark, sf_dir):
+    """The max-coverage greedy's per-round marginal-gain pass must be
+    a BROADCAST left-anti join (the covered set is <= k docs' shingles)
+    over the shingle relation feeding a partial-count aggregate, with
+    the top-1 a TakeOrderedAndProject — no shuffled anti-join, no
+    cartesian, no Python."""
+    from rdbms_scala_spark.pipeline.dedup import shingles_df
+    from rdbms_scala_spark.pipeline.sampling import coverage_gain_pass
+    from rdbms_scala_spark.plans import physical_plan
+
+    from rdbms_scala_spark.catalog import load_table
+
+    sh = shingles_df(load_table(spark, sf_dir, "documents"), n=3)
+    plan = physical_plan(coverage_gain_pass(sh, [0, 1]).limit(1))
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
+    assert "TakeOrdered" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
