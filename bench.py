@@ -133,6 +133,7 @@ EXTENSION = [
     "sample_dsir_importance",
     "embeddings_kcenter_coreset",
     "sample_coverage_greedy",
+    "similarity_kmeans_parallel_init",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

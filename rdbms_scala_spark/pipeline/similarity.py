@@ -572,7 +572,9 @@ def lloyd_centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _LLOYD_ITERS) 
     that DuckDB replays verbatim in chained CTEs (the
     ``graph_pagerank`` playbook applied to clustering; MLlib's KMeans
     gives the same Lloyd structure but an SQL-irreproducible k-means||
-    init, which is what kept this query rows-only until round 7).
+    init, which is what kept this query rows-only until round 7 —
+    round 10's `similarity_kmeans_parallel_init` closes that gap with
+    a deterministic md5-coin k-means|| whose draws the oracle replays).
 
     Scale shape per iteration: assignment is a map-only pass against
     the broadcast k x dim centroid table collapsed by one ``min_by``
@@ -2900,4 +2902,178 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb.select(F.col("vec_id").alias("cent_id"), "label"), "cent_id")
         .select("round", "cent_id", "label", "radius2")
         .orderBy("round")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: deterministic k-means|| oversampling init (Bahmani et al.,
+# VLDB 2012) — the scalable k-means++ replacement. MLlib's own
+# implementation is rand()-seeded and therefore SQL-irreproducible
+# (the reason `lloyd_centroids` seeds with first-k); replacing the
+# random draws with the repo's md5-coin / hex-threshold idiom makes
+# the ENTIRE init — potentials, oversampling draws, final weights —
+# an exact cross-engine computation.
+
+_KMPP_ROUNDS = 3
+_KMPP_L = 8  # oversampling factor per round (the paper's l)
+
+
+def _kmpp_oracle() -> str:
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(p.qv, c.qc), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    )
+    steps = []
+    for r in range(1, _KMPP_ROUNDS + 1):
+        steps.append(f"""
+    dmin{r} AS (
+        SELECT p.vec_id, p.qv, min({dist}) AS d2
+        FROM qcorpus p CROSS JOIN cent{r - 1} c
+        GROUP BY p.vec_id, p.qv
+    ),
+    phi{r} AS (SELECT CAST(sum(d2) AS BIGINT) AS phi FROM dmin{r}),
+    cand{r} AS (
+        SELECT d.vec_id, d.qv
+        FROM dmin{r} d CROSS JOIN phi{r} t
+        WHERE d.d2 > 0 AND t.phi > 0
+          AND substr(md5('kmpp:{r}:' || CAST(d.vec_id AS VARCHAR)), 1, 8)
+              < lower(lpad(hex(LEAST(CAST(floor(
+                    LEAST(1.0, CAST({_KMPP_L} * d.d2 AS DOUBLE)
+                               / CAST(t.phi AS DOUBLE))
+                    * 4294967296.0) AS BIGINT), 4294967295)), 8, '0'))
+    ),
+    cent{r} AS (
+        SELECT cent_id, qc, round FROM cent{r - 1}
+        UNION ALL
+        SELECT vec_id AS cent_id, qv AS qc, {r} AS round FROM cand{r}
+    )""")
+    chain = ",".join(steps)
+    last = f"cent{_KMPP_ROUNDS}"
+    return f"""
+    WITH qcorpus AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * {_KC_Q}, 0) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    cent0 AS (
+        SELECT vec_id AS cent_id, qv AS qc, 0 AS round
+        FROM qcorpus ORDER BY vec_id LIMIT 1
+    ),{chain},
+    assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT p.vec_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id ORDER BY {dist}, c.cent_id
+                   ) AS rn
+            FROM qcorpus p CROSS JOIN {last} c
+        ) WHERE rn = 1
+    )
+    SELECT c.cent_id, c.round AS round_added,
+           COALESCE(a.n, 0) AS weight
+    FROM {last} c LEFT JOIN (
+        SELECT cent_id, CAST(count(*) AS BIGINT) AS n
+        FROM assign GROUP BY cent_id
+    ) a USING (cent_id)
+    ORDER BY round_added, cent_id
+    """
+
+
+@register(
+    "similarity_kmeans_parallel_init",
+    oracle=_kmpp_oracle(),
+    tags=("similarity", "kmeans", "iterative", "scale"),
+)
+def similarity_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means|| initialization (Bahmani et al. 2012):
+    seed with the lowest vec_id, then for each of 3 rounds draw every
+    point independently with probability min(1, l * d2 / phi) — d2 its
+    squared distance to the nearest chosen center, phi the summed
+    potential — and add the draws to the center set; finally weight
+    each center by the number of corpus points it is nearest to (the
+    weights the down-stream weighted clustering consumes). The draw
+    is the md5-coin / hex-threshold idiom (`sample_quality_weighted`'s
+    trick applied per (round, vec_id)), and distances/potentials are
+    exact int64 in the Lloyd 1e4-quantized space, so the whole init —
+    draws included — is replayed bit-exactly by the DuckDB oracle.
+    This closes the gap `lloyd_centroids` documents: MLlib's k-means||
+    is rand()-seeded and SQL-irreproducible; this variant is the same
+    algorithm with a reproducible coin.
+
+    Scale shape per round: one map pass computes d2 against the <= 25
+    chosen centers (codegen `least` over literal arrays — no join),
+    one combinable sum produces phi, and the Bernoulli filter is
+    map-only; candidates returning to the driver are O(l) rows
+    (expectation l per round, the paper's bound). The final weighting
+    is the Lloyd assignment shape: broadcast center table, min_by
+    argmin, combinable count. O(rounds * corpus) total, no pairwise
+    anything."""
+    from rdbms_scala_spark.pipeline.sampling import _hex_threshold
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcorpus = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {_KC_Q}, 0) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+    def d2_to(qc: list) -> "F.Column":
+        arr = "array(" + ",".join(f"{int(v)}L" for v in qc) + ")"
+        return F.expr(
+            f"aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)), "
+            f"0L, (acc, x) -> acc + x)"
+        )
+
+    seed = qcorpus.orderBy("vec_id").limit(1).collect()[0]
+    centers: list[tuple[int, list, int]] = [(int(seed.vec_id), list(seed.qv), 0)]
+    for r in range(1, _KMPP_ROUNDS + 1):
+        dists = [d2_to(qc) for _, qc, _ in centers]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        base = qcorpus.select("vec_id", "qv", dmin.alias("d2"))
+        phi = base.agg(F.sum("d2")).collect()[0][0]
+        if not phi:
+            break
+        rate = F.least(
+            F.lit(1.0),
+            (F.lit(_KMPP_L) * F.col("d2")).cast("double") / F.lit(float(phi)),
+        )
+        coin = F.substring(
+            F.md5(F.concat(F.lit(f"kmpp:{r}:"), F.col("vec_id").cast("string"))),
+            1,
+            8,
+        )
+        cands = (
+            base.filter((F.col("d2") > 0) & (coin < _hex_threshold(rate)))
+            .select("vec_id", "qv")
+            .collect()
+        )
+        for row in sorted(cands, key=lambda x: x.vec_id):
+            centers.append((int(row.vec_id), list(row.qv), r))
+
+    cent_df = spark.createDataFrame(
+        [(cid, qc, rnd) for cid, qc, rnd in centers],
+        "cent_id long, qc array<bigint>, round int",
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qv, qc, (a, b) -> (a - b) * (a - b)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    counts = (
+        qcorpus.crossJoin(F.broadcast(cent_df.select("cent_id", "qc")))
+        .select("vec_id", "cent_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cent_id", F.struct("d2", "cent_id")).alias("cent_id"))
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cent_df.join(counts, "cent_id", "left")
+        .select(
+            "cent_id",
+            F.col("round").alias("round_added"),
+            F.coalesce("n", F.lit(0)).alias("weight"),
+        )
+        .orderBy("round_added", "cent_id")
     )

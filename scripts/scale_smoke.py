@@ -169,6 +169,10 @@ QUERIES = (
     # passes over the shingle relation (token-volume op: read against
     # the ~128x shingle amplification like DSIR above).
     "sample_coverage_greedy",
+    # round-10 batch 4: deterministic k-means|| init — 3 rounds of
+    # (codegen d2 map pass + combinable phi sum + map-only Bernoulli
+    # draw) + one broadcast assignment pass for the weights.
+    "similarity_kmeans_parallel_init",
 )
 
 

@@ -660,3 +660,19 @@ def test_coverage_greedy_gain_pass_shape(spark, sf_dir):
     assert "partial_count" in plan, plan[:2000]
     assert "TakeOrdered" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_kmeans_parallel_init_weighting_shape(spark, sf_dir):
+    """The k-means|| final weighting must be the Lloyd assignment
+    shape: the center table broadcast against the corpus (never a
+    shuffled or cartesian pairing), min_by argmin collapsed by a
+    partial-count aggregate — JVM-side throughout."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(
+        SPECS["similarity_kmeans_parallel_init"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
