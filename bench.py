@@ -134,6 +134,7 @@ EXTENSION = [
     "embeddings_kcenter_coreset",
     "sample_coverage_greedy",
     "similarity_kmeans_parallel_init",
+    "dedup_minhash_bbit",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -3173,3 +3173,144 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4
         ).alias("global_clustering"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: b-bit minwise hashing (Li & Koenig, WWW 2010) — the
+# storage-compression variant of the MinHash family: keep only the
+# lowest b bits of each permutation minimum and correct the collision
+# inflation analytically.
+
+_BBIT_C = 1.0 / 16.0  # P[collision | disjoint] for b = 4 bits
+
+
+def _minhash_bbit_oracle() -> str:
+    """Candidate replay of `_minhash_oracle` (same signatures, bands,
+    cap, pair set, no threshold) emitting the full-signature estimate
+    next to the b = 4 bit corrected estimator (the last hex char of
+    each 8-hex permutation min IS the low 4 bits)."""
+    h = [
+        f"min(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(_NUM_PERM)
+    ]
+    bands = []
+    for b in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"h{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM sig")
+    matches = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_PERM)
+    )
+    bmatches = " + ".join(
+        f"(CASE WHEN substr(x.h{i}, 8, 1) = substr(y.h{i}, 8, 1) "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(_NUM_PERM)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    sig AS (
+        SELECT doc_id, {', '.join(h)}
+        FROM sh GROUP BY doc_id
+    ),
+    bands_all AS (
+        {' UNION ALL '.join(bands)}
+    ),
+    bands AS (
+        SELECT doc_id, band, band_hash FROM (
+            SELECT bands_all.*,
+                   count(*) OVER (PARTITION BY band, band_hash) AS bn
+            FROM bands_all
+        ) WHERE bn <= {_BAND_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT doc_a, doc_b,
+               ({matches}) / {_NUM_PERM}.0 AS e_full,
+               ({bmatches}) / {_NUM_PERM}.0 AS e_raw
+        FROM cand
+        JOIN sig x ON x.doc_id = doc_a
+        JOIN sig y ON y.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(e_full, 4) AS est_full,
+           round((e_raw - {_BBIT_C}) / (1.0 - {_BBIT_C}), 4) + 0.0 AS est_bbit,
+           round(abs(e_full - (e_raw - {_BBIT_C}) / (1.0 - {_BBIT_C})), 4)
+               AS abs_gap
+    FROM est
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_minhash_bbit",
+    oracle=_minhash_bbit_oracle(),
+    tags=("dedup", "minhash", "sketch", "evaluation", "scale"),
+)
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing readout (Li & Koenig 2010): store only
+    the LOW 4 BITS of each of the 32 permutation minima (the last hex
+    char — an 8x signature-storage cut vs the 8-hex values) and
+    correct the disjoint-set collision inflation with the paper's
+    unbiased estimator J = (E - C) / (1 - C), C = 2^-b. Emitted per
+    LSH candidate pair next to the full-signature estimate and the
+    absolute gap — the compression-accuracy table that says whether
+    the 8x smaller sketch can replace the full one at a given
+    threshold (at J ~ 0.7 and b = 4 the extra variance is small; the
+    gap column shows it on real candidates). Complements
+    `dedup_minhash_calibration`, which compares the FULL signature
+    against exact Jaccard.
+
+    Cross-engine floats: both estimates are exact binary fractions
+    k/32; C = 1/16 and 1 - C = 15/16 are exact binary, so the
+    corrected estimator is one IEEE division performed identically —
+    rounded 4dp with the `+ 0.0` negative-zero normalization (a
+    disjoint-ish pair can land E < C, a small negative estimate kept
+    as-is: clamping would bias the table's gap column).
+
+    Scale shape: reuses the session-cached (signatures, candidates)
+    relation (`cached_minhash_sig_cand` — bucket-cap-bounded pair
+    set), then per-pair zip_with counts in codegen: no new shuffle,
+    no Python, cost linear in candidates."""
+    sig, cand = cached_minhash_sig_cand(spark, sf_dir)
+    e_full = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    ) / F.lit(_NUM_PERM)
+    e_raw = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, "
+        "(x, y) -> substring(x, 8, 1) = substring(y, 8, 1)), v -> v))"
+    ) / F.lit(_NUM_PERM)
+    corrected = (e_raw - F.lit(_BBIT_C)) / (F.lit(1.0) - F.lit(_BBIT_C))
+    return (
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(e_full, 4).alias("est_full"),
+            (F.round(corrected, 4) + F.lit(0.0)).alias("est_bbit"),
+            F.round(F.abs(e_full - corrected), 4).alias("abs_gap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

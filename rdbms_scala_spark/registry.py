@@ -72,7 +72,8 @@ def _family(name: str) -> str:
 # Round-10 batches 2-4 additions are first-exposure (never in this
 # set, so they lead the prefix automatically): sample_dsir_importance,
 # embeddings_kcenter_coreset, multimodal_audio_energy,
-# sample_coverage_greedy, similarity_kmeans_parallel_init.
+# sample_coverage_greedy, similarity_kmeans_parallel_init,
+# dedup_minhash_bbit.
 _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentiles", "agg_arg_extremes",
     "agg_bool_aggs", "agg_collect_sorted", "agg_corr_covar",

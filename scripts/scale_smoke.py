@@ -173,6 +173,10 @@ QUERIES = (
     # (codegen d2 map pass + combinable phi sum + map-only Bernoulli
     # draw) + one broadcast assignment pass for the weights.
     "similarity_kmeans_parallel_init",
+    # round-10 batch 5: b-bit minhash over the session-cached
+    # (signatures, candidates) relation — per-pair codegen zip_with
+    # counts, linear in the bucket-cap-bounded candidate set.
+    "dedup_minhash_bbit",
 )
 
 

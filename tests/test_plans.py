@@ -676,3 +676,15 @@ def test_kmeans_parallel_init_weighting_shape(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan[:2000]
     assert "partial_count" in plan, plan[:2000]
     assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_minhash_bbit_reuses_candidates_no_python(spark, sf_dir):
+    """The b-bit readout must stay on the shared candidate relation:
+    per-pair zip_with counts in codegen over the session-cached
+    (signatures, candidates) pair set — no cartesian, no Python, and
+    no new aggregation below the presentation sort."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["dedup_minhash_bbit"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
