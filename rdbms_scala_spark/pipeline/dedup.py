@@ -3314,3 +3314,73 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: SimHash acceptance-band distance profile — the tuning
+# readout the SimHash tier lacked (MinHash has calibration, the
+# threshold sweep, bucket stats and the b-bit table; SimHash's only
+# knob is the Hamming threshold and until now nothing showed where
+# the pair mass sits against it).
+
+
+def _simhash_hist_oracle() -> str:
+    """The production simhash oracle wrapped verbatim as a subquery,
+    histogrammed by Hamming distance with cumulative counts/shares."""
+    return f"""
+    WITH hist AS (
+        SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM ({_simhash_oracle()}) GROUP BY hamming
+    ),
+    tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM hist)
+    SELECT h.hamming, h.n_pairs,
+           CAST(sum(h.n_pairs) OVER (ORDER BY h.hamming) AS BIGINT)
+               AS cum_pairs,
+           round(CAST(sum(h.n_pairs) OVER (ORDER BY h.hamming) AS BIGINT)
+                 * 1.0 / t.total, 4) AS cum_share
+    FROM hist h CROSS JOIN tot t
+    ORDER BY h.hamming
+    """
+
+
+@register(
+    "dedup_simhash_hamming_histogram",
+    oracle=_simhash_hist_oracle(),
+    tags=("dedup", "simhash", "evaluation", "calibration"),
+)
+def dedup_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of the accepted SimHash pair set
+    (distance <= 10 of 64 bits) with cumulative counts and shares —
+    the threshold-sensitivity curve: mass piled AT the threshold
+    means tightening to <= 8 would drop real near-dups (and the
+    threshold is doing work); an empty tail means the corpus would
+    tolerate a stricter gate for free. Sibling of
+    `dedup_threshold_sweep` (MinHash) and `dedup_lsh_bucket_stats`.
+
+    Built ON the production pair relation — it consumes
+    `dedup_simhash`'s own DataFrame (same fingerprints, same
+    two-level banding ladder, same caps), so this readout can never
+    drift from what the dedup tier actually accepts; the oracle wraps
+    the simhash oracle verbatim as a CTE for the same reason.
+
+    Scale shape: the histogram adds one combinable 11-key aggregate
+    and an 11-row cumulative window on top of the pair derivation —
+    cost is the derivation itself (see the dedup_simhash SCALE row);
+    the share divides two exact integers once per output row."""
+    base = dedup_simhash(spark, sf_dir)
+    hist = base.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+    tot = F.broadcast(hist.agg(F.sum("n_pairs").alias("total")))
+    w = W.orderBy("hamming").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        hist.crossJoin(tot)
+        .select(
+            "hamming",
+            "n_pairs",
+            F.sum("n_pairs").over(w).alias("cum_pairs"),
+            F.round(
+                F.sum("n_pairs").over(w) * F.lit(1.0) / F.col("total"), 4
+            ).alias("cum_share"),
+        )
+        .orderBy("hamming")
+    )
+

@@ -73,7 +73,7 @@ def _family(name: str) -> str:
 # set, so they lead the prefix automatically): sample_dsir_importance,
 # embeddings_kcenter_coreset, multimodal_audio_energy,
 # sample_coverage_greedy, similarity_kmeans_parallel_init,
-# dedup_minhash_bbit.
+# dedup_minhash_bbit, dedup_simhash_hamming_histogram.
 _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentiles", "agg_arg_extremes",
     "agg_bool_aggs", "agg_collect_sorted", "agg_corr_covar",

@@ -65,6 +65,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "events_concurrent_sessions": "day-partitioned sweep (see segmented variant)",
     "events_change_point_cusum": "calendar-bounded daily relation (running CUSUM)",
     "retrieval_hybrid_rrf": "two <=15-row top-k rank lists (post-limit)",
+    "dedup_simhash_hamming_histogram": "<=11 Hamming-distance buckets (cumulative over the accepted band)",
 }
 
 # SortMergeJoins (surviving AQE) that are correct-by-construction.

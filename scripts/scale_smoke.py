@@ -177,6 +177,9 @@ QUERIES = (
     # (signatures, candidates) relation — per-pair codegen zip_with
     # counts, linear in the bucket-cap-bounded candidate set.
     "dedup_minhash_bbit",
+    # (histogram variant rides the same derivation as dedup_simhash;
+    # its SCALE behavior is that row plus an 11-key aggregate)
+    "dedup_simhash_hamming_histogram",
 )
 
 

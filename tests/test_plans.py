@@ -688,3 +688,19 @@ def test_minhash_bbit_reuses_candidates_no_python(spark, sf_dir):
     plan = physical_plan(SPECS["dedup_minhash_bbit"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_simhash_histogram_rides_production_pairs(spark, sf_dir):
+    """The Hamming histogram must consume the production simhash pair
+    relation (same banding ladder, same caps) and add only an 11-key
+    aggregate + an 11-row cumulative window: no cartesian, no Python;
+    the lone global window is the bounded histogram relation
+    (allowlisted in scripts/plan_audit.py with the bound named)."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(
+        SPECS["dedup_simhash_hamming_histogram"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
