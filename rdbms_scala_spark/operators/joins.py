@@ -368,19 +368,24 @@ def two_phase_skew_join(
     tags=("join", "skew", "salting", "scale"),
 )
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase skew-salted equi-join: identical results to the plain
-    join (the oracle is the unsalted SQL) via ``two_phase_skew_join``.
+    """Two-phase skew-salted equi-join at the PRODUCTION threshold:
+    identical results to the plain join (the oracle is the unsalted
+    SQL) via ``two_phase_skew_join`` with the hot threshold
+    auto-derived from the per-reducer row budget
+    (``hot_threshold=None``).
 
-    The threshold here (6 lines per order; testdata max is 7, so the
-    ~1/7 of orders at the max count go hot) is set artificially low so
-    the driver gate exercises BOTH phases — cold plain join and salted
-    hot join — with the oracle proving the union is exact. Production
-    thresholds sit around the per-reducer row budget (~1e5+), where
-    the hot set is a handful of pathological keys."""
+    This is the scale-safe configuration: only keys whose row count
+    would overflow a reducer go hot, so the hot set is a handful of
+    pathological keys regardless of corpus size, and the salted grid
+    phase replicates only those. On this test corpus no order has
+    enough lines to overflow a reducer, so every row takes the cold
+    plain-join path — the expected production behavior on unskewed
+    data. ``join_skew_salted_demo`` carries the deliberately-low
+    fixed threshold that forces both phases live for the gate."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     joined = two_phase_skew_join(
-        li, orders, "l_orderkey", "o_orderkey", hot_threshold=6
+        li, orders, "l_orderkey", "o_orderkey", hot_threshold=None
     )
     return (
         joined.groupBy("o_orderpriority")
@@ -393,7 +398,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_skew_salted_auto",
+    "join_skew_salted_demo",
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_lines,
@@ -402,23 +407,25 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
-    tags=("join", "skew", "salting", "scale"),
+    tags=("join", "skew", "salting"),
 )
-def join_skew_salted_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-threshold counterpart of ``join_skew_salted``: the
-    hot threshold auto-derives from the per-reducer row budget
-    (``hot_threshold=None``). On this corpus no order has enough
-    lines to overflow a reducer, so the hot sets are empty and every
-    row takes the cold plain-join path — which is the point: SCALE.md
-    tracks this row next to the demo row to show the demo's 12x
-    growth at x64 is the deliberately-low demo threshold replicating
-    a corpus-proportional hot set through the grid phase, not the
-    operator. Same oracle as the demo (result is threshold-invariant
-    by construction)."""
+def join_skew_salted_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-low-threshold DEMO counterpart of ``join_skew_salted``
+    (which carries the production auto threshold). The threshold here
+    (6 lines per order; testdata max is 7, so the ~1/7 of orders at
+    the max count go hot) is set artificially low so the driver gate
+    exercises BOTH phases — cold plain join and salted hot join —
+    with the oracle proving the union is exact. Deliberately NOT the
+    scale path: a threshold that marks a corpus-proportional fraction
+    of keys hot replicates that whole fraction through the grid
+    phase (SCALE.md's 12x-at-x64 row documents exactly this), which
+    is why production derives the threshold from the per-reducer row
+    budget instead. Same oracle as the production row (the result is
+    threshold-invariant by construction)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     joined = two_phase_skew_join(
-        li, orders, "l_orderkey", "o_orderkey", hot_threshold=None
+        li, orders, "l_orderkey", "o_orderkey", hot_threshold=6
     )
     return (
         joined.groupBy("o_orderpriority")

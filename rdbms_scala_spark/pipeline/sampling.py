@@ -953,9 +953,15 @@ def sample_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected: list[tuple[int, int, int, int]] = []
     for r in range(_COVERAGE_K):
         ids = [d for _, d, _, _ in selected]
-        pick = (
-            coverage_gain_pass(sh, ids).limit(1).collect()[0]
-        )
+        top = coverage_gain_pass(sh, ids).limit(1).collect()
+        if not top:
+            # Degenerate corpus: every shingle already covered (or no
+            # doc has >= n tokens), so the round's gain relation is
+            # empty. The oracle's pick{r} CTE is empty too and its
+            # UNION ALL simply emits fewer rows — match that shorter
+            # trajectory instead of raising IndexError.
+            break
+        pick = top[0]
         total = (
             sh.filter(F.col("doc_id").isin(ids + [int(pick.doc_id)]))
             .select("shingle")

@@ -2880,7 +2880,14 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"0L, (acc, x) -> acc + x)"
         )
 
-    seed = qcorpus.orderBy("vec_id").limit(1).collect()[0]
+    seeds = qcorpus.orderBy("vec_id").limit(1).collect()
+    if not seeds:
+        # Empty embeddings table: the oracle's seed CTE is empty so it
+        # returns zero rows — return the declared schema, don't raise.
+        return spark.createDataFrame(
+            [], "round int, cent_id long, label int, radius2 long"
+        )
+    seed = seeds[0]
     chosen = [(0, int(seed.vec_id), [int(q) for q in seed.qv], 0)]
     for r in range(1, _KCENTER_K):
         dists = [d2_to(qc) for _, _, qc, _ in chosen]
@@ -2936,11 +2943,12 @@ def _kmpp_oracle() -> str:
         SELECT d.vec_id, d.qv
         FROM dmin{r} d CROSS JOIN phi{r} t
         WHERE d.d2 > 0 AND t.phi > 0
-          AND substr(md5('kmpp:{r}:' || CAST(d.vec_id AS VARCHAR)), 1, 8)
-              < lower(lpad(hex(LEAST(CAST(floor(
-                    LEAST(1.0, CAST({_KMPP_L} * d.d2 AS DOUBLE)
-                               / CAST(t.phi AS DOUBLE))
-                    * 4294967296.0) AS BIGINT), 4294967295)), 8, '0'))
+          AND ({_KMPP_L} * d.d2 >= t.phi
+               OR substr(md5('kmpp:{r}:' || CAST(d.vec_id AS VARCHAR)), 1, 8)
+                  < lower(lpad(hex(LEAST(CAST(floor(
+                        LEAST(1.0, CAST({_KMPP_L} * d.d2 AS DOUBLE)
+                                   / CAST(t.phi AS DOUBLE))
+                        * 4294967296.0) AS BIGINT), 4294967295)), 8, '0')))
     ),
     cent{r} AS (
         SELECT cent_id, qc, round FROM cent{r - 1}
@@ -3026,7 +3034,14 @@ def similarity_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFra
             f"0L, (acc, x) -> acc + x)"
         )
 
-    seed = qcorpus.orderBy("vec_id").limit(1).collect()[0]
+    seeds = qcorpus.orderBy("vec_id").limit(1).collect()
+    if not seeds:
+        # Empty embeddings table: the oracle's cent0 CTE is empty and
+        # the final join yields zero rows — match the declared schema.
+        return spark.createDataFrame(
+            [], "cent_id long, round_added int, weight long"
+        )
+    seed = seeds[0]
     centers: list[tuple[int, list, int]] = [(int(seed.vec_id), list(seed.qv), 0)]
     for r in range(1, _KMPP_ROUNDS + 1):
         dists = [d2_to(qc) for _, qc, _ in centers]
@@ -3044,8 +3059,17 @@ def similarity_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFra
             1,
             8,
         )
+        # Saturated draws (l * d2 >= phi, i.e. min(1, .) == 1) are the
+        # paper's guaranteed inclusions: short-circuit them with an
+        # exact int64 compare so the 'ffffffff' one-in-2^32 coin gap in
+        # _hex_threshold's cap can't exclude a probability-1 point
+        # (the sample_domain_mixture pattern). Mirrored in the oracle.
+        saturated = (F.lit(_KMPP_L) * F.col("d2")) >= F.lit(int(phi))
         cands = (
-            base.filter((F.col("d2") > 0) & (coin < _hex_threshold(rate)))
+            base.filter(
+                (F.col("d2") > 0)
+                & (saturated | (coin < _hex_threshold(rate)))
+            )
             .select("vec_id", "qv")
             .collect()
         )

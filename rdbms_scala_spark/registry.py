@@ -51,29 +51,30 @@ def _family(name: str) -> str:
 
 
 # Queries that already earned a full rows+schema+hash green row in a
-# driver correctness gate (union of CORRECTNESS_r01..r09: all 293
-# round-9 queries — r09 landed 50/50 green, closing tier 0).
+# driver correctness gate (union of CORRECTNESS_r01..r10 — r10 landed
+# 50/50 green, so every query registered through round 10 has been
+# driver-certified at least once).
 # The driver checks only a ~50-entry prefix of the registry per
 # round, so entries in this set yield no new information if they
 # lead; the interleave demotes them to a second tier so every
 # never-driver-checked query gets a driver-issued row first.
 #
-# Round-10 rotation (the per-round discipline): any query whose CODE
+# Round-11 rotation (the per-round discipline): any query whose CODE
 # PATH changed this round stays OUT until an external driver run
-# re-certifies it. Out for round 10:
-#   - dedup_winnowing_pairs + dedup_tier_report: the winnowing
-#     selection rule moved from the trailing-frame h==wmin subset to
-#     the true per-window min (r9 verdict #1 — the old rule violated
-#     the w+k-1 guarantee; the fix is mirrored in the oracle and the
-#     property test now runs the production winnow_fingerprints);
-#   - events_seasonal_naive_backtest: model join moved to LEFT with a
-#     per-type global-mean fallback so uncovered (type, dow) test
-#     days are counted, not dropped (r9 advice low).
-# Round-10 batches 2-4 additions are first-exposure (never in this
-# set, so they lead the prefix automatically): sample_dsir_importance,
-# embeddings_kcenter_coreset, multimodal_audio_energy,
-# sample_coverage_greedy, similarity_kmeans_parallel_init,
-# dedup_minhash_bbit, dedup_simhash_hamming_histogram.
+# re-certifies it. Out for round 11:
+#   - sample_coverage_greedy, embeddings_kcenter_coreset,
+#     similarity_kmeans_parallel_init: r10 ADVICE fixes (empty-round /
+#     empty-seed guards; saturated-draw short-circuit mirrored in the
+#     kmpp oracle);
+#   - dedup_simhash + dedup_simhash_hamming_histogram: candidate
+#     derivation refactored into a shared helper feeding the new
+#     full-candidate-set histogram (r10 verdict #3);
+#   - join_skew_salted: now carries the production auto threshold
+#     (r10 verdict #5; the fixed-threshold config moved to the new
+#     join_skew_salted_demo name, join_skew_salted_auto retired);
+#   - join_cross, join_self, agg_ungrouped, subquery_from,
+#     scan_project: code-unchanged but last driver-checked r02-r04 —
+#     rotated back through the external gate (r10 verdict #6).
 _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentiles", "agg_arg_extremes",
     "agg_bool_aggs", "agg_collect_sorted", "agg_corr_covar",
@@ -82,16 +83,18 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_grouping_sets", "agg_having", "agg_hll_intersection",
     "agg_hll_mergeable", "agg_median_mad", "agg_minmax_dates",
     "agg_mode_per_group", "agg_multi_distinct", "agg_percentiles",
-    "agg_rollup", "agg_stats", "agg_string_agg", "agg_ungrouped",
-    "agg_weighted_median", "basket_brand_pairs", "case_when",
-    "csv_corrupt_records", "csv_source_roundtrip", "customer_ltv_deciles",
-    "date_dim_generate", "date_expressions", "dedup_connected_components",
+    "agg_rollup", "agg_stats", "agg_string_agg", "agg_weighted_median",
+    "basket_brand_pairs", "case_when", "csv_corrupt_records",
+    "csv_source_roundtrip", "customer_ltv_deciles", "date_dim_generate",
+    "date_expressions", "dedup_connected_components",
     "dedup_contamination_check", "dedup_embedding_cosine", "dedup_exact_docs",
     "dedup_image_phash", "dedup_incremental", "dedup_levenshtein",
-    "dedup_lsh_bucket_stats", "dedup_minhash_calibration",
-    "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_shingle_containment", "dedup_simhash", "dedup_span_exact",
-    "dedup_survivors_weighted", "dedup_threshold_sweep", "distinct_values",
+    "dedup_lsh_bucket_stats", "dedup_minhash_bbit",
+    "dedup_minhash_calibration", "dedup_minhash_clusters",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semdedup",
+    "dedup_shingle_containment", "dedup_span_exact",
+    "dedup_survivors_weighted", "dedup_threshold_sweep", "dedup_tier_report",
+    "dedup_winnowing_incremental", "dedup_winnowing_pairs", "distinct_values",
     "embeddings_centroid_drift", "embeddings_cosine_histogram",
     "embeddings_gram_matrix", "embeddings_int8_quantize",
     "embeddings_jl_projection", "embeddings_knn_vote",
@@ -110,7 +113,8 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "events_markov_transitions", "events_new_vs_returning",
     "events_pareto_activity", "events_pattern_match",
     "events_power_law_alpha", "events_retention_cohorts",
-    "events_rfm_segments", "events_rollup_multires", "events_session_paths",
+    "events_rfm_segments", "events_rollup_multires",
+    "events_seasonal_naive_backtest", "events_session_paths",
     "events_session_window", "events_sessionize", "events_survival_curve",
     "events_time_to_conversion", "events_tumbling", "events_user_burstiness",
     "events_user_type_entropy", "events_value_log_histogram",
@@ -125,16 +129,16 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "graph_triangle_count_lsh", "intersect_all_keys", "intersect_keys",
     "join_anti", "join_asof", "join_asof_nearest", "join_asof_tolerance",
     "join_bloom_pruned", "join_broadcast_dim", "join_bucketed_colocated",
-    "join_cross", "join_full_outer", "join_inner_equi", "join_lateral",
-    "join_left_outer", "join_non_equi", "join_null_safe", "join_range_binned",
-    "join_self", "join_semi", "join_skew_salted", "join_skew_salted_auto",
+    "join_full_outer", "join_inner_equi", "join_lateral", "join_left_outer",
+    "join_non_equi", "join_null_safe", "join_range_binned", "join_semi",
     "join_star_schema", "json_source_roundtrip",
     "maintenance_column_histogram", "maintenance_compact_small_files",
     "maintenance_drift_psi", "maintenance_incremental_stats",
     "maintenance_referential_audit", "maintenance_skew_report",
     "maintenance_table_stats", "maintenance_table_stats_sketch",
-    "multimodal_decode", "multimodal_features", "multimodal_frame_sample",
-    "multimodal_ingest", "multimodal_phash_clusters", "orc_source_roundtrip",
+    "multimodal_audio_energy", "multimodal_decode", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_ingest",
+    "multimodal_phash_clusters", "orc_source_roundtrip",
     "orders_open_backlog", "pandas_udf_grouped_agg", "pandas_udf_grouped_map",
     "pandas_udf_scalar", "pandas_udf_scalar_iter", "pipeline_dataset_card",
     "pipeline_pack_efficiency_curve", "pipeline_quality_funnel",
@@ -143,40 +147,41 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "pipeline_training_manifest", "pipeline_upsert_snapshot",
     "pivot_event_type", "project_expressions", "retrieval_hybrid_rrf",
     "sample_deterministic_hash", "sample_domain_mixture",
-    "sample_epoch_shuffle", "sample_kfold_assignment", "sample_per_group_cap",
+    "sample_dsir_importance", "sample_epoch_shuffle",
+    "sample_kfold_assignment", "sample_per_group_cap",
     "sample_quality_top_fraction", "sample_quality_weighted",
     "sample_reservoir_exact_k", "sample_split_by_time",
     "sample_stratified_fixed_n", "sample_train_val_test",
     "scan_dynamic_partition_pruning", "scan_metadata_count",
-    "scan_partition_pruned", "scan_point_lookup", "scan_project",
-    "scan_schema_merge", "scan_zorder_skipping", "similarity_ivf",
-    "similarity_ivf_kmeans", "similarity_ivf_pq", "similarity_ivf_recall",
-    "similarity_lsh_ann", "similarity_pairs_above_threshold", "similarity_pq",
+    "scan_partition_pruned", "scan_point_lookup", "scan_schema_merge",
+    "scan_zorder_skipping", "similarity_ivf", "similarity_ivf_kmeans",
+    "similarity_ivf_pq", "similarity_ivf_recall", "similarity_lsh_ann",
+    "similarity_pairs_above_threshold", "similarity_pq",
     "similarity_range_search", "similarity_topk_bruteforce",
     "sort_limit_topk", "streaming_dedup", "streaming_foreachbatch_upsert",
-    "streaming_hopping_counts", "streaming_session_window",
-    "streaming_stateful_user_totals", "streaming_static_enrich",
-    "streaming_stream_stream_join", "streaming_transform_with_state",
-    "streaming_tumbling_counts", "subquery_exists_correlated",
-    "subquery_from", "subquery_in", "subquery_not_in",
-    "subquery_recursive_cte", "subquery_scalar", "text_bigram_logprob",
-    "text_bm25_search", "text_bpe_merge_pairs", "text_char_entropy",
-    "text_chunk_documents", "text_fingerprint", "text_heaps_law",
-    "text_js_divergence", "text_keyword_tfidf", "text_langid_agreement",
-    "text_language_id", "text_length_buckets", "text_ngram_topk",
-    "text_pack_sequences", "text_pii_scrub", "text_quality_score",
-    "text_readability", "text_regex_tokens", "text_repetition_ratio",
-    "text_shingle_novelty", "text_source_signature_terms", "text_term_pmi",
-    "text_token_count", "text_token_entropy", "text_unigram_logprob",
-    "text_vocab_induction", "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3",
-    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "udtf_word_windows", "union_all", "union_by_name", "union_distinct",
-    "unpivot_order_measures", "window_distribution_ranks",
-    "window_gaps_islands", "window_lag_lead", "window_moving_avg",
-    "window_nulls_ordering", "window_range_frame", "window_rank_dense",
-    "window_rolling_median", "window_running_distinct",
+    "streaming_hopping_counts", "streaming_late_data_metrics",
+    "streaming_session_window", "streaming_stateful_user_totals",
+    "streaming_static_enrich", "streaming_stream_stream_join",
+    "streaming_stream_stream_outer_join", "streaming_transform_with_state",
+    "streaming_tumbling_counts", "subquery_exists_correlated", "subquery_in",
+    "subquery_not_in", "subquery_recursive_cte", "subquery_scalar",
+    "text_bigram_logprob", "text_bm25_search", "text_bpe_merge_pairs",
+    "text_char_entropy", "text_chunk_documents", "text_fingerprint",
+    "text_gopher_rules", "text_heaps_law", "text_js_divergence",
+    "text_keyword_tfidf", "text_langid_agreement", "text_language_id",
+    "text_length_buckets", "text_ngram_topk", "text_pack_sequences",
+    "text_pii_scrub", "text_quality_score", "text_readability",
+    "text_regex_tokens", "text_repetition_ratio", "text_shingle_novelty",
+    "text_source_signature_terms", "text_term_pmi", "text_token_count",
+    "text_token_entropy", "text_unigram_logprob", "text_vocab_induction",
+    "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2",
+    "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "udtf_word_windows",
+    "union_all", "union_by_name", "union_distinct", "unpivot_order_measures",
+    "window_distribution_ranks", "window_gaps_islands", "window_lag_lead",
+    "window_moving_avg", "window_nulls_ordering", "window_range_frame",
+    "window_rank_dense", "window_rolling_median", "window_running_distinct",
     "window_running_revenue", "window_share_of_group",
     "window_time_range_rolling", "window_topn_per_group",
     "window_value_functions",

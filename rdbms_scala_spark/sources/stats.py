@@ -289,7 +289,7 @@ def maintenance_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_suppkey values with their row share and skew ratio
     (count ÷ mean count) — the diagnostic that decides BETWEEN this
     repo's skew strategies (ratio ~1: plain shuffle; moderate: AQE
-    skew split; extreme: `join_skew_salted_auto`'s salting). Shapes:
+    skew split; extreme: `join_skew_salted`'s auto-threshold salting). Shapes:
     one map-side-combinable count per key, a 2-value global
     aggregate broadcast back, and a top-10 via TakeOrderedAndProject
     — the whole report costs one pass over the fact table. The skew

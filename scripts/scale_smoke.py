@@ -50,7 +50,7 @@ QUERIES = (
     "sample_quality_weighted",
     "pipeline_training_manifest",
     "join_skew_salted",
-    "join_skew_salted_auto",
+    "join_skew_salted_demo",
     "join_asof",
     "join_range_binned",
     "join_bloom_pruned",
@@ -361,11 +361,11 @@ def main() -> None:
         "  time growing ~7x while the genuine pair workload grows",
         "  ~18,000x (per-doc fan-out cap-bounded at 2*(64-1)) is the",
         "  engine absorbing a data-intrinsic explosion, not a leak.",
-        "- join_skew_salted: the demo threshold (6) marks ~1/7 of ALL",
-        "  orders hot, so the hot set grows with the corpus and the",
+        "- join_skew_salted_demo: the demo threshold (6) marks ~1/7 of",
+        "  ALL orders hot, so the hot set grows with the corpus and the",
         "  grid phase replicates it S ways — the demo config, not the",
-        "  operator; the join_skew_salted_auto row (per-reducer-budget",
-        "  threshold, the production stance) shows the real curve.",
+        "  operator; the plain join_skew_salted row (per-reducer-budget",
+        "  auto threshold, the production stance) shows the real curve.",
         "- token-stream ops (text_unigram_logprob, text_bm25_search,",
         "  text_shingle_novelty, graph_pagerank's shingle edge",
         "  derivation): the marker interleave DOUBLES each copy's token",
