@@ -721,11 +721,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEX_HI = "('8','9','a','b','c','d','e','f')"  # hex chars w/ high nibble bit
 
 
-def _simhash_oracle() -> str:
-    """DuckDB mirror of dedup_simhash: the same md5-nibble bit votes,
-    fingerprint halves, TWO-LEVEL chunk banding (8 single chunks under
-    the fixed cap + 28 chunk pairs under the occupancy-relative cap)
-    and Hamming check."""
+def _simhash_cand_oracle() -> str:
+    """DuckDB mirror of simhash_candidate_pairs (the FULL candidate
+    relation, Hamming computed but NOT thresholded): the same
+    md5-nibble bit votes, fingerprint halves, TWO-LEVEL chunk banding
+    (8 single chunks under the fixed cap + 28 chunk pairs under the
+    occupancy-relative cap). ``_simhash_oracle`` applies the
+    acceptance threshold on top, exactly as the Spark side does."""
     from itertools import combinations
 
     votes = ", ".join(
@@ -791,21 +793,29 @@ def _simhash_oracle() -> str:
         FROM chunks a JOIN chunks b
           ON a.pr = b.pr AND a.cvk = b.cvk AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, hamming FROM (
-        SELECT doc_a, doc_b,
-               bit_count(xor(fla, flb)) + bit_count(xor(fha, fhb)) AS hamming
-        FROM cand
-    ) WHERE hamming <= 10
+    SELECT doc_a, doc_b,
+           bit_count(xor(fla, flb)) + bit_count(xor(fha, fhb)) AS hamming
+    FROM cand
     """
 
 
-@register(
-    "dedup_simhash",
-    oracle=_simhash_oracle(),
-    tags=("dedup", "neardup", "simhash", "scale"),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance <= 10 of 64 bits.
+def _simhash_oracle() -> str:
+    """Accepted SimHash pair set: the full candidate relation under
+    the Hamming acceptance threshold."""
+    return f"""
+    SELECT doc_a, doc_b, hamming
+    FROM ({_simhash_cand_oracle()}) WHERE hamming <= 10
+    """
+
+
+def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SimHash candidate pair relation — every distinct pair
+    the two-level banding ladder surfaces, with its exact Hamming
+    distance computed but NOT thresholded. ``dedup_simhash`` is this
+    under ``hamming <= 10``; ``dedup_simhash_candidate_histogram``
+    profiles the whole relation (accepted and rejected bands) for
+    threshold tuning. Shared so the production pair set and its
+    tuning readouts can never drift apart.
 
     Per doc: 64-bit fingerprint = sign-aggregate of shingle-hash bits
     (trigram shingles, not bare tokens — the corpus vocabulary is
@@ -934,11 +944,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return cand.withColumn(
+        "hamming",
+        F.bit_count(F.expr("fla ^ flb")) + F.bit_count(F.expr("fha ^ fhb")),
+    ).select("doc_a", "doc_b", "hamming")
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "neardup", "simhash", "scale"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 10 of 64 bits:
+    the shared candidate relation (see ``simhash_candidate_pairs``
+    for the fingerprint construction and the two-level banding
+    ladder) under the acceptance threshold. Everything is built-in
+    exprs — no Python in the hot path."""
     return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.expr("fla ^ flb")) + F.bit_count(F.expr("fha ^ fhb")),
-        )
+        simhash_candidate_pairs(spark, sf_dir)
         .filter(F.col("hamming") <= 10)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -2190,6 +2214,137 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 13b. Round 11: exact-substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr tier).
+# The paper builds a corpus suffix array and removes every substring
+# of >= 50 tokens that appears more than once. The Spark-native
+# equivalent of the suffix-array scan is k-token ANCHOR RUNS: any
+# repeated substring of length >= k contains only repeated k-runs, and
+# maximal stretches of consecutive repeated k-run offsets ARE the
+# maximal repeated substrings (to k-token resolution at the edges).
+# That turns "suffix array + LCP scan" into tokenize -> positioned
+# k-grams -> corpus-wide occurrence count -> per-doc gaps-and-islands
+# merge: every step a built-in map/agg/window, no pairwise join at
+# all (the repeat test is a combinable count per run hash, not a
+# self-join), which is exactly what survives 100 TB.
+
+_SUBSTR_K = 8  # anchor run length = minimum duplicated-substring length
+
+
+def _substring_oracle() -> str:
+    k = _SUBSTR_K
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    runs AS (
+        SELECT doc_id, i,
+               md5(array_to_string(t[i : i + {k - 1}], ' ')) AS h
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - {k - 1})) AS i
+        )
+        WHERE len(t) >= {k}
+    ),
+    dup AS (SELECT h FROM runs GROUP BY h HAVING count(*) >= 2),
+    hits AS (
+        SELECT r.doc_id, r.i,
+               r.i - row_number() OVER (
+                   PARTITION BY r.doc_id ORDER BY r.i) AS grp
+        FROM runs r WHERE r.h IN (SELECT h FROM dup)
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(min(i) AS BIGINT) AS span_start,
+               CAST(max(i) - min(i) + {k} AS BIGINT) AS span_tokens
+        FROM hits GROUP BY doc_id, grp
+    )
+    SELECT s.doc_id, s.span_start, s.span_tokens,
+           array_to_string(
+               tk.t[s.span_start : s.span_start + s.span_tokens - 1],
+               ' ') AS span_text
+    FROM spans s JOIN toks tk USING (doc_id)
+    ORDER BY s.doc_id, s.span_start
+    """
+
+
+@register(
+    "dedup_substring_exact",
+    oracle=_substring_oracle(),
+    tags=("dedup", "substring", "suffix", "scale"),
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, the Lee et al. 2022 ExactSubstr tier:
+    every MAXIMAL token span of length >= ``_SUBSTR_K`` that occurs
+    more than once in the corpus (cross-doc or within-doc), reported
+    per document as (span_start, span_tokens, span_text) — the
+    removal list a training-data pipeline cuts before tokenization.
+    Differs from ``dedup_span_exact`` (fixed non-overlapping 10-token
+    windows) in finding ARBITRARY-length repeats at ARBITRARY
+    offsets: a 93-token boilerplate block shifted by one token still
+    matches here, where fixed windows would miss it.
+
+    Suffix-array-free formulation: positioned k-token anchor runs at
+    every offset (one md5 per offset, map-only ``transform`` over the
+    token array — no token explode/regroup); a run hash is 'repeated'
+    iff its corpus-wide occurrence count >= 2 — ONE combinable
+    groupBy, no self-join, so a million-fold-repeated license block
+    costs a count of 1e6, not 1e12 pairs; repeated offsets semi-join
+    back (shuffle on the 16-byte hash) and merge into maximal spans
+    by gaps-and-islands (window partitioned per doc, never global).
+    Span edges are exact to k-token resolution: a duplicated region
+    of d >= k tokens yields d - k + 1 consecutive repeated offsets
+    which merge back to exactly d tokens.
+
+    Scale shape: runs are linear in corpus tokens; at 100 TB swap the
+    md5 string for xxhash64 (8 bytes shuffled per offset) and route
+    hashes whose count exceeds a df-cap straight to the removal list
+    (their islands are trivially whole-doc) — same plan. The DuckDB
+    oracle replays the chain byte-for-byte (md5 kept here for that)."""
+    k = _SUBSTR_K
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens().alias("t")).filter(
+        F.size("t") >= k
+    )
+    runs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {k - 1}), i -> "
+                f"struct(i AS i, md5(array_join(slice(t, i, {k}), ' ')) AS h))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.i").alias("i"), F.col("e.h").alias("h"))
+    dup = (
+        runs.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    hits = runs.join(dup, "h", "left_semi").withColumn(
+        "grp", F.col("i") - F.row_number().over(w)
+    )
+    spans = hits.groupBy("doc_id", "grp").agg(
+        F.min("i").cast("long").alias("span_start"),
+        (F.max("i") - F.min("i") + k).cast("long").alias("span_tokens"),
+    )
+    return (
+        spans.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "span_start",
+            "span_tokens",
+            F.expr(
+                "array_join(slice(t, CAST(span_start AS INT), "
+                "CAST(span_tokens AS INT)), ' ')"
+            ).alias("span_text"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 14. Round 9: label-propagation communities + k-hop reach over the
 # near-dup graph — the two remaining classics of the iterative-graph
 # toolkit (CC gives connectivity, PageRank centrality; LPA gives
@@ -3376,6 +3531,70 @@ def dedup_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFra
         .select(
             "hamming",
             "n_pairs",
+            F.sum("n_pairs").over(w).alias("cum_pairs"),
+            F.round(
+                F.sum("n_pairs").over(w) * F.lit(1.0) / F.col("total"), 4
+            ).alias("cum_share"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def _simhash_cand_hist_oracle() -> str:
+    """The full candidate relation (accepted AND rejected bands)
+    histogrammed by Hamming distance, with the acceptance flag and
+    the cumulative share of ALL candidates."""
+    return f"""
+    WITH hist AS (
+        SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM ({_simhash_cand_oracle()}) GROUP BY hamming
+    ),
+    tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM hist)
+    SELECT h.hamming, h.n_pairs,
+           h.hamming <= 10 AS accepted,
+           CAST(sum(h.n_pairs) OVER (ORDER BY h.hamming) AS BIGINT)
+               AS cum_pairs,
+           round(CAST(sum(h.n_pairs) OVER (ORDER BY h.hamming) AS BIGINT)
+                 * 1.0 / t.total, 4) AS cum_share
+    FROM hist h CROSS JOIN tot t
+    ORDER BY h.hamming
+    """
+
+
+@register(
+    "dedup_simhash_candidate_histogram",
+    oracle=_simhash_cand_hist_oracle(),
+    tags=("dedup", "simhash", "evaluation", "calibration"),
+)
+def dedup_simhash_candidate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of the FULL SimHash candidate set —
+    the rejected band included — the readout the accepted-band
+    histogram (`dedup_simhash_hamming_histogram`) cannot give:
+    threshold tuning needs to see the pair mass sitting just ABOVE
+    the acceptance threshold (how much would loosening to <= 12
+    admit, and is there a gap between the near-dup mode and the
+    random-collision mode?), which only exists in the candidates the
+    threshold rejected. Built on the same shared
+    `simhash_candidate_pairs` relation the production pair set
+    filters, so the profile is exactly what the banding ladder
+    surfaces — candidate generation recall is NOT re-estimated here
+    (pairs the banding never surfaced are invisible to both).
+
+    Scale shape: one combinable <= 65-key aggregate and a <= 65-row
+    cumulative window (global window allowlisted — the frame is the
+    histogram, bounded by the 64-bit fingerprint width, not the
+    corpus) on top of the candidate derivation; cost is the
+    derivation itself (the dedup_simhash SCALE row)."""
+    base = simhash_candidate_pairs(spark, sf_dir)
+    hist = base.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+    tot = F.broadcast(hist.agg(F.sum("n_pairs").alias("total")))
+    w = W.orderBy("hamming").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        hist.crossJoin(tot)
+        .select(
+            "hamming",
+            "n_pairs",
+            (F.col("hamming") <= 10).alias("accepted"),
             F.sum("n_pairs").over(w).alias("cum_pairs"),
             F.round(
                 F.sum("n_pairs").over(w) * F.lit(1.0) / F.col("total"), 4

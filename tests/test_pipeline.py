@@ -931,3 +931,51 @@ def test_snapshot_vacuum_retention_protects_fresh_orphans(spark, tmp_path):
     swept = store.vacuum(retain_last=2, orphan_retention_s=0.0)
     assert "v99" in swept["removed_orphans"]
     assert not os.path.isdir(orphan)
+
+
+def test_substring_exact_merges_islands_and_finds_shifted_repeats(spark, tmp_path):
+    """The anchor-run + gaps-and-islands formulation must (a) merge
+    consecutive repeated k-run offsets into ONE maximal span of the
+    exact duplicated length, (b) report multiple disjoint spans in the
+    same document separately, and (c) catch a repeat at a DIFFERENT
+    offset in the partner doc — the case fixed non-overlapping windows
+    (dedup_span_exact) miss by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdbms_scala_spark.pipeline.dedup import (
+        _SUBSTR_K,
+        dedup_substring_exact,
+    )
+
+    k = _SUBSTR_K
+    blockA = " ".join(f"a{i}" for i in range(k + 4))  # k+4 tokens
+    blockB = " ".join(f"b{i}" for i in range(k))  # exactly k tokens
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = [
+        # doc 0: blockA at offset 1, blockB later — two disjoint spans
+        (0, f"{blockA} {filler('x', k)} {blockB}"),
+        # doc 1: blockA shifted right by 3 tokens
+        (1, f"{filler('y', 3)} {blockA} {filler('z', k)}"),
+        # doc 2: blockB only
+        (2, f"{filler('w', k)} {blockB}"),
+        # doc 3: no repeats
+        (3, filler("u", 3 * k)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = dedup_substring_exact(spark, str(tmp_path)).collect()
+    spans = {(r.doc_id, r.span_start, r.span_tokens, r.span_text) for r in rows}
+    assert spans == {
+        (0, 1, k + 4, blockA),
+        (0, 2 * k + 5, k, blockB),
+        (1, 4, k + 4, blockA),
+        (2, k + 1, k, blockB),
+    }, spans
