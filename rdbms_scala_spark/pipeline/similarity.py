@@ -3101,3 +3101,167 @@ def similarity_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("round_added", "cent_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: Maximal Marginal Relevance re-ranking (Carbonell &
+# Goldstein 1998) — the diversity-aware second stage every retrieval
+# ladder (brute-force / LSH / IVF / PQ top-k above, BM25+RRF in
+# retrieval.py) feeds in production: fetch N candidates by pure
+# relevance, then greedily select k trading relevance against
+# redundancy with what is already selected.
+
+_MMR_N = 20  # relevance candidates fetched (the distributed stage)
+_MMR_K = 8  # re-ranked results returned (the greedy stage)
+# lambda = 0.7, scaled x10 so the MMR objective is exact int64:
+# score = 7 * rel - 3 * max_sel_dot
+_MMR_LNUM, _MMR_LDEN = 7, 3
+
+
+def _mmr_oracle() -> str:
+    dot = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "z -> z[1] * z[2])) AS BIGINT)"
+    )
+    steps = [
+        f"""
+    s1 AS MATERIALIZED (
+        SELECT vec_id, rel, CAST({_MMR_LNUM} * rel AS BIGINT) AS score
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        steps.append(f"""
+    s{r} AS MATERIALIZED (
+        SELECT c.vec_id, c.rel,
+               CAST({_MMR_LNUM} * c.rel - {_MMR_LDEN} * max(p.d) AS BIGINT)
+                   AS score
+        FROM cand c JOIN pd p ON p.ia = c.vec_id
+        WHERE p.ib IN (SELECT vec_id FROM sel{r - 1})
+          AND c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    sel{r} AS MATERIALIZED (SELECT vec_id FROM sel{r - 1}
+               UNION ALL SELECT vec_id FROM s{r})""")
+    body = " UNION ALL ".join(
+        f"SELECT {r} AS sel_rank, vec_id, rel AS relevance_q, score AS "
+        f"mmr_score_q FROM s{r}"
+        for r in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH qcorpus AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * {_KC_Q}, 0) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    qvec AS (SELECT vec_id AS qid, qv AS qq FROM qcorpus
+             ORDER BY vec_id LIMIT 1),
+    cand AS MATERIALIZED (
+        SELECT c.vec_id, {dot.format(a='c.qv', b='q.qq')} AS rel, c.qv
+        FROM qcorpus c CROSS JOIN qvec q
+        WHERE c.vec_id <> q.qid
+        ORDER BY rel DESC, c.vec_id LIMIT {_MMR_N}
+    ),
+    pd AS MATERIALIZED (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               {dot.format(a='a.qv', b='b.qv')} AS d
+        FROM cand a CROSS JOIN cand b WHERE a.vec_id <> b.vec_id
+    ),{','.join(steps)}
+    SELECT sel_rank, vec_id, relevance_q, mmr_score_q FROM ({body})
+    ORDER BY sel_rank
+    """
+
+
+@register(
+    "similarity_rerank_mmr",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "rerank", "mmr", "iterative"),
+)
+def similarity_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-rank of the brute-force top-N for the corpus's lowest
+    vec_id as query: greedy k-selection maximizing
+    ``lambda * rel(d) - (1 - lambda) * max_{s in sel} sim(d, s)``
+    with lambda = 0.7 scaled x10 so the whole objective is exact
+    int64 over the Lloyd-quantized inner products (no float anywhere;
+    ties to the lowest vec_id). Emits the selection order with each
+    pick's relevance and MMR score — rank 1 is the pure-relevance
+    seed, later ranks show diversity displacing redundant neighbors.
+
+    Scale split, and why the greedy is NOT a driver-side data pull:
+    the corpus-sized work is the relevance top-N (one codegen map
+    pass + TakeOrderedAndProject — the brute-force ANN stage, or at
+    real scale the IVF/LSH tiers upstream) and the N x N candidate
+    dot matrix (broadcast self-join of an N-row relation); what the
+    driver holds is the retrieved PAGE — N relevances + N^2 pair
+    dots, constant-bounded by configuration like the kcenter/Lloyd
+    model state — and the greedy is k passes of integer argmax over
+    it, replayed verbatim by the oracle's unrolled CTE chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcorpus = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {_KC_Q}, 0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    seeds = qcorpus.orderBy("vec_id").limit(1).collect()
+    if not seeds:
+        return spark.createDataFrame(
+            [], "sel_rank int, vec_id long, relevance_q long, mmr_score_q long"
+        )
+    qid, qq = int(seeds[0].vec_id), [int(v) for v in seeds[0].qv]
+    qarr = "array(" + ",".join(f"{v}L" for v in qq) + ")"
+    rel = F.expr(
+        f"aggregate(zip_with(qv, {qarr}, (a, b) -> a * b), 0L, "
+        f"(acc, x) -> acc + x)"
+    )
+    cand = (
+        qcorpus.filter(F.col("vec_id") != qid)
+        .select("vec_id", rel.alias("rel"), "qv")
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_N)
+    )
+    pair_dot = F.expr(
+        "aggregate(zip_with(a_qv, b_qv, (a, b) -> a * b), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    pd_rows = (
+        cand.select(F.col("vec_id").alias("ia"), F.col("qv").alias("a_qv"))
+        .crossJoin(
+            F.broadcast(
+                cand.select(F.col("vec_id").alias("ib"), F.col("qv").alias("b_qv"))
+            )
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", pair_dot.alias("d"))
+        .collect()
+    )
+    rels = {int(r.vec_id): int(r.rel) for r in cand.select("vec_id", "rel").collect()}
+    dots = {(int(r.ia), int(r.ib)): int(r.d) for r in pd_rows}
+    selected: list[tuple[int, int, int, int]] = []
+    chosen: list[int] = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for v, rv in rels.items():
+            if v in chosen:
+                continue
+            if chosen:
+                score = _MMR_LNUM * rv - _MMR_LDEN * max(
+                    dots[(v, s)] for s in chosen
+                )
+            else:
+                score = _MMR_LNUM * rv
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, rv, score)
+        if best is None:
+            break
+        selected.append((rank, best[1], best[2], best[3]))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        selected,
+        "sel_rank int, vec_id long, relevance_q long, mmr_score_q long",
+    ).orderBy("sel_rank")

@@ -590,3 +590,89 @@ def pipeline_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(v).alias("version"), "o_orderstatus", "n_orders", "total_price")
         )
     return versions[0].unionByName(versions[1]).orderBy("version", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Round 11: SCD Type-2 dimension build — the warehouse-side sibling of
+# the snapshot/CDC family above: where `pipeline_snapshot_diff` emits
+# the change feed between two table versions, SCD2 turns a change
+# STREAM into a versioned dimension (effective_from / effective_to /
+# is_current) that point-in-time joins consume.
+
+
+@register(
+    "pipeline_scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ),
+    changes AS (
+        SELECT * FROM ordered
+        WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    versioned AS (
+        SELECT o_custkey AS custkey,
+               o_orderpriority AS priority,
+               CAST(row_number() OVER w AS BIGINT) AS version_n,
+               strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+               strftime(lead(o_orderdate) OVER w, '%Y-%m-%d')
+                   AS effective_to
+        FROM changes
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT custkey, version_n, priority, effective_from, effective_to,
+           effective_to IS NULL AS is_current
+    FROM versioned
+    ORDER BY custkey, version_n
+    """,
+    tags=("pipeline", "scd2", "dimension", "scale"),
+)
+def pipeline_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build over the orders change
+    stream: each customer's o_orderpriority is the tracked attribute,
+    each order a state observation ordered by (o_orderdate,
+    o_orderkey); consecutive same-value observations collapse (change
+    detection via lag), and each surviving change opens a version row
+    with effective_from = its date, effective_to = the next version's
+    date (NULL and is_current for the open one) — the standard
+    point-in-time dimension shape a warehouse joins facts against
+    with ``fact.date >= effective_from AND (fact.date < effective_to
+    OR effective_to IS NULL)``.
+
+    Scale shape: exactly two window passes over the SAME partitioning
+    (customer key) — Catalyst plans one Exchange on o_custkey and
+    both WindowExecs plus the change filter run in the single sorted
+    partition stream; no join, no global window, no driver state.
+    Same-day priority flips are kept as zero-length versions ordered
+    by o_orderkey — deterministic and auditable rather than silently
+    collapsed."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = orders.withColumn(
+        "prev", F.lag("o_orderpriority").over(w)
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versioned = changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.row_number().over(w2).cast("long").alias("version_n"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("effective_from"),
+        F.date_format(
+            F.lead("o_orderdate").over(w2), "yyyy-MM-dd"
+        ).alias("effective_to"),
+    )
+    return versioned.select(
+        "custkey",
+        "version_n",
+        "priority",
+        "effective_from",
+        "effective_to",
+        F.col("effective_to").isNull().alias("is_current"),
+    ).orderBy("custkey", "version_n")

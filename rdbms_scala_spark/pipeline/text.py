@@ -1826,3 +1826,300 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_failed",
         F.round(F.col("n_failed") / F.col("n_docs"), 4).alias("fail_rate"),
     ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Round 11: C4-style cleaning-rules report (Raffel et al. 2020, the C4
+# corpus construction heuristics) — the other canonical rule set next
+# to Gopher's. C4's filters are page/line-level web heuristics; this
+# corpus is synthetic single-line word salad, so the canonical rules
+# fire degenerately (no terminal punctuation anywhere -> 100%; no
+# lorem-ipsum/braces/policy boilerplate -> 0%) and the report says so
+# honestly — that IS the point of a per-rule attribution readout: it
+# tells a curation run "C4's web heuristics would delete this corpus,
+# don't apply them blindly". One corpus-scaled rule (word count below
+# the corpus's own short-doc knee) is included so the report also
+# exercises a discriminating rate.
+
+_C4_POLICY_PHRASES = ("cookie", "javascript", "privacy policy", "terms of use")
+_C4_MIN_WORDS = 40  # corpus-scaled; C4's own line rule is < 5 words
+
+
+@register(
+    "text_c4_rules",
+    oracle=f"""
+    WITH d AS (
+        SELECT lower(text) AS lt, trim(text) AS tt,
+               len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n,
+               length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))
+                   AS n_sent
+        FROM documents
+    ),
+    flags AS (
+        SELECT CASE WHEN NOT regexp_matches(tt, '[.!?"]$') THEN 1 ELSE 0 END
+                   AS f_no_terminal_punct,
+               CASE WHEN n_sent < 3 THEN 1 ELSE 0 END AS f_too_few_sentences,
+               CASE WHEN n < {_C4_MIN_WORDS} THEN 1 ELSE 0 END AS f_short_doc,
+               CASE WHEN contains(lt, 'lorem ipsum') THEN 1 ELSE 0 END
+                   AS f_lorem_ipsum,
+               CASE WHEN contains(lt, '{{') THEN 1 ELSE 0 END AS f_curly_brace,
+               CASE WHEN contains(lt, 'cookie') OR contains(lt, 'javascript')
+                     OR contains(lt, 'privacy policy')
+                     OR contains(lt, 'terms of use') THEN 1 ELSE 0 END
+                   AS f_policy_phrase
+        FROM d
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f_no_terminal_punct) AS BIGINT) AS no_terminal_punct,
+               CAST(sum(f_too_few_sentences) AS BIGINT) AS too_few_sentences,
+               CAST(sum(f_short_doc) AS BIGINT) AS short_doc,
+               CAST(sum(f_lorem_ipsum) AS BIGINT) AS lorem_ipsum,
+               CAST(sum(f_curly_brace) AS BIGINT) AS curly_brace,
+               CAST(sum(f_policy_phrase) AS BIGINT) AS policy_phrase,
+               CAST(sum(CASE WHEN f_no_terminal_punct + f_too_few_sentences
+                            + f_short_doc + f_lorem_ipsum + f_curly_brace
+                            + f_policy_phrase > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS any_rule
+        FROM flags
+    )
+    SELECT rule, n_failed,
+           round(n_failed * 1.0 / (SELECT n_docs FROM agg), 4) AS fail_rate
+    FROM (
+        SELECT 'any_rule' AS rule, any_rule AS n_failed FROM agg
+        UNION ALL SELECT 'curly_brace', curly_brace FROM agg
+        UNION ALL SELECT 'lorem_ipsum', lorem_ipsum FROM agg
+        UNION ALL SELECT 'no_terminal_punct', no_terminal_punct FROM agg
+        UNION ALL SELECT 'policy_phrase', policy_phrase FROM agg
+        UNION ALL SELECT 'short_doc', short_doc FROM agg
+        UNION ALL SELECT 'too_few_sentences', too_few_sentences FROM agg
+    )
+    ORDER BY rule
+    """,
+    tags=("text", "quality", "c4", "scale"),
+)
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-rule quality report (Raffel et al. 2020): the named boolean
+    document filters of the C4 construction — terminal punctuation,
+    >= 3 sentences, the lorem-ipsum / curly-brace / policy-phrase
+    boilerplate detectors — each as (rule, n_failed, fail_rate) plus
+    an ``any_rule`` row, the per-rule attribution sibling of
+    `text_gopher_rules` (see the module comment for the honest
+    degenerate-rates caveat on this synthetic corpus). Every rule is
+    an integer/boolean computed from exact string ops (char counts,
+    substring containment, one anchored regex) — nothing float until
+    the final rounded rates.
+
+    Scale shape: identical to the Gopher report — one map-only flag
+    pass (no token explode), one combinable single-row aggregate, a
+    driver-free stack unpivot."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    tt = F.trim(F.col("text"))
+    n = F.size(tokens())
+    n_sent = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[.!?]", "")
+    )
+    policy = None
+    for phrase in _C4_POLICY_PHRASES:
+        hit = F.contains(lt, F.lit(phrase))
+        policy = hit if policy is None else (policy | hit)
+    flags = docs.select(
+        (~tt.rlike('[.!?"]$')).cast("long").alias("f_no_terminal_punct"),
+        (n_sent < 3).cast("long").alias("f_too_few_sentences"),
+        (n < _C4_MIN_WORDS).cast("long").alias("f_short_doc"),
+        F.contains(lt, F.lit("lorem ipsum")).cast("long").alias("f_lorem_ipsum"),
+        F.contains(lt, F.lit("{")).cast("long").alias("f_curly_brace"),
+        policy.cast("long").alias("f_policy_phrase"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_no_terminal_punct").alias("no_terminal_punct"),
+        F.sum("f_too_few_sentences").alias("too_few_sentences"),
+        F.sum("f_short_doc").alias("short_doc"),
+        F.sum("f_lorem_ipsum").alias("lorem_ipsum"),
+        F.sum("f_curly_brace").alias("curly_brace"),
+        F.sum("f_policy_phrase").alias("policy_phrase"),
+        F.sum(
+            (
+                F.col("f_no_terminal_punct")
+                + F.col("f_too_few_sentences")
+                + F.col("f_short_doc")
+                + F.col("f_lorem_ipsum")
+                + F.col("f_curly_brace")
+                + F.col("f_policy_phrase")
+                > 0
+            ).cast("long")
+        ).alias("any_rule"),
+    )
+    unpivoted = agg.select(
+        "n_docs",
+        F.expr(
+            "stack(7,"
+            " 'any_rule', any_rule,"
+            " 'curly_brace', curly_brace,"
+            " 'lorem_ipsum', lorem_ipsum,"
+            " 'no_terminal_punct', no_terminal_punct,"
+            " 'policy_phrase', policy_phrase,"
+            " 'short_doc', short_doc,"
+            " 'too_few_sentences', too_few_sentences"
+            ") AS (rule, n_failed)"
+        ),
+    )
+    return unpivoted.select(
+        "rule",
+        "n_failed",
+        F.round(F.col("n_failed") / F.col("n_docs"), 4).alias("fail_rate"),
+    ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Round 11: iterative BPE tokenizer training (Sennrich et al. 2016) —
+# the multi-round trainer `text_bpe_merge_pairs` (one iteration's
+# statistic) points at. Distributed-BPE state is the WORD-TYPE
+# relation (vocab-bounded, not corpus-bounded): one corpus pass
+# builds (word, freq), then every merge round is a combinable
+# adjacent-pair aggregate over the types plus a map-only rewrite of
+# the symbol strings with the round's single merge rule — the shape
+# production tokenizer trainers use at corpus scale.
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        steps.append(f"""
+    p{r} AS (
+        SELECT pair, CAST(sum(n) AS BIGINT) AS total
+        FROM (
+            SELECT unnest([a[i] || ' ' || a[i+1] FOR i IN range(1, len(a))])
+                       AS pair,
+                   n
+            FROM (SELECT regexp_split_to_array(sym, ' ') AS a, n FROM {prev})
+            WHERE len(a) >= 2
+        ) GROUP BY pair
+    ),
+    b{r} AS (
+        SELECT pair, total,
+               split_part(pair, ' ', 1) AS lsym,
+               split_part(pair, ' ', 2) AS rsym
+        FROM p{r} ORDER BY total DESC, pair LIMIT 1
+    ),
+    w{r} AS (
+        SELECT trim(replace(
+                 replace('  ' || replace(w.sym, ' ', '  ') || '  ',
+                         ' ' || b.lsym || '  ' || b.rsym || ' ',
+                         ' ' || b.lsym || b.rsym || ' '),
+                 '  ', ' ')) AS sym,
+               w.n
+        FROM {prev} w CROSS JOIN b{r} b
+    )""")
+        prev = f"w{r}"
+    body = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, pair, lsym || rsym AS new_symbol, "
+        f"total AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    w0 AS (
+        SELECT array_to_string([w[i] FOR i IN range(1, length(w)+1)], ' ')
+                   AS sym,
+               n
+        FROM words
+    ),{','.join(steps)}
+    SELECT merge_round, pair, new_symbol, pair_count FROM ({body})
+    ORDER BY merge_round
+    """
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "bpe", "tokenizer", "iterative", "scale"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first ``_BPE_ROUNDS`` BPE merge rules over the corpus
+    (Sennrich et al. 2016): start from per-character symbol sequences
+    of the frequency-weighted word types, and per round (1) count
+    adjacent symbol pairs weighted by word frequency, (2) pick the
+    most frequent pair (ties to the lexicographically smallest — a
+    deterministic stand-in for insertion order), (3) rewrite every
+    type's symbol string with the merge applied greedily left to
+    right. Emits (merge_round, pair, new_symbol, pair_count) — the
+    merge table a tokenizer ships.
+
+    Greedy left-to-right merge as pure string ops, identical in both
+    engines: the symbol string's gaps are doubled (so each occurrence
+    owns its boundary spaces and adjacent occurrences don't steal
+    each other's — plain replace() scans non-overlapping left to
+    right in Spark and DuckDB alike), the pair pattern
+    ``' l  r '`` is replaced by ``' lr '``, and the gaps collapse
+    back. 'a a a' under merge (a,a) gives 'aa a', the BPE greedy.
+
+    Scale shape: ONE corpus pass builds the word-type relation (the
+    only corpus-sized step); every round after is a combinable pair
+    aggregate + a map-only rewrite over the VOCAB-bounded types, with
+    exactly one (pair, count) row collected per round — the broadcast
+    merge rule. O(rounds x vocab) after the count, like production
+    distributed BPE trainers; the full corpus is never re-touched."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = words.select(
+        F.expr(
+            "array_join(transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1)), ' ')"
+        ).alias("sym"),
+        "n",
+    )
+    rows: list[tuple[int, str, str, int]] = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            cur.select(F.split("sym", " ").alias("a"), "n")
+            .filter(F.size("a") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1), i -> "
+                        "concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+                    )
+                ).alias("pair"),
+                "n",
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("total"))
+        )
+        top = pairs.orderBy(F.desc("total"), "pair").limit(1).collect()
+        if not top:
+            break  # every type is a single symbol: vocabulary exhausted
+        pair = top[0].pair
+        lsym, rsym = pair.split(" ", 1)
+        rows.append((r, pair, lsym + rsym, int(top[0].total)))
+        expanded = F.concat(
+            F.lit("  "),
+            F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
+            F.lit("  "),
+        )
+        merged = F.replace(
+            expanded,
+            F.lit(f" {lsym}  {rsym} "),
+            F.lit(f" {lsym}{rsym} "),
+        )
+        cur = cur.select(
+            F.trim(F.replace(merged, F.lit("  "), F.lit(" "))).alias("sym"),
+            "n",
+        )
+    return spark.createDataFrame(
+        rows, "merge_round int, pair string, new_symbol string, pair_count long"
+    ).orderBy("merge_round")

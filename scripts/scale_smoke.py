@@ -180,6 +180,15 @@ QUERIES = (
     # (histogram variant rides the same derivation as dedup_simhash;
     # its SCALE behavior is that row plus an 11-key aggregate)
     "dedup_simhash_hamming_histogram",
+    # round 11: the exact-substring tier — positioned anchor runs are
+    # linear in corpus TOKENS (read x64 against the ~128x token
+    # volume like DSIR/unigram), the repeat test is one combinable
+    # count per run hash (never a pair join), and the islands merge
+    # is window-per-doc. The full-candidate simhash histogram rides
+    # the shared simhash_candidate_pairs derivation (the simhash row)
+    # plus a <=65-key aggregate.
+    "dedup_substring_exact",
+    "dedup_simhash_candidate_histogram",
 )
 
 
