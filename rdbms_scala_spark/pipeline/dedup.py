@@ -2231,10 +2231,13 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_K = 8  # anchor run length = minimum duplicated-substring length
 
 
-def _substring_oracle() -> str:
+def _substring_spans_cte() -> str:
+    """The WITH-body (toks -> runs -> dup -> hits -> spans) shared by
+    the substring-tier oracles — kept in one place so the pair
+    listing and the removal-stats readout can never diverge from the
+    same span derivation (the simhash_candidate_pairs discipline)."""
     k = _SUBSTR_K
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
         FROM documents
     ),
@@ -2258,7 +2261,12 @@ def _substring_oracle() -> str:
                CAST(min(i) AS BIGINT) AS span_start,
                CAST(max(i) - min(i) + {k} AS BIGINT) AS span_tokens
         FROM hits GROUP BY doc_id, grp
-    )
+    )"""
+
+
+def _substring_oracle() -> str:
+    return f"""
+    WITH {_substring_spans_cte()}
     SELECT s.doc_id, s.span_start, s.span_tokens,
            array_to_string(
                tk.t[s.span_start : s.span_start + s.span_tokens - 1],
@@ -2266,6 +2274,47 @@ def _substring_oracle() -> str:
     FROM spans s JOIN toks tk USING (doc_id)
     ORDER BY s.doc_id, s.span_start
     """
+
+
+def substring_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t): every document's token array, unfiltered — the
+    relation the span listing slices text out of and the removal
+    stats left-join against (docs with no spans must still report)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokens().alias("t"))
+
+
+def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_tokens): the maximal repeated-span
+    relation of the exact-substring tier — shared by the span listing
+    (`dedup_substring_exact`) and the removal-stats readout so both
+    always report the same spans. See `dedup_substring_exact` for the
+    anchor-run formulation and the scale argument."""
+    k = _SUBSTR_K
+    toks = substring_doc_tokens(spark, sf_dir).filter(F.size("t") >= k)
+    runs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {k - 1}), i -> "
+                f"struct(i AS i, md5(array_join(slice(t, i, {k}), ' ')) AS h))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.i").alias("i"), F.col("e.h").alias("h"))
+    dup = (
+        runs.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    hits = runs.join(dup, "h", "left_semi").withColumn(
+        "grp", F.col("i") - F.row_number().over(w)
+    )
+    return hits.groupBy("doc_id", "grp").agg(
+        F.min("i").cast("long").alias("span_start"),
+        (F.max("i") - F.min("i") + k).cast("long").alias("span_tokens"),
+    ).drop("grp")
 
 
 @register(
@@ -2301,34 +2350,8 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes whose count exceeds a df-cap straight to the removal list
     (their islands are trivially whole-doc) — same plan. The DuckDB
     oracle replays the chain byte-for-byte (md5 kept here for that)."""
-    k = _SUBSTR_K
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens().alias("t")).filter(
-        F.size("t") >= k
-    )
-    runs = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {k - 1}), i -> "
-                f"struct(i AS i, md5(array_join(slice(t, i, {k}), ' ')) AS h))"
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.i").alias("i"), F.col("e.h").alias("h"))
-    dup = (
-        runs.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("h")
-    )
-    w = W.partitionBy("doc_id").orderBy("i")
-    hits = runs.join(dup, "h", "left_semi").withColumn(
-        "grp", F.col("i") - F.row_number().over(w)
-    )
-    spans = hits.groupBy("doc_id", "grp").agg(
-        F.min("i").cast("long").alias("span_start"),
-        (F.max("i") - F.min("i") + k).cast("long").alias("span_tokens"),
-    )
+    toks = substring_doc_tokens(spark, sf_dir)
+    spans = substring_spans(spark, sf_dir)
     return (
         spans.join(toks, "doc_id")
         .select(
@@ -2341,6 +2364,59 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_text"),
         )
         .orderBy("doc_id", "span_start")
+    )
+
+
+@register(
+    "dedup_substring_removal_stats",
+    oracle=f"""
+    WITH {_substring_spans_cte()},
+    per_doc AS (
+        SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           round(COALESCE(p.dup_tokens, 0) * 1.0 / len(tk.t), 4)
+               AS dup_fraction
+    FROM toks tk LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY tk.doc_id
+    """,
+    tags=("dedup", "substring", "evaluation", "scale"),
+)
+def dedup_substring_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the exact-substring removal list would CUT, per document:
+    duplicated tokens (the islands are disjoint by construction, so
+    their lengths sum exactly), total tokens, and the duplicated
+    fraction — zero-rows included via the left join, so the readout
+    is the corpus-wide removal-burden distribution a pipeline checks
+    BEFORE applying Lee et al. cuts (a heavy-tailed dup_fraction
+    means boilerplate concentrated in few docs — cut spans; a uniform
+    one means systemic duplication — fix the source instead).
+
+    Built on the shared `substring_spans` relation the span listing
+    filters, so the stats can never drift from the spans actually
+    reported. Scale shape: the span derivation (see
+    `dedup_substring_exact`) plus one per-doc combinable sum and a
+    doc-key left join — nothing new at 100 TB."""
+    toks = substring_doc_tokens(spark, sf_dir)
+    per_doc = (
+        substring_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("dup_tokens"))
+    )
+    return (
+        toks.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.size("t"), 4
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -976,3 +976,119 @@ def sample_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: language-temperature resampling (the XLM-R / mBERT
+# multilingual mixing rule, Conneau et al. 2020): sample languages
+# proportionally to p_l^alpha instead of p_l so low-resource languages
+# are up-weighted relative to the head. alpha = 0.5 here, i.e.
+# q_l ~ sqrt(n_l) — sqrt is IEEE-correctly-rounded in BOTH engines
+# (unlike pow), and quantizing each sqrt to 1e-6 BEFORE the
+# normalizing sum makes the mixture weights exact int64 arithmetic,
+# so the per-document Bernoulli rates are bit-identical doubles and
+# the kept set replays exactly (the _hex_threshold discipline).
+
+
+@register(
+    "sample_lang_temperature",
+    oracle="""
+    WITH lc AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang
+    ),
+    lq AS (
+        SELECT lang, n,
+               CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS s_q
+        FROM lc
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total,
+               CAST(sum(s_q) AS BIGINT) AS sq_total
+        FROM lq
+    ),
+    rates AS (
+        SELECT lang, n, s_q, total, sq_total,
+               LEAST(1.0, CAST((total // 2) * s_q AS DOUBLE)
+                          / CAST(sq_total * n AS DOUBLE)) AS rate
+        FROM lq CROSS JOIN tot
+    ),
+    kept AS (
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents d JOIN rates r USING (lang)
+        WHERE r.rate >= 1.0
+           OR substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < lower(lpad(hex(LEAST(CAST(floor(r.rate * 4294967296.0)
+                                          AS BIGINT), 4294967295)), 8, '0'))
+        GROUP BY d.lang
+    )
+    SELECT r.lang, r.n AS n_docs, COALESCE(k.n_kept, 0) AS n_kept,
+           round(r.n * 1.0 / r.total, 4) AS share_before,
+           round(r.s_q * 1.0 / r.sq_total, 4) AS temp_share,
+           round(r.rate, 4) AS rate
+    FROM rates r LEFT JOIN kept k USING (lang)
+    ORDER BY r.lang
+    """,
+    tags=("sample", "temperature", "multilingual", "scale"),
+)
+def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resample the corpus across languages at alpha=0.5
+    into a half-size budget: per-language acceptance rate
+    ``min(1, B * q_l / n_l)`` with ``q_l ~ sqrt(n_l)`` (quantized —
+    see the module comment), drawn per document with the
+    deterministic md5 coin. Emits the per-language audit row —
+    before-share, temperature share, rate, kept count — the readout
+    that shows the head language (en) capped and the tail languages
+    kept near-whole, i.e. the multilingual balancing the rule exists
+    for.
+
+    Scale shape: one combinable language-count aggregate (key space =
+    language inventory, tiny), the rate table broadcast back onto the
+    corpus for a map-only Bernoulli filter, one combinable kept-count
+    aggregate — two corpus passes, no shuffle wider than the language
+    key. The saturated-rate OR clause is the exact keep-all
+    short-circuit (`_hex_threshold`'s documented cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lq = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "s_q",
+            F.round(F.sqrt(F.col("n").cast("double")) * 1e6, 0).cast("long"),
+        )
+    )
+    tot = lq.agg(
+        F.sum("n").alias("total"), F.sum("s_q").alias("sq_total")
+    )
+    rates = (
+        lq.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                (F.expr("total div 2") * F.col("s_q")).cast("double")
+                / (F.col("sq_total") * F.col("n")).cast("double"),
+            ),
+        )
+    )
+    coin = F.substring(
+        F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter((F.col("rate") >= 1.0) | (coin < _hex_threshold(F.col("rate"))))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(F.col("n") / F.col("total"), 4).alias("share_before"),
+            F.round(F.col("s_q") / F.col("sq_total"), 4).alias("temp_share"),
+            F.round("rate", 4).alias("rate"),
+        )
+        .orderBy("lang")
+    )

@@ -1986,7 +1986,16 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _bpe_oracle() -> str:
+def _bpe_chain_cte() -> str:
+    """The WITH-body of the BPE training chain (words -> w0 -> 5 x
+    (pair counts p{r}, best pair b{r}, merged types w{r})), carrying
+    the word key through every round — shared by the trainer oracle
+    (reads the b{r} picks) and the encoder oracle (reads the final
+    w{_BPE_ROUNDS} symbol strings), so the shipped merge table and
+    the encoding it implies can never diverge. w{r} CTEs are
+    MATERIALIZED: each round references its predecessor twice (pair
+    count + rewrite), which DuckDB's default CTE inlining would
+    expand exponentially (the _mmr_oracle lesson)."""
     steps = []
     prev = "w0"
     for r in range(1, _BPE_ROUNDS + 1):
@@ -2007,8 +2016,9 @@ def _bpe_oracle() -> str:
                split_part(pair, ' ', 2) AS rsym
         FROM p{r} ORDER BY total DESC, pair LIMIT 1
     ),
-    w{r} AS (
-        SELECT trim(replace(
+    w{r} AS MATERIALIZED (
+        SELECT w.w,
+               trim(replace(
                  replace('  ' || replace(w.sym, ' ', '  ') || '  ',
                          ' ' || b.lsym || '  ' || b.rsym || ' ',
                          ' ' || b.lsym || b.rsym || ' '),
@@ -2017,24 +2027,29 @@ def _bpe_oracle() -> str:
         FROM {prev} w CROSS JOIN b{r} b
     )""")
         prev = f"w{r}"
+    return f"""words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    w0 AS MATERIALIZED (
+        SELECT w,
+               array_to_string([w[i] FOR i IN range(1, length(w)+1)], ' ')
+                   AS sym,
+               n
+        FROM words
+    ),{','.join(steps)}"""
+
+
+def _bpe_oracle() -> str:
     body = " UNION ALL ".join(
         f"SELECT {r} AS merge_round, pair, lsym || rsym AS new_symbol, "
         f"total AS pair_count FROM b{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
     return f"""
-    WITH words AS (
-        SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
-            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-            FROM documents
-        ) GROUP BY w
-    ),
-    w0 AS (
-        SELECT array_to_string([w[i] FOR i IN range(1, length(w)+1)], ' ')
-                   AS sym,
-               n
-        FROM words
-    ),{','.join(steps)}
+    WITH {_bpe_chain_cte()}
     SELECT merge_round, pair, new_symbol, pair_count FROM ({body})
     ORDER BY merge_round
     """
@@ -2070,6 +2085,23 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one (pair, count) row collected per round — the broadcast
     merge rule. O(rounds x vocab) after the count, like production
     distributed BPE trainers; the full corpus is never re-touched."""
+    rows, _ = bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "merge_round int, pair string, new_symbol string, pair_count long"
+    ).orderBy("merge_round")
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the BPE training loop and return BOTH artifacts: the merge
+    table rows (merge_round, pair, new_symbol, pair_count) and the
+    final word-type relation (w, sym, n) with all merges applied —
+    shared by the trainer query and the encoder
+    (`text_bpe_apply_encode`) so the shipped merges and the encoding
+    they imply come from one derivation (the substring_spans /
+    simhash_candidate_pairs discipline). See `text_bpe_train_merges`
+    for the algorithm and scale notes."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens()).alias("w"))
@@ -2077,6 +2109,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     cur = words.select(
+        "w",
         F.expr(
             "array_join(transform(sequence(1, length(w)), "
             "i -> substring(w, i, 1)), ' ')"
@@ -2117,9 +2150,66 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(f" {lsym}{rsym} "),
         )
         cur = cur.select(
+            "w",
             F.trim(F.replace(merged, F.lit("  "), F.lit(" "))).alias("sym"),
             "n",
         )
-    return spark.createDataFrame(
-        rows, "merge_round int, pair string, new_symbol string, pair_count long"
-    ).orderBy("merge_round")
+    return rows, cur
+
+
+@register(
+    "text_bpe_apply_encode",
+    oracle=f"""
+    WITH {_bpe_chain_cte()},
+    inst AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    enc AS (
+        SELECT w,
+               CAST(len(regexp_split_to_array(sym, ' ')) AS BIGINT) AS n_sym
+        FROM w{_BPE_ROUNDS}
+    )
+    SELECT i.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+           round(sum(e.n_sym) * 1.0 / count(*), 4) AS tokens_per_word
+    FROM inst i JOIN enc e USING (w)
+    GROUP BY i.doc_id
+    ORDER BY i.doc_id
+    """,
+    tags=("text", "bpe", "tokenizer", "scale"),
+)
+def text_bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the merge table `text_bpe_train_merges`
+    ships: per document, whitespace word count, BPE token count under
+    the trained merges, and tokens-per-word — the compression readout
+    a token-budget pipeline needs (how many model tokens does this
+    corpus actually cost?), and the loop-closer that proves the merge
+    table is applicable, not just a statistic.
+
+    Encoding never touches document text: each word INSTANCE joins
+    the vocab-bounded encoded type table (broadcast-scale dimension)
+    for its symbol count — the corpus-sized work is one token explode
+    + one combinable per-doc aggregate. The shared `bpe_train` /
+    chain-CTE derivation guarantees the encoder and the trainer agree
+    on every merge."""
+    _, types = bpe_train(spark, sf_dir)
+    enc = types.select(
+        "w", F.size(F.split("sym", " ")).cast("long").alias("n_sym")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    inst = docs.select("doc_id", F.explode(tokens()).alias("w"))
+    return (
+        inst.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.round(F.sum("n_sym") / F.count(F.lit(1)), 4).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -2345,3 +2345,121 @@ def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 11: common-neighbor link prediction over the part co-purchase
+# graph — the collaborative-filtering readout next to
+# `basket_brand_pairs`: two parts never co-ordered but sharing many
+# co-purchase neighbors are the cross-sell candidates an association
+# pass at pair grain cannot see (Liben-Nowell & Kleinberg 2003).
+
+
+_COPURCHASE_MIN_SUPPORT = 2
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.pk AS pa, b.pk AS pb
+        FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= {_COPURCHASE_MIN_SUPPORT}
+    ),
+    edges AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION ALL
+        SELECT pb AS u, pa AS v FROM pairs
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+    wedges AS (
+        SELECT e1.v AS a, e2.v AS b, CAST(count(*) AS BIGINT) AS common
+        FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+        GROUP BY e1.v, e2.v
+    ),
+    cand AS (
+        SELECT w.a, w.b, w.common
+        FROM wedges w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pairs p WHERE p.pa = w.a AND p.pb = w.b
+        )
+    )
+    SELECT c.a AS part_a, c.b AS part_b, c.common AS common_neighbors,
+           round(CAST(c.common AS DOUBLE)
+                 / CAST(da.d + db.d - c.common AS DOUBLE), 4)
+               AS neighbor_jaccard
+    FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b
+    ORDER BY neighbor_jaccard DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "basket", "scale"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted missing edges of the part co-purchase graph
+    by common-neighbor Jaccard: for every NON-adjacent 2-hop pair,
+    |N(a) & N(b)| / |N(a) | N(b)| (exact integers until the one
+    rounded division; ties broken by part keys so the cut is
+    deterministic). Edges are part pairs co-ordered in >= 2 distinct
+    orders — the support floor is what separates signal edges from
+    the one-off co-occurrence noise AND what bounds the graph (and
+    every downstream wedge) at scale, the same role the shingle
+    df-cap plays in the dedup graph family.
+
+    Scale shape: the co-order pair join is keyed on orderkey with
+    fan-out bounded by basket size (TPC-H: <=7 lines/order), never
+    all-pairs across parts; wedge enumeration is the triangle-count
+    self-join over the support-floored edge list (degree-bounded);
+    the non-adjacency check is one anti-join against the edge list;
+    degrees are a combinable count; the cut a TakeOrderedAndProject
+    top-20."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = op.select("okey", F.col("pk").alias("pa"))
+    b = op.select("okey", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _COPURCHASE_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("u").alias("hub"), F.col("v").alias("a"))
+    e2 = edges.select(F.col("u").alias("hub"), F.col("v").alias("b"))
+    wedges = (
+        e1.join(e2, "hub")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedges.join(
+        pairs,
+        (wedges["a"] == pairs["pa"]) & (wedges["b"] == pairs["pb"]),
+        "left_anti",
+    )
+    return (
+        cand.join(deg.select(F.col("u").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("common").alias("common_neighbors"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")).cast("double"),
+                4,
+            ).alias("neighbor_jaccard"),
+        )
+        .orderBy(F.desc("neighbor_jaccard"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -902,3 +902,181 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n3") / F.col("n2"), 4).alias("conv_from_prev"),
     )
     return s1.unionByName(s2).unionByName(s3)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: CUPED variance reduction (Deng et al. 2013) — the
+# experimentation readout next to `events_ab_lift`: adjust each
+# user's in-experiment outcome by their PRE-period covariate
+# (Y_adj = Y - theta * (X - mean(X)), theta = cov(X, Y) / var(X)),
+# which removes the between-user variance the randomization already
+# balanced and tightens the same comparison ab_lift makes raw.
+
+
+@register(
+    "events_cuped",
+    oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS variant,
+               CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                       AND epoch_us(ts) <= (SELECT mid FROM bounds)
+                                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                                 END), 0) AS BIGINT) AS x_q,
+               CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                       AND epoch_us(ts) > (SELECT mid FROM bounds)
+                                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                                 END), 0) AS BIGINT) AS y_q
+        FROM events GROUP BY user_id
+    ),
+    pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x_q) AS BIGINT) AS sx,
+               CAST(sum(y_q) AS BIGINT) AS sy,
+               CAST(sum(x_q * x_q) AS BIGINT) AS sxx,
+               CAST(sum(x_q * y_q) AS BIGINT) AS sxy
+        FROM per_user
+    ),
+    th AS (
+        SELECT n, sx,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+                    THEN 0.0
+                    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               END AS theta
+        FROM pooled
+    ),
+    by_var AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x_q) AS BIGINT) AS sxv,
+               CAST(sum(y_q) AS BIGINT) AS syv
+        FROM per_user GROUP BY variant
+    )
+    SELECT v.variant, v.n_users,
+           round(v.syv / (100.0 * v.n_users), 4) AS mean_y,
+           round((v.syv - t.theta
+                  * (v.sxv - v.n_users
+                     * (CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))))
+                 / (100.0 * v.n_users), 4) AS mean_y_cuped,
+           round(t.theta, 6) AS theta
+    FROM by_var v CROSS JOIN th t
+    ORDER BY v.variant
+    """,
+    tags=("events", "experiment", "cuped", "scale"),
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment means: variant assignment is
+    `events_ab_lift`'s md5 coin, the outcome Y is each user's
+    purchase value in the LATER half of the corpus time range, the
+    covariate X the same metric in the earlier half (the pre-period),
+    and theta is the pooled cov(X,Y)/var(X). Emits per-variant raw
+    and CUPED-adjusted means plus theta — the adjusted delta is the
+    same causal contrast with the pre-existing between-user spread
+    removed.
+
+    Cross-engine exactness: per-EVENT values quantize to cents before
+    any summation, so X, Y and every pooled moment (n, Sx, Sy, Sxx,
+    Sxy) are exact int64; theta and the adjusted means are then a
+    fixed number of double ops on identical integers. Scale shape:
+    one per-user combinable aggregate (the only corpus-sized step),
+    one 5-counter pooled rollup, one 2-row variant rollup — the
+    ab_lift plan family plus second moments; the midpoint bound rides
+    in as a broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    v_q = F.round(F.col("value") * 100, 0).cast("long")
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        is_purchase & (F.unix_micros("ts") <= F.col("mid")),
+                        v_q,
+                    )
+                ),
+                F.lit(0),
+            ).alias("x_q"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        is_purchase & (F.unix_micros("ts") > F.col("mid")),
+                        v_q,
+                    )
+                ),
+                F.lit(0),
+            ).alias("y_q"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                    *"01234567"
+                ),
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_q").alias("sx"),
+        F.sum("y_q").alias("sy"),
+        F.sum(F.col("x_q") * F.col("x_q")).alias("sxx"),
+        F.sum(F.col("x_q") * F.col("y_q")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    denom = nd * F.col("sxx").cast("double") - sxd * sxd
+    th = pooled.select(
+        "n",
+        "sx",
+        F.when(denom == 0.0, F.lit(0.0))
+        .otherwise(
+            (nd * F.col("sxy").cast("double") - sxd * F.col("sy").cast("double"))
+            / denom
+        )
+        .alias("theta"),
+    )
+    by_var = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x_q").alias("sxv"),
+        F.sum("y_q").alias("syv"),
+    )
+    xbar = F.col("sx").cast("double") / F.col("n").cast("double")
+    return (
+        by_var.crossJoin(F.broadcast(th))
+        .select(
+            "variant",
+            "n_users",
+            F.round(F.col("syv") / (100.0 * F.col("n_users")), 4).alias("mean_y"),
+            F.round(
+                (
+                    F.col("syv")
+                    - F.col("theta") * (F.col("sxv") - F.col("n_users") * xbar)
+                )
+                / (100.0 * F.col("n_users")),
+                4,
+            ).alias("mean_y_cuped"),
+            F.round("theta", 6).alias("theta"),
+        )
+        .orderBy("variant")
+    )
