@@ -145,6 +145,27 @@ EXTENSION = [
     "dedup_substring_exact",
     "dedup_simhash_candidate_histogram",
     "join_skew_salted_demo",
+    # round-11 batch 2: the BPE encode loop-closer (trains the 5-round
+    # merge table, then one token explode + broadcast vocab join), the
+    # CUPED per-user moment pass (ab_lift plan family + second
+    # moments), language-temperature resampling (two corpus passes,
+    # language-key shuffle only), and common-neighbor link prediction
+    # over the support-floored part co-purchase graph (the wedge
+    # self-join is the row to watch).
+    "text_bpe_apply_encode",
+    "events_cuped",
+    "sample_lang_temperature",
+    "graph_link_prediction",
+    # round-11 batch 3: the Poisson-bootstrap CI (x64 user-grain
+    # weight explode + 64-key rollup — the materialization-free
+    # resample), centroid-margin hard-negative mining (exploded
+    # corpus x broadcast centroid table), and the real partitioned
+    # write path (base partitionBy write + one-partition dynamic
+    # overwrite + read-back, all inside the timed pass — the only
+    # bench row whose cost is dominated by parquet WRITES).
+    "events_bootstrap_ci",
+    "embeddings_hard_negative_mining",
+    "pipeline_dynamic_partition_overwrite",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

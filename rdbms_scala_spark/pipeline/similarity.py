@@ -3265,3 +3265,134 @@ def similarity_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected,
         "sel_rank int, vec_id long, relevance_q long, mmr_score_q long",
     ).orderBy("sel_rank")
+
+
+# ---------------------------------------------------------------------------
+# Round 11: hard-negative mining via centroid margins — the
+# training-data readout next to `embeddings_label_centroids` /
+# `embeddings_knn_vote`: a vector sitting closer to another label's
+# centroid than its own is exactly the "hard negative" a contrastive
+# / triplet trainer wants surfaced (and, inverted, a candidate label
+# error for the cleaning queue).
+
+
+@register(
+    "embeddings_hard_negative_mining",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6, 0)
+                    AS BIGINT) AS x_q
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS c_label, dim,
+               CAST(round(sum(x_q) / count(*), 0) AS BIGINT) AS c_q
+        FROM q GROUP BY label, dim
+    ),
+    d2 AS (
+        SELECT q.vec_id, q.label, c.c_label,
+               CAST(sum((q.x_q - c.c_q) * (q.x_q - c.c_q)) AS BIGINT) AS dist_q
+        FROM q JOIN cent c USING (dim)
+        GROUP BY q.vec_id, q.label, c.c_label
+    ),
+    own AS (
+        SELECT vec_id, label, dist_q AS own_q FROM d2 WHERE label = c_label
+    ),
+    rival AS (
+        SELECT vec_id, min(dist_q) AS rival_q
+        FROM d2 WHERE label <> c_label GROUP BY vec_id
+    ),
+    scored AS (
+        SELECT o.label, o.own_q, r.rival_q,
+               o.own_q >= r.rival_q AS is_hard
+        FROM own o JOIN rival r USING (vec_id)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) FILTER (WHERE is_hard) AS BIGINT) AS n_hard,
+           round(count(*) FILTER (WHERE is_hard) * 1.0 / count(*), 4)
+               AS hard_rate,
+           round(sum(rival_q - own_q) / (1e12 * count(*)), 6) AS mean_margin
+    FROM scored GROUP BY label ORDER BY label
+    """,
+    tags=("embeddings", "hard-negatives", "training-data", "scale"),
+)
+def embeddings_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label hard-negative census: each vector's squared L2
+    distance to its OWN label centroid vs the nearest RIVAL centroid,
+    flagging own >= rival (the margin violators a triplet/contrastive
+    trainer mines for, and the label-error candidates a cleaning pass
+    reviews). Emits per label: vector count, hard-negative count and
+    rate, and the mean margin (rival - own; negative mass = overlap).
+
+    Cross-engine exactness: components quantize to 1e-6 ints, the
+    centroid is an integer-rounded mean (the `embeddings_label_
+    centroids` trick), and every distance is then EXACT int64 --
+    sum over 64 dims of (<=2e6)^2 deltas stays far under 2^63 -- so
+    own/rival comparisons and margins are pure integer arithmetic;
+    the two output ratios are the only doubles.
+
+    Scale shape: one (label, dim) combinable centroid pass; then one
+    broadcast join of the |labels| x |dims| centroid table onto the
+    exploded corpus with a (vec_id, c_label) map-side-combinable sum
+    -- O(rows x dims x labels) work with NO corpus-sized shuffle (the
+    aggregate keys collapse per task), the embeddings_knn_vote plan
+    family against a model-sized dimension instead of a vector
+    sample. At 100 TB with large label inventories the rival search
+    swaps to the IVF-pruned centroid subset -- same relation, fewer
+    c_labels per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(_as_double("embedding")).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x") * F.lit(1e6), 0).cast("long").alias("x_q"),
+    )
+    cent = q.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.round(F.sum("x_q") / F.count(F.lit(1)), 0).cast("long").alias("c_q")
+    )
+    d2 = (
+        q.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("x_q") - F.col("c_q")) * (F.col("x_q") - F.col("c_q"))
+            ).alias("dist_q")
+        )
+    )
+    own = d2.filter(F.col("label") == F.col("c_label")).select(
+        "vec_id", "label", F.col("dist_q").alias("own_q")
+    )
+    rival = (
+        d2.filter(F.col("label") != F.col("c_label"))
+        .groupBy("vec_id")
+        .agg(F.min("dist_q").alias("rival_q"))
+    )
+    scored = own.join(rival, "vec_id").select(
+        "label",
+        "own_q",
+        "rival_q",
+        (F.col("own_q") >= F.col("rival_q")).alias("is_hard"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count_if("is_hard").alias("n_hard"),
+            F.round(F.count_if("is_hard") / F.count(F.lit(1)), 4).alias(
+                "hard_rate"
+            ),
+            F.round(
+                F.sum(F.col("rival_q") - F.col("own_q"))
+                / (F.lit(1e12) * F.count(F.lit(1))),
+                6,
+            ).alias("mean_margin"),
+        )
+        .orderBy("label")
+    )

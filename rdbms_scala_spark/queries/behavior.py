@@ -2358,10 +2358,12 @@ def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COPURCHASE_MIN_SUPPORT = 2
 
 
-@register(
-    "graph_link_prediction",
-    oracle=f"""
-    WITH op AS (
+def _copurchase_cte() -> str:
+    """The WITH-body (op -> pairs -> edges -> deg) of the
+    support-floored part co-purchase graph — shared by the
+    link-prediction and Adamic-Adar oracles so both score the SAME
+    graph (the simhash_candidate_pairs discipline)."""
+    return f"""op AS (
         SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
     ),
     pairs AS (
@@ -2374,7 +2376,43 @@ _COPURCHASE_MIN_SUPPORT = 2
         UNION ALL
         SELECT pb AS u, pa AS v FROM pairs
     ),
-    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u)"""
+
+
+def copurchase_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(pairs, edges, deg) of the support-floored part co-purchase
+    graph — the shared Spark-side derivation of `_copurchase_cte`.
+    pairs = (pa, pb) with pa < pb co-ordered in >= 2 distinct orders;
+    edges = both directions; deg = per-part degree. See
+    `graph_link_prediction` for the scale argument."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = op.select("okey", F.col("pk").alias("pa"))
+    b = op.select("okey", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _COPURCHASE_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    return pairs, edges, deg
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_copurchase_cte()},
     wedges AS (
         SELECT e1.v AS a, e2.v AS b, CAST(count(*) AS BIGINT) AS common
         FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
@@ -2415,25 +2453,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the non-adjacency check is one anti-join against the edge list;
     degrees are a combinable count; the cut a TakeOrderedAndProject
     top-20."""
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a = op.select("okey", F.col("pk").alias("pa"))
-    b = op.select("okey", F.col("pk").alias("pb"))
-    pairs = (
-        a.join(b, "okey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .filter(F.col("n_both") >= _COPURCHASE_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
-    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
-        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    pairs, edges, deg = copurchase_graph(spark, sf_dir)
     e1 = edges.select(F.col("u").alias("hub"), F.col("v").alias("a"))
     e2 = edges.select(F.col("u").alias("hub"), F.col("v").alias("b"))
     wedges = (
@@ -2462,4 +2482,397 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("neighbor_jaccard"), "part_a", "part_b")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the experiment-QA trio around `events_ab_lift` /
+# `events_cuped` — the checks an experimentation platform runs before
+# trusting a lift number: sample-ratio-mismatch (is the split the one
+# the assignment promised?), difference-in-differences (was the
+# movement there before the treatment?), and the Poisson bootstrap
+# (how wide is the estimate, without ever materializing a resample).
+
+
+@register(
+    "events_srm_check",
+    oracle="""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS na,
+               CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS nb
+        FROM assigned
+    )
+    SELECT n AS n_users, na, nb,
+           round(na * 1.0 / n, 4) AS share_a,
+           round(CAST((na - nb) * (na - nb) AS DOUBLE) / n, 4) AS chi2,
+           CAST((na - nb) * (na - nb) AS DOUBLE) / n > 10.8276 AS srm_alarm
+    FROM agg
+    """,
+    tags=("events", "experiment", "srm", "scale"),
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the 50/50 md5 assignment that
+    `events_ab_lift` / `events_cuped` report on: the chi-square
+    statistic for an even split reduces algebraically to
+    (na - nb)^2 / n (exact int64 until the one division), alarmed at
+    the conventional p < 0.001 critical value 10.8276 — an SRM alarm
+    means the assignment or logging is broken and every downstream
+    lift number is void (Fabijan et al. 2019's first diagnostic).
+
+    Scale shape: one distinct-user pass (combinable partial distinct
+    per partition), one 3-counter rollup — nothing wider than the
+    user key, constant output."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select("user_id").distinct().select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant")
+    )
+    agg = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("variant") == "A").alias("na"),
+        F.count_if(F.col("variant") == "B").alias("nb"),
+    )
+    return agg.selectExpr(
+        "n AS n_users",
+        "na",
+        "nb",
+        "round(na * 1.0D / n, 4) AS share_a",
+        "round(CAST((na - nb) * (na - nb) AS DOUBLE) / n, 4) AS chi2",
+        "CAST((na - nb) * (na - nb) AS DOUBLE) / n > 10.8276D AS srm_alarm",
+    )
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS variant,
+               CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                       AND epoch_us(ts) <= (SELECT mid FROM bounds)
+                                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                                 END), 0) AS BIGINT) AS pre_q,
+               CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                       AND epoch_us(ts) > (SELECT mid FROM bounds)
+                                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                                 END), 0) AS BIGINT) AS post_q
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT
+            CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS na,
+            CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS nb,
+            CAST(COALESCE(sum(pre_q)  FILTER (WHERE variant = 'A'), 0) AS BIGINT) AS sa_pre,
+            CAST(COALESCE(sum(post_q) FILTER (WHERE variant = 'A'), 0) AS BIGINT) AS sa_post,
+            CAST(COALESCE(sum(pre_q)  FILTER (WHERE variant = 'B'), 0) AS BIGINT) AS sb_pre,
+            CAST(COALESCE(sum(post_q) FILTER (WHERE variant = 'B'), 0) AS BIGINT) AS sb_post
+        FROM per_user
+    )
+    SELECT na, nb,
+           round(sa_pre  / (100.0 * na), 4) AS mean_a_pre,
+           round(sa_post / (100.0 * na), 4) AS mean_a_post,
+           round(sb_pre  / (100.0 * nb), 4) AS mean_b_pre,
+           round(sb_post / (100.0 * nb), 4) AS mean_b_post,
+           round((sb_post / (100.0 * nb) - sb_pre / (100.0 * nb))
+                 - (sa_post / (100.0 * na) - sa_pre / (100.0 * na)), 4)
+               AS did
+    FROM agg
+    """,
+    tags=("events", "experiment", "diff-in-diff", "scale"),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the md5 A/B assignment and the
+    corpus-midpoint pre/post split (`events_cuped`'s periods): DiD =
+    (B_post - B_pre) - (A_post - A_pre) on per-user purchase cents
+    averaged over ALL assigned users. Under a valid randomization DiD
+    and the raw post-period delta agree; a divergence means the arms
+    were imbalanced before treatment — the parallel-trends smoke test
+    run next to the lift readout.
+
+    Cross-engine exactness: per-event cents quantization, so every
+    per-variant sum is exact int64 and the five output doubles come
+    from token-identical expression trees. Scale shape: one per-user
+    combinable aggregate, one 6-counter rollup — the ab_lift plan
+    family with a period axis."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2))
+        .cast("long")
+        .alias("mid")
+    )
+    v_q = F.round(F.col("value") * 100, 0).cast("long")
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(is_purchase & (F.unix_micros("ts") <= F.col("mid")), v_q)
+                ),
+                F.lit(0),
+            ).alias("pre_q"),
+            F.coalesce(
+                F.sum(
+                    F.when(is_purchase & (F.unix_micros("ts") > F.col("mid")), v_q)
+                ),
+                F.lit(0),
+            ).alias("post_q"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                    *"01234567"
+                ),
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    agg = per_user.agg(
+        F.count_if(F.col("variant") == "A").alias("na"),
+        F.count_if(F.col("variant") == "B").alias("nb"),
+        F.coalesce(F.sum(F.when(F.col("variant") == "A", F.col("pre_q"))), F.lit(0)).alias("sa_pre"),
+        F.coalesce(F.sum(F.when(F.col("variant") == "A", F.col("post_q"))), F.lit(0)).alias("sa_post"),
+        F.coalesce(F.sum(F.when(F.col("variant") == "B", F.col("pre_q"))), F.lit(0)).alias("sb_pre"),
+        F.coalesce(F.sum(F.when(F.col("variant") == "B", F.col("post_q"))), F.lit(0)).alias("sb_post"),
+    )
+    return agg.selectExpr(
+        "na",
+        "nb",
+        "round(sa_pre  / (100.0D * na), 4) AS mean_a_pre",
+        "round(sa_post / (100.0D * na), 4) AS mean_a_post",
+        "round(sb_pre  / (100.0D * nb), 4) AS mean_b_pre",
+        "round(sb_post / (100.0D * nb), 4) AS mean_b_post",
+        "round((sb_post / (100.0D * nb) - sb_pre / (100.0D * nb))"
+        " - (sa_post / (100.0D * na) - sa_pre / (100.0D * na)), 4) AS did",
+    )
+
+
+# Poisson(1) inverse-CDF thresholds as 8-hex-digit strings: a uniform
+# md5 prefix u maps to weight w = #{k : u >= t_k}, i.e. P(w = k) =
+# e^-1 / k! (capped at 9; P(w > 9) < 1e-7). The strings are Python
+#-computed constants injected VERBATIM into both the Spark expression
+# and the oracle SQL, so the draw is identical by construction — the
+# _hex_threshold discipline with a 9-step ladder.
+_POISSON1_THRESHOLDS = (
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5",
+    "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f",
+)
+_BOOTSTRAP_B = 64
+
+
+def _bootstrap_weight_sql(u: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {u} >= '{t}' THEN 1 ELSE 0 END"
+        for t in _POISSON1_THRESHOLDS
+    )
+
+
+@register(
+    "events_bootstrap_ci",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                                 END), 0) AS BIGINT) AS y_q
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(y_q) AS BIGINT) AS sy
+        FROM per_user
+    ),
+    drawn AS (
+        SELECT b, y_q,
+               {_bootstrap_weight_sql(
+                   "substr(md5('boot:' || CAST(b AS VARCHAR) || ':' "
+                   "|| CAST(user_id AS VARCHAR)), 1, 8)")} AS w
+        FROM (SELECT user_id, y_q, unnest(range(0, {_BOOTSTRAP_B})) AS b
+              FROM per_user)
+    ),
+    reps AS (
+        SELECT b, CAST(sum(w * y_q) AS BIGINT) AS swy,
+               CAST(sum(w) AS BIGINT) AS sw
+        FROM drawn GROUP BY b HAVING sum(w) > 0
+    ),
+    ranked AS (
+        SELECT swy / (100.0 * sw) AS m,
+               row_number() OVER (ORDER BY swy / (100.0 * sw), b) AS r,
+               count(*) OVER () AS nb
+        FROM reps
+    )
+    SELECT o.n_users, CAST(k.nb AS BIGINT) AS n_replicates,
+           round(o.sy / (100.0 * o.n_users), 4) AS mean_obs,
+           round(lo.m, 4) AS ci_lo, round(hi.m, 4) AS ci_hi
+    FROM obs o
+    CROSS JOIN (SELECT max(nb) AS nb FROM ranked) k
+    CROSS JOIN (SELECT m FROM ranked WHERE r = 2) lo
+    CROSS JOIN (SELECT m FROM ranked, (SELECT max(nb) AS nb FROM ranked) x
+                WHERE r = x.nb - 1) hi
+    """,
+    tags=("events", "experiment", "bootstrap", "scale"),
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean per-user
+    purchase revenue: each user contributes weight w ~ Poisson(1) to
+    each of B=64 replicates (the md5 ladder above — deterministic,
+    so the resample replays exactly), each replicate's weighted mean
+    is exact int64 cents over int64 weights, and the CI is the 2nd /
+    (B-1)th order statistic of the replicate means — the nearest-rank
+    ~95% percentile bootstrap, selected by explicit rank so neither
+    engine's percentile interpolation is in play.
+
+    This is THE scalable bootstrap (Kleiner et al.'s observation
+    behind the bag-of-little-bootstraps): no replicate is ever
+    materialized — one per-user pass, a x64 weight explode of the
+    USER-grain relation (not the event log), and a 64-key rollup.
+    At 100 TB the explode is over users, the only corpus-sized work
+    the same per-user aggregate every experiment readout already
+    does."""
+    ev = load_table(spark, sf_dir, "events")
+    v_q = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", v_q)), F.lit(0)
+        ).alias("y_q")
+    )
+    obs = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("y_q").alias("sy")
+    )
+    u = (
+        "substring(md5(concat('boot:', CAST(b AS STRING), ':', "
+        "CAST(user_id AS STRING))), 1, 8)"
+    )
+    drawn = per_user.select(
+        "user_id",
+        "y_q",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOTSTRAP_B - 1))).alias("b"),
+    ).selectExpr("b", "y_q", f"{_bootstrap_weight_sql(u)} AS w")
+    reps = (
+        drawn.groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("y_q")).alias("swy"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+    )
+    m = (F.col("swy") / (100.0 * F.col("sw"))).alias("m")
+    ranked = reps.select(
+        m,
+        F.row_number()
+        .over(W.orderBy(F.col("swy") / (100.0 * F.col("sw")), "b"))
+        .alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nb"),
+    )
+    lo = ranked.filter(F.col("r") == 2).select(F.col("m").alias("m_lo"))
+    hi = ranked.filter(F.col("r") == F.col("nb") - 1).select(
+        F.col("m").alias("m_hi")
+    )
+    k = ranked.agg(F.max("nb").alias("nb"))
+    return (
+        obs.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_users",
+            F.col("nb").cast("long").alias("n_replicates"),
+            F.round(F.col("sy") / (100.0 * F.col("n_users")), 4).alias("mean_obs"),
+            F.round("m_lo", 4).alias("ci_lo"),
+            F.round("m_hi", 4).alias("ci_hi"),
+        )
+    )
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH {_copurchase_cte()},
+    wedges AS (
+        SELECT e1.v AS a, e2.v AS b,
+               CAST(count(*) AS BIGINT) AS common,
+               CAST(sum(CAST(round(1e6 / ln(CAST(d.d AS DOUBLE)), 0)
+                             AS BIGINT)) AS BIGINT) AS aa_q
+        FROM edges e1
+        JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN deg d ON d.u = e1.u
+        GROUP BY e1.v, e2.v
+    ),
+    cand AS (
+        SELECT w.a, w.b, w.common, w.aa_q
+        FROM wedges w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pairs p WHERE p.pa = w.a AND p.pb = w.b
+        )
+    )
+    SELECT a AS part_a, b AS part_b, common AS common_neighbors,
+           round(aa_q / 1e6, 4) AS adamic_adar
+    FROM cand
+    ORDER BY aa_q DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "basket", "scale"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the same support-floored
+    co-purchase graph as `graph_link_prediction`: score(a,b) =
+    sum over common neighbors u of 1/ln(deg(u)), which down-weights
+    promiscuous hubs (a part co-ordered with everything says little
+    about any one pair) — the score that beats plain common-neighbor
+    counting on most graphs in Liben-Nowell & Kleinberg's study.
+
+    Cross-engine floats: each hub's 1/ln(d) is quantized to 1e-6
+    BEFORE summation (the clnc_q discipline — ln is not guaranteed
+    correctly rounded across libm implementations, and float sums
+    re-associate), so aa_q accumulates as exact int64 and the
+    ORDER BY ranks identical integers in both engines; ties broken
+    by part keys. Hubs inside a wedge have degree >= 2 by
+    construction, so ln(d) >= ln 2 and the weight is finite.
+
+    Scale shape: identical to `graph_link_prediction` (shared
+    `copurchase_graph` derivation) plus one broadcast-scale degree
+    join keyed on the wedge hub."""
+    pairs, edges, deg = copurchase_graph(spark, sf_dir)
+    w_q = F.round(F.lit(1e6) / F.log(F.col("d").cast("double")), 0).cast("long")
+    e1 = edges.select(F.col("u").alias("hub"), F.col("v").alias("a"))
+    e2 = edges.select(F.col("u").alias("hub"), F.col("v").alias("b"))
+    wedges = (
+        e1.join(e2, "hub")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("u").alias("hub"), "d"), "hub")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"), F.sum(w_q).alias("aa_q"))
+    )
+    cand = wedges.join(
+        pairs,
+        (wedges["a"] == pairs["pa"]) & (wedges["b"] == pairs["pb"]),
+        "left_anti",
+    )
+    return (
+        cand.orderBy(F.desc("aa_q"), "a", "b")
+        .limit(20)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("common").alias("common_neighbors"),
+            F.round(F.col("aa_q") / F.lit(1e6), 4).alias("adamic_adar"),
+        )
     )

@@ -189,6 +189,32 @@ QUERIES = (
     # plus a <=65-key aggregate.
     "dedup_substring_exact",
     "dedup_simhash_candidate_histogram",
+    # round 11 batch 2: substring removal stats rides the substring
+    # span derivation + a per-doc sum (read against the token
+    # amplification); the BPE encoder is 5 vocab-sized training
+    # rounds + ONE corpus token explode joined to the broadcast vocab
+    # (token-volume op); CUPED is one per-user combinable moment
+    # pass; lang-temperature is two corpus passes shuffling only on
+    # the language key; link prediction's wedge join is bounded by
+    # the support-floored co-purchase degree (the scale lever — the
+    # floor keeps one-off co-occurrence noise out of the edge list).
+    "dedup_substring_removal_stats",
+    "text_bpe_apply_encode",
+    "events_cuped",
+    "sample_lang_temperature",
+    "graph_link_prediction",
+    # round 11 batch 3: the bootstrap explodes the USER-grain relation
+    # x64 (so its growth tracks distinct users, not events); hard-
+    # negative mining is rows x dims x labels through a broadcast
+    # centroid join (pure map+combine — should track the embedding
+    # count); the dynamic-overwrite row is the write path (two
+    # partitioned writes + read-back, watch it track orders volume);
+    # adamic-adar rides the link-prediction wedge join plus a
+    # hub-degree broadcast join.
+    "events_bootstrap_ci",
+    "embeddings_hard_negative_mining",
+    "pipeline_dynamic_partition_overwrite",
+    "graph_adamic_adar",
 )
 
 
