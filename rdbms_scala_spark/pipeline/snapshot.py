@@ -755,3 +755,70 @@ def pipeline_dynamic_partition_overwrite(
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "pipeline_mv_incremental_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                      AS BIGINT) / 100.0, 2) AS revenue,
+           round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                      AS BIGINT) / (100.0 * count(*)), 4) AS avg_order
+    FROM orders
+    GROUP BY o_orderpriority, strftime(o_orderdate, '%Y-%m')
+    ORDER BY o_orderpriority, month
+    """,
+    tags=("pipeline", "materialized-view", "incremental", "scale"),
+)
+def pipeline_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the MV is revenue
+    by (priority, order month); the 'already materialized' state is
+    the aggregate over ~90% of orders (keys with o_orderkey % 10 !=
+    0), the arriving batch is the other ~10%, and the refresh MERGES
+    PARTIAL AGGREGATES — union the MV rows with the batch's partial
+    rows and re-reduce on the group keys — instead of rescanning the
+    base. COUNT and SUM merge because they are commutative monoids;
+    AVG is maintained algebraically as (sum, count) and derived only
+    at read time — the Jagadish/DBSP-style delta-maintenance kernel
+    every warehouse MV engine implements.
+
+    The oracle is the FULL recompute over all orders: equality is the
+    proof of the merge law, not a restatement of the plan. Exact
+    int64 cents make partial-vs-full float drift impossible.
+
+    Scale shape: refresh cost is O(|delta| + |MV|), independent of
+    the base fact's size — the whole point at 100 TB, where the MV is
+    thousands of rows and the nightly delta a sliver; the merge
+    shuffle is MV-key-sized (map-side combine collapses the batch
+    first)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p_q"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority", "month").agg(
+            F.count(F.lit(1)).alias("n_orders"), F.sum("p_q").alias("rev_q")
+        )
+
+    mv = partial(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % 10 == 0))
+    refreshed = (
+        mv.unionByName(delta)
+        .groupBy("o_orderpriority", "month")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("rev_q").alias("rev_q"))
+    )
+    return refreshed.select(
+        "o_orderpriority",
+        "month",
+        "n_orders",
+        F.round(F.col("rev_q") / 100.0, 2).alias("revenue"),
+        F.round(F.col("rev_q") / (100.0 * F.col("n_orders")), 4).alias(
+            "avg_order"
+        ),
+    ).orderBy("o_orderpriority", "month")

@@ -677,3 +677,40 @@ def functions_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN c_custkey % 5 = 0 THEN 9 ELSE 2 END)"
         ).alias("maybe_elem"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(round(o.o_totalprice, 2)), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql-surface", "pipe-syntax"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0's |> operators, from the SQL:2023-
+    adjacent GoogleSQL proposal, SPARK-49555): the same
+    segment-filtered revenue rollup expressed as a left-to-right
+    pipeline of |> JOIN / |> WHERE / |> AGGREGATE ... GROUP BY /
+    |> ORDER BY stages. Parses to the identical Catalyst plan as the
+    nested form — the query certifies the modern surface, the oracle
+    (plain ANSI) certifies the semantics. Reference scope: the
+    reference's parser handles only SELECT-FROM-WHERE-GROUP BY
+    (Microbase.scala's single query form); this is the superset
+    surface growing in the same direction users are."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("pipe_customer_v")
+    return spark.sql("""
+        FROM pipe_orders_v AS o
+        |> JOIN pipe_customer_v AS c ON o.o_custkey = c.c_custkey
+        |> WHERE c.c_mktsegment = 'BUILDING'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(round(o.o_totalprice, 2)), 2) AS revenue
+           GROUP BY o.o_orderpriority
+        |> ORDER BY o_orderpriority
+    """)
