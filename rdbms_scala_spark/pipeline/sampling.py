@@ -1092,3 +1092,98 @@ def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: leakage-safe splitting — `sample_train_val_test` splits
+# on doc_id, which keeps EXACT re-inserts together only if they share
+# the id; two byte-identical documents with different ids (the normal
+# crawl situation) can straddle train/test and leak. The group-aware
+# split keys the assignment on the CONTENT fingerprint, so every
+# exact-duplicate cluster lands in one split by construction.
+
+
+@register(
+    "sample_leakage_safe_split",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, n_chars,
+               md5(lower(trim(text))) AS fingerprint
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, n_chars, fingerprint,
+               CASE WHEN substr(md5('split:' || fingerprint), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                    THEN 'train'
+                    WHEN substr(md5('split:' || fingerprint), 1, 1)
+                         IN ('c','d')
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM fp
+    ),
+    straddle AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_straddling
+        FROM (
+            SELECT fingerprint
+            FROM assigned GROUP BY fingerprint
+            HAVING count(DISTINCT split) > 1
+        )
+    )
+    SELECT a.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT a.fingerprint) AS BIGINT) AS n_clusters,
+           round(avg(a.n_chars), 4) AS avg_chars,
+           s.n_straddling
+    FROM assigned a CROSS JOIN straddle s
+    GROUP BY a.split, s.n_straddling
+    ORDER BY a.split
+    """,
+    tags=("sample", "split", "leakage", "dedup", "scale"),
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split keyed on the exact-dedup
+    content fingerprint (`dedup_exact_docs`'s md5 of normalized
+    text): all copies of a document — whatever their ids — get the
+    same 12/2/2-sixteenths assignment, so exact duplicates can never
+    straddle train and test (the contamination vector Lee et al. 2022
+    measure). Emits per-split doc and cluster counts plus
+    n_straddling, the machine-checked proof column: a fingerprint
+    with >1 distinct split would count there, and it is structurally
+    zero because split is a pure function of fingerprint.
+
+    Scale shape: one map pass to fingerprint + assign (no shuffle),
+    one split-keyed rollup with a distinct-count (partial per
+    partition), and the straddle audit one fingerprint-keyed
+    aggregate — the same exchanges exact dedup already pays; at
+    100 TB you'd key on the MinHash cluster id instead for near-dup
+    safety (same plan, different fingerprint column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    first = F.substring(F.md5(F.concat(F.lit("split:"), fp)), 1, 1)
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        fp.alias("fingerprint"),
+        F.when(first.isin(*"0123456789ab"), "train")
+        .when(first.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    straddle = (
+        assigned.groupBy("fingerprint")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).alias("n_straddling"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fingerprint").alias("n_clusters"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .select("split", "n_docs", "n_clusters", "avg_chars", "n_straddling")
+        .orderBy("split")
+    )
