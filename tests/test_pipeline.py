@@ -979,3 +979,153 @@ def test_substring_exact_merges_islands_and_finds_shifted_repeats(spark, tmp_pat
         (1, 4, k + 4, blockA),
         (2, k + 1, k, blockB),
     }, spans
+
+
+def test_mv_refresh_merge_law_holds_for_any_split(spark, sf_dir):
+    """The incremental-MV merge (union partials + re-reduce) must
+    equal the full recompute for EVERY base/delta partition of the
+    fact table, not just the registered 90/10 demo — the commutative-
+    monoid law the operator rests on. Checked for three unrelated
+    split predicates."""
+    from rdbms_scala_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p_q"),
+    )
+
+    def partial(df):
+        return df.groupBy("o_orderpriority", "month").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("p_q").alias("s")
+        )
+
+    full = partial(orders)
+    for mod, res in ((2, 0), (7, 3), (13, 12)):
+        pred = F.col("o_orderkey") % mod == res
+        merged = (
+            partial(orders.filter(pred))
+            .unionByName(partial(orders.filter(~pred)))
+            .groupBy("o_orderpriority", "month")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        )
+        assert merged.exceptAll(full).count() == 0
+        assert full.exceptAll(merged).count() == 0
+
+
+def test_bootstrap_weight_ladder_is_poisson1(spark):
+    """The md5 threshold ladder must draw Poisson(1): over 80k
+    deterministic draws the zero-class frequency sits at e^-1 and the
+    mean at 1 (both within 1%% absolute), and no weight exceeds the
+    9-step cap."""
+    import math
+
+    from rdbms_scala_spark.queries.behavior import _bootstrap_weight_sql
+
+    u = "substring(md5(concat('boot:', CAST(id AS STRING))), 1, 8)"
+    stats = (
+        spark.range(80_000)
+        .selectExpr(f"{_bootstrap_weight_sql(u)} AS w")
+        .agg(
+            F.avg("w").alias("mean"),
+            F.avg((F.col("w") == 0).cast("double")).alias("p0"),
+            F.max("w").alias("wmax"),
+        )
+        .collect()[0]
+    )
+    assert abs(stats.mean - 1.0) < 0.01, stats
+    assert abs(stats.p0 - math.exp(-1.0)) < 0.01, stats
+    assert stats.wmax <= 9, stats
+
+
+def test_leakage_safe_split_keeps_dup_clusters_together(spark, tmp_path):
+    """Byte-identical texts under DIFFERENT doc ids (the crawl
+    re-insert case that id-keyed splitting leaks on) must land in one
+    split, and the n_straddling proof column must be zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdbms_scala_spark.pipeline.sampling import sample_leakage_safe_split
+
+    texts = [f"unique document body number {i}" for i in range(40)]
+    # 40 unique texts, each under 3 different ids = 120 docs
+    doc_ids = list(range(120))
+    body = [texts[i % 40] for i in range(120)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array(body),
+                "n_chars": pa.array([len(t) for t in body], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = sample_leakage_safe_split(spark, str(tmp_path)).collect()
+    assert sum(r.n_docs for r in rows) == 120
+    assert sum(r.n_clusters for r in rows) == 40
+    assert all(r.n_straddling == 0 for r in rows), rows
+    # every cluster contributes its 3 copies to exactly one split
+    assert all(r.n_docs == 3 * r.n_clusters for r in rows), rows
+
+
+def test_link_prediction_candidates_are_nonadjacent_wedges(spark, sf_dir):
+    """Every predicted pair must be (a) absent from the co-purchase
+    edge list and (b) a genuine 2-hop pair with the reported
+    common-neighbor count."""
+    from rdbms_scala_spark.queries.behavior import (
+        copurchase_graph,
+        graph_link_prediction,
+    )
+
+    got = graph_link_prediction(spark, sf_dir).collect()
+    assert got, "expected candidates on the test corpus"
+    pairs, edges, _ = copurchase_graph(spark, sf_dir)
+    edge_set = {(r.pa, r.pb) for r in pairs.collect()}
+    adj: dict[int, set[int]] = {}
+    for u, v in edge_set:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for r in got:
+        assert (r.part_a, r.part_b) not in edge_set, r
+        common = len(adj.get(r.part_a, set()) & adj.get(r.part_b, set()))
+        assert common == r.common_neighbors, (r, common)
+
+
+def test_hard_negative_mining_flags_planted_mislabels(spark, tmp_path):
+    """A vector sitting exactly on the OTHER label's cluster point
+    must be flagged as a hard negative; the tight cluster members
+    must not be."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdbms_scala_spark.pipeline.similarity import (
+        embeddings_hard_negative_mining,
+    )
+
+    dim = 8
+    a_point = [1.0] * dim
+    b_point = [-1.0] * dim
+    vecs, labels = [], []
+    for i in range(20):
+        vecs.append(a_point)
+        labels.append(0)
+        vecs.append(b_point)
+        labels.append(1)
+    # the plant: label 0, but positioned at label 1's cluster
+    vecs.append(b_point)
+    labels.append(0)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = {r.label: r for r in embeddings_hard_negative_mining(spark, str(tmp_path)).collect()}
+    assert rows[0].n_hard == 1, rows  # only the plant
+    assert rows[1].n_hard == 0, rows
