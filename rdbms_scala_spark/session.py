@@ -124,7 +124,7 @@ def evict_session_relations(spark: SparkSession) -> None:
     the same reason."""
     from pyspark.sql import DataFrame
 
-    from rdbms_scala_spark.pipeline import dedup, multimodal
+    from rdbms_scala_spark.pipeline import dedup, multimodal, text
 
     registries = (
         dedup._PAIR_CACHE,
@@ -133,6 +133,7 @@ def evict_session_relations(spark: SparkSession) -> None:
         dedup._WINNOW_CACHE,
         dedup._WINNOW_CAPPED_CACHE,
         multimodal._PHASH_CACHE,
+        text._BPE_CACHE,
     )
     for reg in registries:
         for val in reg.values():

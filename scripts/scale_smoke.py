@@ -516,6 +516,31 @@ def main() -> None:
         "  call — expect the drain floor (state commit) to dominate",
         "  until event volume catches up, as with the other streaming",
         "  rows.",
+        "- round 11 measurement notes: dedup_substring_exact is a",
+        "  token-volume op (anchor runs are one positioned gram per",
+        "  token — read its x64 against the ~128x token volume like",
+        "  DSIR/unigram); dedup_substring_removal_stats rides the",
+        "  shared span derivation plus a per-doc sum and should sit",
+        "  at/below the span row. text_bpe_apply_encode and",
+        "  text_bpe_train_merges share ONE session-cached training",
+        "  (_BPE_CACHE, built in the warm pass — the pagerank/minhash",
+        "  note transposed to the tokenizer), so their rows measure",
+        "  the encode join / merge-table assembly, not 5 re-trainings",
+        "  each. graph_link_prediction/_adamic_adar: per-copy key",
+        "  offsets make each amplified copy's co-purchase subgraph",
+        "  DISJOINT, so edges and wedges grow linearly with the factor",
+        "  — super-linear growth here would mean cross-copy edges",
+        "  leaked in. events_bootstrap_ci explodes the USER-grain",
+        "  relation x64 — its wall tracks distinct users (x7 at x64),",
+        "  not event rows. events_cuped/srm/did are single per-user",
+        "  exchanges (the ab_lift floor).",
+        "  embeddings_hard_negative_mining is rows x dims x labels",
+        "  through a broadcast centroid join — should track the",
+        "  vector count. pipeline_dynamic_partition_overwrite is the",
+        "  only WRITE-dominated row (two partitioned writes +",
+        "  read-back per pass) — expect it to track orders volume",
+        "  with a parquet-encode constant; sample_lang_temperature is",
+        "  two corpus passes shuffling only the language key.",
         "",
         f"Rows: {json.dumps(rows)}",
         "",
