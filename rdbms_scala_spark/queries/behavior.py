@@ -2355,21 +2355,40 @@ def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pass at pair grain cannot see (Liben-Nowell & Kleinberg 2003).
 
 
-_COPURCHASE_MIN_SUPPORT = 2
-
-
 def _copurchase_cte() -> str:
-    """The WITH-body (op -> pairs -> edges -> deg) of the
+    """The WITH-body (op -> sup -> pairs -> edges -> deg) of the
     support-floored part co-purchase graph — shared by the
     link-prediction and Adamic-Adar oracles so both score the SAME
-    graph (the simhash_candidate_pairs discipline)."""
-    return f"""op AS (
+    graph (the simhash_candidate_pairs discipline).
+
+    The support floor is DENSITY-SCALED, not a constant:
+    max(2, ceil(4/15 x orders-per-part)) in exact integer arithmetic.
+    TPC-H's orders:parts ratio is ~7.5 at EVERY scale factor (both
+    grow with SF), so the floor sits at 2 from sf0.001 to sf100 —
+    but under a corpus that genuinely densifies (more orders over a
+    FIXED part inventory, e.g. the x64 amplified smoke tier, or any
+    real catalog whose traffic grows faster than its assortment)
+    every pair's co-order count inflates with the density and a
+    fixed floor stops separating signal from noise: the x64 tier
+    saturated a floor of 2 (all ~116k pairs qualified, degree ~116,
+    13.8M wedges, 47 s). The scaled floor keeps the edge list at
+    'co-ordered more than density predicts' — the same
+    per-reducer-budget reasoning as join_skew_salted's auto
+    threshold."""
+    return """op AS (
         SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    ),
+    sup AS (
+        SELECT greatest(
+                   CAST(2 AS BIGINT),
+                   (4 * count(DISTINCT okey) + 15 * count(DISTINCT pk) - 1)
+                       // (15 * count(DISTINCT pk))) AS floor_n
+        FROM op
     ),
     pairs AS (
         SELECT a.pk AS pa, b.pk AS pb
         FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk
-        GROUP BY 1, 2 HAVING count(*) >= {_COPURCHASE_MIN_SUPPORT}
+        GROUP BY 1, 2 HAVING count(*) >= (SELECT floor_n FROM sup)
     ),
     edges AS (
         SELECT pa AS u, pb AS v FROM pairs
@@ -2384,13 +2403,23 @@ def copurchase_graph(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(pairs, edges, deg) of the support-floored part co-purchase
     graph — the shared Spark-side derivation of `_copurchase_cte`.
-    pairs = (pa, pb) with pa < pb co-ordered in >= 2 distinct orders;
+    pairs = (pa, pb) with pa < pb whose co-order count clears the
+    density-scaled support floor (see `_copurchase_cte`);
     edges = both directions; deg = per-part degree. See
     `graph_link_prediction` for the scale argument."""
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
         .distinct()
+    )
+    sup = op.agg(
+        F.greatest(
+            F.lit(2).cast("long"),
+            F.expr(
+                "(4 * count(DISTINCT okey) + 15 * count(DISTINCT pk) - 1)"
+                " div (15 * count(DISTINCT pk))"
+            ),
+        ).alias("floor_n")
     )
     a = op.select("okey", F.col("pk").alias("pa"))
     b = op.select("okey", F.col("pk").alias("pb"))
@@ -2399,7 +2428,8 @@ def copurchase_graph(
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_both"))
-        .filter(F.col("n_both") >= _COPURCHASE_MIN_SUPPORT)
+        .crossJoin(F.broadcast(sup))
+        .filter(F.col("n_both") >= F.col("floor_n"))
         .select("pa", "pb")
     )
     edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
@@ -2440,10 +2470,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     by common-neighbor Jaccard: for every NON-adjacent 2-hop pair,
     |N(a) & N(b)| / |N(a) | N(b)| (exact integers until the one
     rounded division; ties broken by part keys so the cut is
-    deterministic). Edges are part pairs co-ordered in >= 2 distinct
-    orders — the support floor is what separates signal edges from
-    the one-off co-occurrence noise AND what bounds the graph (and
-    every downstream wedge) at scale, the same role the shingle
+    deterministic). Edges are part pairs whose co-order count clears
+    the DENSITY-SCALED support floor (`_copurchase_cte`: max(2,
+    ceil(4/15 x orders-per-part)), floor 2 at every real TPC-H SF) —
+    the floor is what separates signal edges from one-off
+    co-occurrence noise AND what bounds the graph (and every
+    downstream wedge) under densification, the same role the shingle
     df-cap plays in the dedup graph family.
 
     Scale shape: the co-order pair join is keyed on orderkey with

@@ -526,11 +526,16 @@ def main() -> None:
         "  (_BPE_CACHE, built in the warm pass — the pagerank/minhash",
         "  note transposed to the tokenizer), so their rows measure",
         "  the encode join / merge-table assembly, not 5 re-trainings",
-        "  each. graph_link_prediction/_adamic_adar: per-copy key",
-        "  offsets make each amplified copy's co-purchase subgraph",
-        "  DISJOINT, so edges and wedges grow linearly with the factor",
-        "  — super-linear growth here would mean cross-copy edges",
-        "  leaked in. events_bootstrap_ci explodes the USER-grain",
+        "  each. graph_link_prediction/_adamic_adar: this tier",
+        "  DENSIFIES the co-purchase graph by construction (lineitem",
+        "  copies share l_partkey — more orders over a fixed part",
+        "  inventory); the first cut's FIXED support floor of 2",
+        "  saturated at x64 (116k-edge graph, 13.8M wedges, 47 s) and",
+        "  was replaced by the density-scaled floor (max(2, ceil(4/15",
+        "  x orders-per-part)), behavior.py _copurchase_cte — floor 2",
+        "  at every real TPC-H SF), cutting x64 to ~15 s with the",
+        "  residual growth in the co-order count pass, not the wedge",
+        "  space. events_bootstrap_ci explodes the USER-grain",
         "  relation x64 — its wall tracks distinct users (x7 at x64),",
         "  not event rows. events_cuped/srm/did are single per-user",
         "  exchanges (the ab_lift floor).",
