@@ -125,6 +125,7 @@ def evict_session_relations(spark: SparkSession) -> None:
     from pyspark.sql import DataFrame
 
     from rdbms_scala_spark.pipeline import dedup, multimodal, text
+    from rdbms_scala_spark.queries import behavior
 
     registries = (
         dedup._PAIR_CACHE,
@@ -134,6 +135,7 @@ def evict_session_relations(spark: SparkSession) -> None:
         dedup._WINNOW_CAPPED_CACHE,
         multimodal._PHASH_CACHE,
         text._BPE_CACHE,
+        behavior._COPURCHASE_CACHE,
     )
     for reg in registries:
         for val in reg.values():
