@@ -166,6 +166,10 @@ EXTENSION = [
     "events_bootstrap_ci",
     "embeddings_hard_negative_mining",
     "pipeline_dynamic_partition_overwrite",
+    # round-11 batch 4: the closed-form NB source classifier — two
+    # model aggregates + the tokens x classes broadcast-model scoring
+    # pass (the quality-classifier family's bench row).
+    "text_naive_bayes_source",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -2241,3 +2241,207 @@ def text_bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: multinomial Naive Bayes source classifier — the
+# closed-form member of the quality-classifier family (the slot
+# fastText/logistic quality filters occupy in CCNet-style pipelines):
+# train per-class token likelihoods in two aggregates, classify every
+# document by exact integer argmax, and emit the confusion matrix —
+# the auditable "can content predict its own metadata?" readout that
+# `text_langid_agreement` gives for lang and
+# `text_source_signature_terms` hints at for source.
+
+
+_NB_VOCAB_MIN_COUNT = 3
+
+
+@register(
+    "text_naive_bayes_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM tok GROUP BY w
+        HAVING count(*) >= {_NB_VOCAB_MIN_COUNT}
+    ),
+    vsize AS (SELECT CAST(count(*) + 1 AS BIGINT) AS vv FROM vocab),
+    inst AS (
+        SELECT t.doc_id, t.source,
+               CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END AS w
+        FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    ),
+    classes AS (
+        SELECT source AS src, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM inst GROUP BY source
+    ),
+    total AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM classes),
+    cnt AS (
+        SELECT source AS src, w, CAST(count(*) AS BIGINT) AS c
+        FROM inst GROUP BY source, w
+    ),
+    ctok AS (SELECT src, CAST(sum(c) AS BIGINT) AS tok_c FROM cnt GROUP BY src),
+    logp AS (
+        SELECT c.src, c.w,
+               CAST(round(ln((c.c + 1.0) / (t.tok_c + s.vv)) * 1e6, 0)
+                    AS BIGINT) AS q
+        FROM cnt c JOIN ctok t ON c.src = t.src CROSS JOIN vsize s
+    ),
+    zero AS (
+        SELECT t.src,
+               CAST(round(ln(1.0 / (t.tok_c + s.vv)) * 1e6, 0) AS BIGINT) AS zq
+        FROM ctok t CROSS JOIN vsize s
+    ),
+    prior AS (
+        SELECT c.src,
+               CAST(round(ln(CAST(c.n_docs AS DOUBLE) / t.n_total) * 1e6, 0)
+                    AS BIGINT) AS pq
+        FROM classes c CROSS JOIN total t
+    ),
+    tf AS (
+        SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS f
+        FROM inst GROUP BY doc_id, source, w
+    ),
+    scored AS (
+        SELECT i.doc_id, i.source,
+               z.src AS cand,
+               CAST(sum(i.f * COALESCE(l.q, z.zq)) AS BIGINT) AS sq
+        FROM tf i
+        CROSS JOIN zero z
+        LEFT JOIN logp l ON l.src = z.src AND l.w = i.w
+        GROUP BY i.doc_id, i.source, z.src, z.zq
+    ),
+    ranked AS (
+        SELECT doc_id, source, cand,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY sq + p.pq DESC, cand
+               ) AS r
+        FROM scored JOIN prior p ON p.src = cand
+    )
+    SELECT source, cand AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked WHERE r = 1
+    GROUP BY source, cand
+    ORDER BY source, predicted
+    """,
+    tags=("text", "classifier", "naive-bayes", "quality", "scale"),
+)
+def text_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes with add-one smoothing, trained on the
+    corpus's own source labels and applied back to every document:
+    per-class token log-likelihoods ln((c+1)/(tok_c+V')) and priors
+    quantized to 1e-6 integers BEFORE summation (the unigram-LM
+    discipline), so each document's per-class score is exact int64
+    and the argmax — ties broken by class name — is pure integer
+    comparison in both engines. Output is the confusion matrix
+    (true source, predicted source, docs): a diagonal-heavy matrix
+    means content carries its provenance (a trainable quality/domain
+    filter exists); a flat one means source labels add no signal
+    beyond priors — the go/no-go for fastText-style corpus filters.
+
+    OOV handling: words below the {min-count} vocabulary floor map
+    to '<unk>' BEFORE counting, so train and apply share one closed
+    vocabulary and every (class, word) miss falls back to the
+    zero-count smoothed likelihood — the textbook multinomial-NB
+    treatment, and what bounds the broadcast model at 100 TB (the
+    floor is the knob; raise it and the model shrinks, accuracy
+    degrades gracefully).
+
+    Scale shape: training is two map-side-combinable aggregates
+    (class-word counts = model, class token totals); scoring works on
+    the (doc, word, tf) COUNT relation — the textbook multinomial
+    form, which collapses repeated tokens before the class explode —
+    crossed with |classes| rows against the BROADCAST model:
+    O(distinct doc-word pairs x classes) map work, then one
+    (doc, class) combinable sum and a doc-keyed window argmax. No
+    corpus-sized shuffle beyond the per-doc aggregates every text op
+    pays."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(tokens()).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .filter(F.col("cw") >= _NB_VOCAB_MIN_COUNT)
+        .select("w")
+    )
+    vsize = vocab.agg((F.count(F.lit(1)) + 1).alias("vv"))
+    inst = (
+        tok.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "w", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("in_v").isNull(), "<unk>").otherwise(F.col("w")).alias("w"),
+        )
+    )
+    classes = inst.groupBy(F.col("source").alias("src")).agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    total = classes.agg(F.sum("n_docs").alias("n_total"))
+    cnt = inst.groupBy(F.col("source").alias("src"), "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ctok = cnt.groupBy("src").agg(F.sum("c").alias("tok_c"))
+    logp = (
+        cnt.join(ctok, "src")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "src",
+            "w",
+            F.round(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("tok_c") + F.col("vv")))
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    zero = ctok.crossJoin(F.broadcast(vsize)).select(
+        "src",
+        F.round(F.log(F.lit(1.0) / (F.col("tok_c") + F.col("vv"))) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("zq"),
+    )
+    prior = classes.crossJoin(F.broadcast(total)).select(
+        "src",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("n_total")) * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("pq"),
+    )
+    tf = inst.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    lp = logp.select(
+        F.col("src").alias("l_src"), F.col("w").alias("l_w"), "q"
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(zero))
+        .join(
+            F.broadcast(lp),
+            (F.col("src") == F.col("l_src")) & (F.col("w") == F.col("l_w")),
+            "left",
+        )
+        .groupBy("doc_id", "source", "src", "zq")
+        .agg(F.sum(F.col("f") * F.coalesce("q", F.col("zq"))).alias("sq"))
+    )
+    ranked = scored.join(F.broadcast(prior), "src").withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.desc(F.col("sq") + F.col("pq")), F.col("src")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("r") == 1)
+        .groupBy("source", F.col("src").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "predicted")
+    )

@@ -215,6 +215,11 @@ QUERIES = (
     "embeddings_hard_negative_mining",
     "pipeline_dynamic_partition_overwrite",
     "graph_adamic_adar",
+    # round 11 batch 4: NB source classifier — a token-volume op
+    # (scoring explodes token instances x classes against the
+    # broadcast model; read x64 against the ~128x token volume), with
+    # the vocab floor bounding the model like the shingle df-cap.
+    "text_naive_bayes_source",
 )
 
 
