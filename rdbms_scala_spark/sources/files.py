@@ -945,3 +945,100 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_date", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: custom Python data source (Spark 4's pyspark.sql.datasource
+# API, SPARK-44076) — the extension point that replaces "write an RDD
+# and hope" for bespoke feeds (internal wire formats, synthetic load
+# generators, API paginators). The demo source is a deterministic
+# partitioned spine, so the oracle can replay it arithmetically and
+# the PARTITIONED read path (one generator per InputPartition, running
+# in parallel tasks) is what's actually certified.
+
+
+_SPINE_ROWS = 10_000
+_SPINE_PARTS = 8
+
+
+def _register_spine_source(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _SpineReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(p) for p in range(_SPINE_PARTS)]
+
+        def read(self, partition):
+            # Knuth multiplicative hash on a contiguous id slice:
+            # pure int64 arithmetic, so every engine replays it.
+            per = _SPINE_ROWS // _SPINE_PARTS
+            lo = partition.value * per
+            hi = _SPINE_ROWS if partition.value == _SPINE_PARTS - 1 else lo + per
+            for i in range(lo, hi):
+                yield (i, i % 7, (i * 2654435761) % 100000)
+
+    class SpineDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "demo_spine"
+
+        def schema(self):
+            return "id bigint, bucket int, val_q bigint"
+
+        def reader(self, schema):
+            return _SpineReader()
+
+    spark.dataSource.register(SpineDataSource)
+
+
+@register(
+    "source_python_datasource",
+    oracle=f"""
+    WITH spine AS (
+        SELECT i AS id, i % 7 AS bucket, (i * 2654435761) % 100000 AS val_q
+        FROM generate_series(0, {_SPINE_ROWS - 1}) AS t(i)
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(val_q) AS BIGINT) AS total_q,
+           CAST(min(id) AS BIGINT) AS first_id,
+           CAST(max(id) AS BIGINT) AS last_id
+    FROM spine GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("source", "python-datasource", "sql-surface"),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through a CUSTOM Python data source (Spark 4
+    `pyspark.sql.datasource.DataSource`, registered per session):
+    the source splits a deterministic Knuth-hash spine into
+    8 InputPartitions (_SPINE_PARTS) — each partition generates its id
+    slice inside its own task, certifying the parallel read path, the
+    Arrow hand-off from the Python generator, and schema declaration
+    — then the query aggregates per bucket so a dropped or duplicated
+    partition cannot hide (counts, sums, and id extremes all pin it).
+    The DuckDB oracle replays the spine arithmetically.
+
+    Reference scope: the reference's only ingest is its eager CSV
+    loader (Microbase.scala:950-983); this is the modern extension
+    point a Spark user swaps in for bespoke feeds. At 100 TB a real
+    source implements `partitions()` from its native split metadata
+    (files, shards, key ranges) so Spark schedules one task per
+    split — exactly the shape demonstrated here."""
+    from pyspark.sql import functions as F
+
+    _register_spine_source(spark)
+    df = spark.read.format("demo_spine").load()
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val_q").alias("total_q"),
+            F.min("id").alias("first_id"),
+            F.max("id").alias("last_id"),
+        )
+        .orderBy("bucket")
+    )
