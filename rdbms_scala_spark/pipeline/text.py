@@ -2445,3 +2445,116 @@ def text_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: Zipf rank-frequency fit — the companion diagnostic to
+# `text_heaps_law`: natural text shows ln(count) ~ intercept +
+# slope*ln(rank) with slope near -1; a much flatter slope flags
+# synthetic/templated corpora, a much steeper one a vocabulary
+# dominated by boilerplate — the corpus-health readout run before
+# trusting frequency-based filters.
+
+
+_ZIPF_TOP_RANKS = 1000
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH counted AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    top AS (
+        SELECT c FROM counted ORDER BY c DESC, w LIMIT {_ZIPF_TOP_RANKS}
+    ),
+    ranked AS (
+        SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC)
+                                  AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x_q,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y_q
+        FROM top
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x_q) AS BIGINT) AS sx,
+               CAST(sum(y_q) AS BIGINT) AS sy,
+               CAST(sum(x_q * x_q) AS BIGINT) AS sxx,
+               CAST(sum(x_q * y_q) AS BIGINT) AS sxy,
+               CAST(sum(y_q * y_q) AS BIGINT) AS syy
+        FROM ranked
+    )
+    SELECT n AS n_ranks,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)
+               AS zipf_slope,
+           round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                      * sx) / (1e6 * n), 4) AS ln_intercept,
+           round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+               AS r2
+    FROM m
+    """,
+    tags=("text", "zipf", "corpus-stats", "scale"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(count) against ln(rank) over the top-1000
+    vocabulary: slope (Zipf predicts ~ -1), the ln-space intercept
+    (in natural-log units, de-quantized), and r-squared. Ranks come
+    from a TakeOrderedAndProject top-k cut (count desc, word asc —
+    deterministic), so the ranking window runs over a <=1000-row
+    capped relation, never the vocabulary (the `text_vocab_induction`
+    discipline); both ln terms quantize to 1e-6 integers BEFORE the
+    moment sums, so all six OLS moments are exact int64 and the three
+    output doubles come from token-identical expression trees.
+
+    Scale shape: one map-side-combinable vocabulary count (the pass
+    every text op pays), one top-k cut, and a 6-counter rollup over
+    1000 rows — corpus size only touches the first aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counted.orderBy(F.desc("c"), "w").limit(_ZIPF_TOP_RANKS).select("c")
+    ranked = top.select(
+        F.round(
+            F.log(F.row_number().over(W.orderBy(F.desc("c"))).cast("double"))
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("x_q"),
+        F.round(F.log(F.col("c").cast("double")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("y_q"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_q").alias("sx"),
+        F.sum("y_q").alias("sy"),
+        F.sum(F.col("x_q") * F.col("x_q")).alias("sxx"),
+        F.sum(F.col("x_q") * F.col("y_q")).alias("sxy"),
+        F.sum(F.col("y_q") * F.col("y_q")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    return m.select(
+        F.col("n").alias("n_ranks"),
+        F.round(num / denx, 4).alias("zipf_slope"),
+        F.round((syd - (num / denx) * sxd) / (F.lit(1e6) * nd), 4).alias(
+            "ln_intercept"
+        ),
+        F.round((num * num) / (denx * deny), 4).alias("r2"),
+    )

@@ -1085,3 +1085,122 @@ def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "delay_minutes long, n_dropped_windows long, n_finalized_windows long",
     ).orderBy("delay_minutes")
+
+
+# ---------------------------------------------------------------------------
+# Round 11: custom Python STREAMING source (SimpleDataSourceStreamReader
+# — the streaming half of Spark 4's pyspark.sql.datasource API, the
+# batch half being sources/files.py's source_python_datasource). The
+# spine is finite and deterministic, so the op can certify the part
+# that matters and is otherwise invisible: OFFSET CHECKPOINTING. Each
+# availableNow drain of a Python micro-batch stream falls back to
+# single-batch execution (Spark logs this), so one drain consumes ONE
+# reader step; three drains against the SAME checkpoint must resume
+# where the previous one committed and land every row exactly once.
+
+
+_PYSRC_ROWS = 100
+_PYSRC_BATCH = 40
+
+
+def _register_stream_spine(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _SpineStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            if i >= _PYSRC_ROWS:
+                return iter([]), {"i": i}
+            hi = min(i + _PYSRC_BATCH, _PYSRC_ROWS)
+            return (
+                iter([(j, (j * 2654435761) % 100000) for j in range(i, hi)]),
+                {"i": hi},
+            )
+
+        def readBetweenOffsets(self, start, end):
+            # Replay path for recovery: same arithmetic, so a replayed
+            # batch is byte-identical to the original.
+            return iter(
+                [(j, (j * 2654435761) % 100000) for j in range(start["i"], end["i"])]
+            )
+
+    class SpineStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "demo_stream_spine"
+
+        def schema(self):
+            return "id bigint, val_q bigint"
+
+        def simpleStreamReader(self, schema):
+            return _SpineStreamReader()
+
+    spark.dataSource.register(SpineStreamSource)
+
+
+@register(
+    "streaming_python_source",
+    oracle=f"""
+    WITH spine AS (
+        SELECT i AS id, (i * 2654435761) % 100000 AS val_q
+        FROM generate_series(0, {_PYSRC_ROWS - 1}) AS t(i)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_distinct_ids,
+           CAST(sum(val_q) AS BIGINT) AS total_q,
+           CAST(min(id) AS BIGINT) AS first_id,
+           CAST(max(id) AS BIGINT) AS last_id
+    FROM spine
+    """,
+    tags=("streaming", "source", "python-datasource", "exactly-once"),
+)
+def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a custom Python streaming source through THREE separate
+    availableNow runs sharing one checkpoint + parquet file sink:
+    the 100-row Knuth spine arrives in reader steps of 40/40/20, each
+    run resumes from the offset the previous run committed, and the
+    readout (count, DISTINCT count, sum, id extremes) proves every
+    row landed exactly once — a duplicated batch would double ids
+    (n_rows > n_distinct_ids), a lost one would truncate the extremes.
+    This is the restart/recovery contract a production streaming
+    ingest lives on, certified against an arithmetic oracle.
+
+    At 100 TB the same API wraps real feeds (queues, paginated APIs,
+    wire formats Spark lacks): `read` returns (rows, next_offset)
+    from native cursors, `readBetweenOffsets` replays committed
+    ranges idempotently, and Spark owns scheduling, checkpointing,
+    and the sink transaction."""
+    import shutil
+    import tempfile
+
+    _register_stream_spine(spark)
+    root = tempfile.mkdtemp(prefix="pysrc_stream_")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+    try:
+        for _ in range(3):
+            q = (
+                spark.readStream.format("demo_stream_spine")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        landed = spark.read.parquet(out)
+        agg = landed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("id").alias("n_distinct_ids"),
+            F.sum("val_q").alias("total_q"),
+            F.min("id").alias("first_id"),
+            F.max("id").alias("last_id"),
+        )
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -68,6 +68,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "dedup_simhash_hamming_histogram": "<=11 Hamming-distance buckets (cumulative over the accepted band)",
     "dedup_simhash_candidate_histogram": "<=65 Hamming-distance buckets (cumulative over the full candidate set; bounded by the 64-bit fingerprint width)",
     "events_bootstrap_ci": "64 bootstrap-replicate means (rank-selected CI endpoints)",
+    "text_zipf_fit": "<=1000-row top-k vocabulary cut (rank assignment post-limit)",
 }
 
 # SortMergeJoins (surviving AQE) that are correct-by-construction.
