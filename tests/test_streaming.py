@@ -330,3 +330,35 @@ def test_transform_with_state_backend_is_tracked():
     except ImportError:
         expected = "applyInPandasWithState"
     assert jobs.transform_with_state_backend() == expected
+
+
+def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    """The custom Python streaming source must hand out its spine in
+    reader steps of 40 and RESUME from the committed offset across
+    separate availableNow runs sharing one checkpoint: two drains land
+    exactly 80 distinct ids, the third completes the 100, and a fourth
+    adds nothing (no replay, no loss)."""
+    from rdbms_scala_spark.streaming.jobs import _register_stream_spine
+
+    _register_stream_spine(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("demo_stream_spine")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        df = spark.read.parquet(out)
+        return df.count(), df.select("id").distinct().count()
+
+    assert drain() == (40, 40)
+    assert drain() == (80, 80)
+    assert drain() == (100, 100)
+    assert drain() == (100, 100)
