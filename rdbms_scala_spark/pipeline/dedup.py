@@ -808,6 +808,9 @@ def _simhash_oracle() -> str:
     """
 
 
+_SIMHASH_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
 def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL SimHash candidate pair relation — every distinct pair
     the two-level banding ladder surfaces, with its exact Hamming
@@ -815,7 +818,11 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     under ``hamming <= 10``; ``dedup_simhash_candidate_histogram``
     profiles the whole relation (accepted and rejected bands) for
     threshold tuning. Shared so the production pair set and its
-    tuning readouts can never drift apart.
+    tuning readouts can never drift apart — and materialized ONCE per
+    (session, sf_dir) behind an eager localCheckpoint with the
+    ``cached_jaccard_pairs`` staleness contract, so the three simhash
+    queries pay the fingerprint + banding derivation once per session
+    (the ``cached_minhash_sig_cand`` discipline applied to this tier).
 
     Per doc: 64-bit fingerprint = sign-aggregate of shingle-hash bits
     (trigram shingles, not bare tokens — the corpus vocabulary is
@@ -835,6 +842,17 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding comment below); exact Hamming check via bit_count(xor)
     summed over halves. Everything is built-in exprs — no Python in
     the hot path."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    table_fp = _table_fingerprint(sf_dir, "documents")
+    hit = _SIMHASH_CACHE.get(cache_key)
+    if hit is not None and hit[0] == table_fp:
+        return hit[1]
+    if hit is not None:
+        try:  # free the superseded checkpoint's blocks eagerly
+            hit[1]._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass  # ContextCleaner reclaims once the dict ref is gone
+        del _SIMHASH_CACHE[cache_key]
     docs = load_table(spark, sf_dir, "documents")
     tok = shingles_df(docs, n=3, distinct=True).withColumnRenamed("shingle", "tok")
     tok = tok.withColumn("h0", F.md5(F.concat(F.lit("0:"), F.col("tok")))).withColumn(
@@ -944,10 +962,16 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return cand.withColumn(
-        "hamming",
-        F.bit_count(F.expr("fla ^ flb")) + F.bit_count(F.expr("fha ^ fhb")),
-    ).select("doc_a", "doc_b", "hamming")
+    out = (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.expr("fla ^ flb")) + F.bit_count(F.expr("fha ^ fhb")),
+        )
+        .select("doc_a", "doc_b", "hamming")
+        .localCheckpoint(eager=True)
+    )
+    _SIMHASH_CACHE[cache_key] = (table_fp, out)
+    return out
 
 
 @register(

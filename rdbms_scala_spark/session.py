@@ -133,6 +133,7 @@ def evict_session_relations(spark: SparkSession) -> None:
         dedup._MINHASH_CACHE,
         dedup._WINNOW_CACHE,
         dedup._WINNOW_CAPPED_CACHE,
+        dedup._SIMHASH_CACHE,
         multimodal._PHASH_CACHE,
         text._BPE_CACHE,
         behavior._COPURCHASE_CACHE,
