@@ -168,8 +168,11 @@ EXTENSION = [
     "pipeline_dynamic_partition_overwrite",
     # round-11 batch 4: the closed-form NB source classifier — two
     # model aggregates + the tokens x classes broadcast-model scoring
-    # pass (the quality-classifier family's bench row).
+    # pass (the quality-classifier family's bench row) — and the real
+    # PNG decode + nearest-neighbor resize (map-only mapInPandas over
+    # the image third of the corpus).
     "text_naive_bayes_source",
+    "multimodal_image_resize",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -218,8 +218,12 @@ QUERIES = (
     # round 11 batch 4: NB source classifier — a token-volume op
     # (scoring explodes token instances x classes against the
     # broadcast model; read x64 against the ~128x token volume), with
-    # the vocab floor bounding the model like the shingle df-cap.
+    # the vocab floor bounding the model like the shingle df-cap —
+    # and the real PNG resize (map-only decode+resample; per-copy
+    # doc_id offsets give each amplified copy fresh image parameters,
+    # so its wall should track the image count).
     "text_naive_bayes_source",
+    "multimodal_image_resize",
 )
 
 
