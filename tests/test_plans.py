@@ -704,3 +704,44 @@ def test_simhash_histogram_rides_production_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "EvalPython" not in plan, plan[:2000]
     assert "partial_count" in plan, plan[:2000]
+
+
+def test_naive_bayes_scoring_broadcasts_model(spark, sf_dir):
+    """NB scoring must join the tf relation against the BROADCAST
+    (src, word) model — never a shuffle join — and keep the whole
+    pass free of row-at-a-time Python and cartesian products (the
+    class fan-out is a broadcast nested loop over the |classes|-row
+    zero table, which is the intended shape)."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["text_naive_bayes_source"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_image_resize_is_map_only_arrow(spark, sf_dir):
+    """The resize pass must be one Arrow mapInPandas over the image
+    subset: no join, no shuffle exchange before the map (only the
+    final presentation sort's exchange is allowed), no row-python."""
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(SPECS["multimodal_image_resize"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_link_prediction_family_shares_cached_pairs(spark, sf_dir):
+    """Both link-prediction scores must consume the session-cached
+    co-purchase pair relation: after one call builds it, the next
+    query's plan scans an ExistingRDD (the checkpoint) instead of
+    re-deriving from lineitem."""
+    from rdbms_scala_spark.plans import physical_plan
+    from rdbms_scala_spark.queries.behavior import copurchase_graph
+
+    copurchase_graph(spark, sf_dir)  # build/ensure the cache
+    plan = physical_plan(SPECS["graph_adamic_adar"].fn(spark, sf_dir))
+    assert "ExistingRDD" in plan, plan[:2000]
+    assert "lineitem" not in plan, plan[:2000]
