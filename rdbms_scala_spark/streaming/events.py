@@ -1080,3 +1080,165 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: per-variant funnel with step-level significance — the
+# composition of `events_funnel` (staged min-ts chain) and
+# `events_ab_lift` (md5 assignment + pooled two-proportion z): an
+# experiment rarely moves the end-to-end rate without moving ONE
+# step, and this readout says which.
+
+
+@register(
+    "events_ab_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    av AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM v
+    ),
+    counts AS (
+        SELECT a.variant,
+               CAST(count(*) AS BIGINT) AS n1,
+               CAST(count(c.user_id) AS BIGINT) AS n2,
+               CAST(count(p.user_id) AS BIGINT) AS n3
+        FROM av a
+        LEFT JOIN c ON c.user_id = a.user_id
+        LEFT JOIN p ON p.user_id = a.user_id
+        GROUP BY a.variant
+    ),
+    steps AS (
+        SELECT 's1_view_to_click' AS step,
+               max(CASE WHEN variant = 'A' THEN n1 END) AS na,
+               max(CASE WHEN variant = 'A' THEN n2 END) AS ca,
+               max(CASE WHEN variant = 'B' THEN n1 END) AS nb,
+               max(CASE WHEN variant = 'B' THEN n2 END) AS cb
+        FROM counts
+        UNION ALL
+        SELECT 's2_click_to_purchase',
+               max(CASE WHEN variant = 'A' THEN n2 END),
+               max(CASE WHEN variant = 'A' THEN n3 END),
+               max(CASE WHEN variant = 'B' THEN n2 END),
+               max(CASE WHEN variant = 'B' THEN n3 END)
+        FROM counts
+    )
+    SELECT step, na, ca, nb, cb,
+           round(ca * 1.0 / na, 4) AS rate_a,
+           round(cb * 1.0 / nb, 4) AS rate_b,
+           CASE WHEN (ca + cb) = 0 OR (ca + cb) = (na + nb) THEN NULL
+                ELSE round((ca * 1.0 / na - cb * 1.0 / nb)
+                     / sqrt(((ca + cb) * 1.0 / (na + nb))
+                            * (1.0 - (ca + cb) * 1.0 / (na + nb))
+                            * (1.0 / na + 1.0 / nb)), 4) END AS z_score
+    FROM steps ORDER BY step
+    """,
+    tags=("events", "funnel", "experiment", "scale"),
+)
+def events_ab_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step A/B funnel: `events_funnel`'s staged view -> click ->
+    purchase chain split by `events_ab_lift`'s md5 variant, with each
+    step transition's per-variant conversion rate and the pooled
+    two-proportion z statistic — the diagnosis layer between "the
+    experiment moved the end-to-end rate" and "THIS step moved". All
+    four counters per step are exact int64; the rates and z come
+    from token-identical double expression trees (the ab_lift
+    discipline), so cross-engine equality is structural; a step whose
+    pooled conversion is 0 or 1 has zero variance and reports NULL z
+    (ANSI division would raise, DuckDB would emit inf — the explicit
+    guard keeps both engines honest and identical).
+
+    Scale shape: the staged chain is `events_funnel`'s plan (stage
+    tables shrink monotonically and broadcast into the next join;
+    only the per-stage groupBy-min exchanges on user_id remain); the
+    variant split adds two broadcast-scale LEFT joins of the stage
+    tables and a 2-group rollup — nothing new touches the event
+    log."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def next_stage(prev: DataFrame, etype: str, tcol: str, prev_tcol: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = next_stage(v, "click", "t2", "t1")
+    p = next_stage(c, "purchase", "t3", "t2")
+    av = v.select(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+    )
+    counts = (
+        av.join(c.select("user_id", F.lit(1).alias("hit2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("hit3")), "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.count("hit2").alias("n2"),
+            F.count("hit3").alias("n3"),
+        )
+    )
+    s1 = counts.agg(
+        F.lit("s1_view_to_click").alias("step"),
+        F.max(F.when(F.col("variant") == "A", F.col("n1"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("n2"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n1"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("n2"))).alias("cb"),
+    )
+    s2 = counts.agg(
+        F.lit("s2_click_to_purchase").alias("step"),
+        F.max(F.when(F.col("variant") == "A", F.col("n2"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("n3"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n2"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("n3"))).alias("cb"),
+    )
+    return (
+        s1.unionByName(s2)
+        .selectExpr(
+            "step",
+            "na",
+            "ca",
+            "nb",
+            "cb",
+            "round(ca * 1.0D / na, 4) AS rate_a",
+            "round(cb * 1.0D / nb, 4) AS rate_b",
+            "CASE WHEN (ca + cb) = 0 OR (ca + cb) = (na + nb)"
+            " THEN CAST(NULL AS DOUBLE)"
+            " ELSE round((ca * 1.0D / na - cb * 1.0D / nb)"
+            " / sqrt(((ca + cb) * 1.0D / (na + nb))"
+            " * (1.0D - (ca + cb) * 1.0D / (na + nb))"
+            " * (1.0D / na + 1.0D / nb)), 4) END AS z_score",
+        )
+        .orderBy("step")
+    )
