@@ -290,23 +290,30 @@ def main() -> None:
                 tables[name].cache().count()
     timings = {name: min(ts) for name, ts in passes.items()}
     tpch_total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
+    # The stdout headline carries ONLY the 8 TPC-H rows in "queries":
+    # the driver tail-captures the last 2,000 characters of stdout,
+    # and the full per-query map (69 rows by r11) overflowed that
+    # window twice (BENCH_r05 and BENCH_r11 both recorded
+    # "parsed": null). The complete map + 5-pass detail lands in
+    # BENCH_PASSES.json next to this file; the stdout line stays
+    # well under 1 KB so it always parses.
     headline = {
         "metric": "tpch8_total_warm",
         "value": tpch_total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
     }
-    # Full pass-level record goes to a repo file, NOT stdout: the
-    # driver tail-captures the last stdout line, and the passes map
-    # (N queries x 5 floats) once grew the line past its capture
-    # window (BENCH_r05.json "parsed": null). The stdout line stays
-    # small; the noise-diagnosis detail lands next to it on disk.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_PASSES.json"), "w") as f:
         json.dump(
-            {**headline, "passes": passes, "calibration_passes": calibration_passes},
+            {
+                **headline,
+                "queries": timings,
+                "passes": passes,
+                "calibration_passes": calibration_passes,
+            },
             f,
             indent=1,
             sort_keys=True,
