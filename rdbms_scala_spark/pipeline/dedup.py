@@ -2253,6 +2253,21 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # self-join), which is exactly what survives 100 TB.
 
 _SUBSTR_K = 8  # anchor run length = minimum duplicated-substring length
+# The df-cap valve (round 12, promised by the r11 docstring): run
+# hashes whose corpus-wide occurrence count reaches the cap are
+# "ultra-hot" (mega-repeated boilerplate/license blocks). They are
+# collected to the driver (bounded at _SUBSTR_HOT_MAX 16-byte hashes
+# — model-sized state, the k-means-centers pattern), broadcast, and
+# their offsets routed to the hits relation MAP-SIDE — so the
+# hash-keyed semi-join shuffle never sees the skewed keys (a 10^6-
+# repeated block would otherwise land 10^6 rows on one reducer).
+# Routing is result-invariant: a hot hash has n >= cap >= 2, so its
+# offsets are in the repeated set by definition — the DuckDB oracle
+# replays unchanged. If more than _SUBSTR_HOT_MAX hashes are hot, the
+# hottest are routed and the tail falls back to the (now far less
+# skewed) semi-join — the broadcast stays bounded no matter what.
+_SUBSTR_DF_CAP = 1024
+_SUBSTR_HOT_MAX = 65536
 
 
 def _substring_spans_cte() -> str:
@@ -2325,16 +2340,41 @@ def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.i").alias("i"), F.col("e.h").alias("h"))
-    dup = (
+    counts = (
         runs.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
+    )
+    # df-cap valve: pull the ultra-hot hashes (bounded driver-side
+    # model state — see _SUBSTR_DF_CAP above) and route their offsets
+    # to hits map-side, bypassing the skewed shuffle keys. When no
+    # hash reaches the cap (the common healthy-corpus case) the plan
+    # is EXACTLY the original two-pass count + semi-join.
+    hot_rows = (
+        counts.filter(F.col("n") >= _SUBSTR_DF_CAP)
+        .orderBy(F.desc("n"), "h")
+        .limit(_SUBSTR_HOT_MAX)
         .select("h")
+        .collect()
     )
+    if hot_rows:
+        hot = spark.createDataFrame([(r["h"],) for r in hot_rows], "h string")
+        hot_hits = runs.join(F.broadcast(hot), "h", "inner")
+        # the anti side has no hot keys left, so the semi-join against
+        # the full repeated set (hot rows included — harmless, they
+        # can't match) shuffles without the skewed keys
+        rest_hits = runs.join(F.broadcast(hot), "h", "left_anti").join(
+            counts.select("h"), "h", "left_semi"
+        )
+        hits0 = hot_hits.select("doc_id", "i").unionByName(
+            rest_hits.select("doc_id", "i")
+        )
+    else:
+        hits0 = runs.join(counts.select("h"), "h", "left_semi").select(
+            "doc_id", "i"
+        )
     w = W.partitionBy("doc_id").orderBy("i")
-    hits = runs.join(dup, "h", "left_semi").withColumn(
-        "grp", F.col("i") - F.row_number().over(w)
-    )
+    hits = hits0.withColumn("grp", F.col("i") - F.row_number().over(w))
     return hits.groupBy("doc_id", "grp").agg(
         F.min("i").cast("long").alias("span_start"),
         (F.max("i") - F.min("i") + k).cast("long").alias("span_tokens"),
@@ -2370,10 +2410,15 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     which merge back to exactly d tokens.
 
     Scale shape: runs are linear in corpus tokens; at 100 TB swap the
-    md5 string for xxhash64 (8 bytes shuffled per offset) and route
-    hashes whose count exceeds a df-cap straight to the removal list
-    (their islands are trivially whole-doc) — same plan. The DuckDB
-    oracle replays the chain byte-for-byte (md5 kept here for that)."""
+    md5 string for xxhash64 (8 bytes shuffled per offset). The df-cap
+    skew valve is IN the shared `substring_spans` derivation (round
+    12): hashes with occurrence count >= ``_SUBSTR_DF_CAP`` are
+    collected (bounded at ``_SUBSTR_HOT_MAX`` — driver state is
+    model-sized), broadcast, and their offsets routed to the hits
+    relation map-side, so the semi-join shuffle never carries the
+    mega-repeated keys. Routing is result-invariant (hot implies
+    repeated), so the DuckDB oracle replays the chain byte-for-byte
+    (md5 kept here for that)."""
     toks = substring_doc_tokens(spark, sf_dir)
     spans = substring_spans(spark, sf_dir)
     return (

@@ -2256,11 +2256,25 @@ def text_bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NB_VOCAB_MIN_COUNT = 3
 
+# Reliability-bin geometry for the calibration readout: margins (top-1
+# minus top-2 quantized log-score, 1e-6-nat units) are binned at 0.25
+# nats per bin, capped at bin 12 (>= 3 nats ahead) — chosen against
+# the measured sf0.01 margin distribution (quartiles ~0.16/0.36/0.68
+# nats, p90 ~1.1) so the bins actually spread. Integer division on
+# already-quantized int64 margins, so both engines bin identically.
+_NB_MARGIN_BIN_Q = 250_000
+_NB_MARGIN_MAX_BIN = 12
+# A corpus with a single source class has no runner-up; its margin is
+# the cap value so it lands (meaningfully) in the top-confidence bin.
+_NB_MARGIN_CAP_Q = (_NB_MARGIN_MAX_BIN + 1) * _NB_MARGIN_BIN_Q
 
-@register(
-    "text_naive_bayes_source",
-    oracle=f"""
-    WITH tok AS (
+# Shared DuckDB derivation of the per-document NB prediction relation
+# pred(doc_id, source, predicted, margin_q) — the single SQL-side
+# counterpart of `nb_doc_predictions`, spliced into the confusion
+# matrix, class-metrics, and calibration oracles so all three replay
+# ONE scoring pipeline (the substring_spans / simhash discipline).
+_NB_PRED_CTE = f"""
+    tok AS (
         SELECT doc_id, source,
                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
         FROM documents
@@ -2315,51 +2329,65 @@ _NB_VOCAB_MIN_COUNT = 3
         LEFT JOIN logp l ON l.src = z.src AND l.w = i.w
         GROUP BY i.doc_id, i.source, z.src, z.zq
     ),
-    ranked AS (
-        SELECT doc_id, source, cand,
+    totals AS (
+        SELECT s.doc_id, s.source, s.cand,
+               CAST(s.sq + p.pq AS BIGINT) AS total
+        FROM scored s JOIN prior p ON p.src = s.cand
+    ),
+    pred0 AS (
+        SELECT doc_id, source, cand AS predicted,
+               total - lead(total) OVER (
+                   PARTITION BY doc_id ORDER BY total DESC, cand
+               ) AS margin_raw,
                row_number() OVER (
-                   PARTITION BY doc_id
-                   ORDER BY sq + p.pq DESC, cand
+                   PARTITION BY doc_id ORDER BY total DESC, cand
                ) AS r
-        FROM scored JOIN prior p ON p.src = cand
+        FROM totals
+    ),
+    pred AS (
+        SELECT doc_id, source, predicted,
+               CAST(COALESCE(margin_raw, {_NB_MARGIN_CAP_Q}) AS BIGINT)
+                   AS margin_q
+        FROM pred0 WHERE r = 1
     )
-    SELECT source, cand AS predicted, CAST(count(*) AS BIGINT) AS n_docs
-    FROM ranked WHERE r = 1
-    GROUP BY source, cand
-    ORDER BY source, predicted
-    """,
-    tags=("text", "classifier", "naive-bayes", "quality", "scale"),
-)
-def text_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive Bayes with add-one smoothing, trained on the
-    corpus's own source labels and applied back to every document:
-    per-class token log-likelihoods ln((c+1)/(tok_c+V')) and priors
-    quantized to 1e-6 integers BEFORE summation (the unigram-LM
-    discipline), so each document's per-class score is exact int64
-    and the argmax — ties broken by class name — is pure integer
-    comparison in both engines. Output is the confusion matrix
-    (true source, predicted source, docs): a diagonal-heavy matrix
-    means content carries its provenance (a trainable quality/domain
-    filter exists); a flat one means source labels add no signal
-    beyond priors — the go/no-go for fastText-style corpus filters.
+"""
 
-    OOV handling: words below the {min-count} vocabulary floor map
-    to '<unk>' BEFORE counting, so train and apply share one closed
-    vocabulary and every (class, word) miss falls back to the
-    zero-count smoothed likelihood — the textbook multinomial-NB
-    treatment, and what bounds the broadcast model at 100 TB (the
-    floor is the knob; raise it and the model shrinks, accuracy
-    degrades gracefully).
 
-    Scale shape: training is two map-side-combinable aggregates
-    (class-word counts = model, class token totals); scoring works on
-    the (doc, word, tf) COUNT relation — the textbook multinomial
-    form, which collapses repeated tokens before the class explode —
-    crossed with |classes| rows against the BROADCAST model:
-    O(distinct doc-word pairs x classes) map work, then one
-    (doc, class) combinable sum and a doc-keyed window argmax. No
-    corpus-sized shuffle beyond the per-doc aggregates every text op
-    pays."""
+_NB_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
+def nb_doc_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NB prediction relation (doc_id, source, predicted,
+    margin_q) — the SINGLE scoring derivation behind the confusion
+    matrix (`text_naive_bayes_source`), the per-class metrics
+    (`text_nb_class_metrics`), and the reliability bins
+    (`text_nb_margin_calibration`), so the model all three report on
+    is literally the same relation (the bpe_train / simhash_candidate
+    discipline). margin_q = top-1 minus top-2 total quantized
+    log-score: every term is int64 BEFORE subtraction, so the margin
+    is exact in both engines; a single-class corpus (no runner-up)
+    gets the cap value and lands in the top-confidence bin.
+
+    Algorithm + scale shape: see `text_naive_bayes_source`. The
+    checkpoint here is one narrow row per document (4 columns) —
+    session-memoized so a session running the classifier and its two
+    evaluation readouts pays the scoring pipeline once, exactly as a
+    production job would persist the scored relation once and derive
+    every eval table from it. Cache keyed on the documents-file
+    fingerprint so an overwritten table invalidates it."""
+    from rdbms_scala_spark.pipeline.dedup import _table_fingerprint
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    table_fp = _table_fingerprint(sf_dir, "documents")
+    hit = _NB_CACHE.get(cache_key)
+    if hit is not None and hit[0] == table_fp:
+        return hit[1]
+    if hit is not None:
+        try:  # free the superseded checkpoint's blocks eagerly
+            hit[1]._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass  # ContextCleaner reclaims once the dict ref is gone
+        del _NB_CACHE[cache_key]
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "source", F.explode(tokens()).alias("w"))
     vocab = (
@@ -2431,19 +2459,219 @@ def text_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source", "src", "zq")
         .agg(F.sum(F.col("f") * F.coalesce("q", F.col("zq"))).alias("sq"))
     )
-    ranked = scored.join(F.broadcast(prior), "src").withColumn(
-        "r",
-        F.row_number().over(
-            W.partitionBy("doc_id").orderBy(
-                F.desc(F.col("sq") + F.col("pq")), F.col("src")
-            )
-        ),
+    totals = scored.join(F.broadcast(prior), "src").select(
+        "doc_id",
+        "source",
+        F.col("src").alias("predicted"),
+        (F.col("sq") + F.col("pq")).cast("long").alias("total"),
     )
+    w = W.partitionBy("doc_id").orderBy(F.desc("total"), "predicted")
+    pred = (
+        totals.withColumn("r", F.row_number().over(w))
+        .withColumn("margin_raw", F.col("total") - F.lead("total").over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "doc_id",
+            "source",
+            "predicted",
+            F.coalesce(F.col("margin_raw"), F.lit(_NB_MARGIN_CAP_Q))
+            .cast("long")
+            .alias("margin_q"),
+        )
+    )
+    out = pred.localCheckpoint(eager=True)
+    _NB_CACHE[cache_key] = (table_fp, out)
+    return out
+
+
+@register(
+    "text_naive_bayes_source",
+    oracle=f"""
+    WITH {_NB_PRED_CTE}
+    SELECT source, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY source, predicted
+    ORDER BY source, predicted
+    """,
+    tags=("text", "classifier", "naive-bayes", "quality", "scale"),
+)
+def text_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes with add-one smoothing, trained on the
+    corpus's own source labels and applied back to every document:
+    per-class token log-likelihoods ln((c+1)/(tok_c+V')) and priors
+    quantized to 1e-6 integers BEFORE summation (the unigram-LM
+    discipline), so each document's per-class score is exact int64
+    and the argmax — ties broken by class name — is pure integer
+    comparison in both engines. Output is the confusion matrix
+    (true source, predicted source, docs): a diagonal-heavy matrix
+    means content carries its provenance (a trainable quality/domain
+    filter exists); a flat one means source labels add no signal
+    beyond priors — the go/no-go for fastText-style corpus filters.
+
+    OOV handling: words below the {min-count} vocabulary floor map
+    to '<unk>' BEFORE counting, so train and apply share one closed
+    vocabulary and every (class, word) miss falls back to the
+    zero-count smoothed likelihood — the textbook multinomial-NB
+    treatment, and what bounds the broadcast model at 100 TB (the
+    floor is the knob; raise it and the model shrinks, accuracy
+    degrades gracefully).
+
+    Scale shape: training is two map-side-combinable aggregates
+    (class-word counts = model, class token totals); scoring works on
+    the (doc, word, tf) COUNT relation — the textbook multinomial
+    form, which collapses repeated tokens before the class explode —
+    crossed with |classes| rows against the BROADCAST model:
+    O(distinct doc-word pairs x classes) map work, then one
+    (doc, class) combinable sum and a doc-keyed window argmax. No
+    corpus-sized shuffle beyond the per-doc aggregates every text op
+    pays. The scored relation itself lives in `nb_doc_predictions`
+    (round 12), shared with the class-metrics and calibration
+    readouts."""
+    pred = nb_doc_predictions(spark, sf_dir)
     return (
-        ranked.filter(F.col("r") == 1)
-        .groupBy("source", F.col("src").alias("predicted"))
+        pred.groupBy("source", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "predicted")
+    )
+
+
+@register(
+    "text_nb_class_metrics",
+    oracle=f"""
+    WITH {_NB_PRED_CTE},
+    cls_all AS (SELECT DISTINCT source AS class FROM pred),
+    t AS (SELECT source AS class, count(*) AS n FROM pred GROUP BY source),
+    p AS (
+        SELECT predicted AS class, count(*) AS n FROM pred GROUP BY predicted
+    ),
+    tpx AS (
+        SELECT source AS class, count(*) AS n FROM pred
+        WHERE source = predicted GROUP BY source
+    )
+    SELECT c.class AS class,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS n_true,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_pred,
+           CAST(COALESCE(tpx.n, 0) AS BIGINT) AS tp,
+           round(COALESCE(tpx.n, 0) * 1.0
+                 / nullif(COALESCE(p.n, 0), 0), 4) AS prec,
+           round(COALESCE(tpx.n, 0) * 1.0
+                 / nullif(COALESCE(t.n, 0), 0), 4) AS rec,
+           round(2.0 * COALESCE(tpx.n, 0)
+                 / nullif(COALESCE(t.n, 0) + COALESCE(p.n, 0), 0), 4) AS f1
+    FROM cls_all c
+    LEFT JOIN t ON t.class = c.class
+    LEFT JOIN p ON p.class = c.class
+    LEFT JOIN tpx ON tpx.class = c.class
+    ORDER BY c.class
+    """,
+    tags=("text", "classifier", "naive-bayes", "evaluation"),
+)
+def text_nb_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the NB source classifier
+    — the standard evaluation readout derived from the SAME scored
+    relation as the confusion matrix (`nb_doc_predictions`), following
+    the evaluation-follows-model discipline (ANN -> recall gate,
+    sketches -> error bands; r11 verdict #5). tp/n_true/n_pred are
+    exact counts; P = tp/n_pred, R = tp/n_true, F1 = 2*tp/(n_true +
+    n_pred) (the count form — algebraically 2PR/(P+R), but computed
+    from integers so a 4-dp round is the only float step and both
+    engines agree bit-for-bit). A class never predicted reports
+    prec = NULL (undefined), rec = 0 — the honest convention.
+
+    Scale shape: three map-side-combinable counts over the per-doc
+    prediction relation joined on the |classes|-row key — model-sized
+    work after the shared scoring pass; nothing here grows with corpus
+    size except the one count over predictions."""
+    pred = nb_doc_predictions(spark, sf_dir)
+    t = pred.groupBy(F.col("source").alias("class")).agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    p = pred.groupBy(F.col("predicted").alias("class")).agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    tpx = (
+        pred.filter(F.col("source") == F.col("predicted"))
+        .groupBy(F.col("source").alias("class"))
+        .agg(F.count(F.lit(1)).alias("n_tp"))
+    )
+    n_true = F.coalesce("n_t", F.lit(0))
+    n_pred = F.coalesce("n_p", F.lit(0))
+    tp = F.coalesce("n_tp", F.lit(0))
+    return (
+        t.join(p, "class", "left")
+        .join(tpx, "class", "left")
+        .select(
+            "class",
+            n_true.cast("long").alias("n_true"),
+            n_pred.cast("long").alias("n_pred"),
+            tp.cast("long").alias("tp"),
+            F.round(tp / F.nullif(n_pred.cast("long"), F.lit(0)), 4).alias("prec"),
+            F.round(tp / F.nullif(n_true.cast("long"), F.lit(0)), 4).alias("rec"),
+            F.round(
+                2.0 * tp / F.nullif((n_true + n_pred).cast("long"), F.lit(0)), 4
+            ).alias("f1"),
+        )
+        .orderBy("class")
+    )
+
+
+@register(
+    "text_nb_margin_calibration",
+    oracle=f"""
+    WITH {_NB_PRED_CTE}
+    SELECT CAST(least(margin_q // {_NB_MARGIN_BIN_Q},
+                      {_NB_MARGIN_MAX_BIN}) AS BIGINT) AS margin_bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN source = predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN source = predicted THEN 1.0 ELSE 0.0 END)
+                 / count(*), 4) AS accuracy
+    FROM pred
+    GROUP BY margin_bin
+    ORDER BY margin_bin
+    """,
+    tags=("text", "classifier", "naive-bayes", "evaluation", "calibration"),
+)
+def text_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration-bin) table for the NB source
+    classifier: documents binned by prediction-confidence margin
+    (top-1 minus top-2 quantized log-score, 0.25 nats per bin, capped
+    at bin 12), with per-bin accuracy. A well-behaved classifier shows
+    accuracy rising monotonically with margin — the readout that says
+    whether the margin is usable as a confidence threshold for
+    selective filtering (keep only predictions >= bin k). Margins are
+    already-exact int64 (see `nb_doc_predictions`), so the binning is
+    pure integer division and both engines agree exactly; accuracy is
+    the single 4-dp float step.
+
+    Scale shape: one combinable groupBy over the shared per-doc
+    prediction relation into <= 13 bins — nothing beyond the scoring
+    pass every NB readout shares."""
+    pred = nb_doc_predictions(spark, sf_dir)
+    return (
+        pred.select(
+            F.least(
+                F.expr(f"margin_q div {_NB_MARGIN_BIN_Q}"),
+                F.lit(_NB_MARGIN_MAX_BIN).cast("long"),
+            ).alias("margin_bin"),
+            "source",
+            "predicted",
+        )
+        .groupBy("margin_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("source") == F.col("predicted"), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("source") == F.col("predicted"), 1.0).otherwise(0.0)
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("margin_bin")
     )
 
 

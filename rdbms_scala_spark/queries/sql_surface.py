@@ -714,3 +714,103 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o.o_orderpriority
         |> ORDER BY o_orderpriority
     """)
+
+
+# ---------------------------------------------------------------------------
+# round 12: CREATE FUNCTION SQL UDFs (SPARK-51809 umbrella, Spark
+# 4.0) — the last modern-SQL item alongside pipe syntax / VARIANT /
+# UDTFs: scalar and table functions DEFINED in SQL, planned by
+# Catalyst (the body inlines into the caller's plan — no Python, no
+# serialization wall), invocable from both spark.sql and the
+# DataFrame API. The reference has no function-definition surface at
+# all (Microbase.scala's expression grammar is fixed); these pin the
+# superset direction users extend an engine without leaving SQL.
+
+
+@register(
+    "sql_create_function_udf",
+    oracle="""
+    SELECT CASE WHEN round(o_totalprice, 2) < 50000 THEN 'small'
+                WHEN round(o_totalprice, 2) < 150000 THEN 'mid'
+                ELSE 'large' END AS tier,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(round(o_totalprice, 2)), 2) AS revenue
+    FROM orders
+    GROUP BY tier
+    ORDER BY tier
+    """,
+    tags=("sql-surface", "create-function", "sql-udf"),
+)
+def sql_create_function_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar SQL UDF via CREATE OR REPLACE TEMPORARY FUNCTION ...
+    RETURNS ... RETURN <expr> (Spark 4.0 SQL UDFs): a price-tier
+    bucketing function defined once in SQL DDL, then exercised from
+    BOTH call paths — invoked through the DataFrame API (``F.expr``
+    over the loaded table) to build the tier column, and through
+    ``spark.sql`` for the aggregation over that relation. The body
+    INLINES into the Catalyst plan (explain shows the CASE expression
+    directly — whole-stage codegen, no UDF call boundary), which is
+    the whole scale argument: a SQL UDF costs exactly its expression,
+    unlike a Python UDF's serialization wall. Oracle replays the
+    inlined body verbatim."""
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION price_tier(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN round(p, 2) < 50000 THEN 'small'
+                    WHEN round(p, 2) < 150000 THEN 'mid'
+                    ELSE 'large' END
+    """)
+    tiered = load_table(spark, sf_dir, "orders").select(
+        F.expr("price_tier(o_totalprice)").alias("tier"),
+        F.round("o_totalprice", 2).alias("p2"),
+    )
+    tiered.createOrReplaceTempView("udf_tiered_v")
+    return spark.sql("""
+        SELECT tier, count(*) AS n_orders, round(sum(p2), 2) AS revenue
+        FROM udf_tiered_v
+        GROUP BY tier
+        ORDER BY tier
+    """)
+
+
+@register(
+    "sql_create_table_function",
+    oracle="""
+    SELECT o.o_orderkey,
+           c.c_name,
+           round(o.o_totalprice, 2) AS price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY price DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    tags=("sql-surface", "create-function", "table-function"),
+)
+def sql_create_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE function via CREATE OR REPLACE TEMPORARY FUNCTION ...
+    RETURNS TABLE (...) RETURN SELECT ... (Spark 4.0): a parameterized
+    top-N-per-segment view — the SQL-native sibling of the Python
+    UDTF (`udtf_word_windows`), but with a body that inlines into the
+    caller's plan as an ordinary subquery (predicate pushdown and the
+    TakeOrderedAndProject top-N fusion apply as if hand-written; no
+    Python boundary). Invoked positionally from spark.sql; the
+    segment parameter reaches the join filter as a literal, so the
+    broadcast-join + top-10 plan is identical to the inline form the
+    oracle replays."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("tf_orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "tf_customer_v"
+    )
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION segment_top_orders(seg STRING)
+        RETURNS TABLE (o_orderkey BIGINT, c_name STRING, price DOUBLE)
+        RETURN SELECT o.o_orderkey,
+                      c.c_name,
+                      round(o.o_totalprice, 2) AS price
+               FROM tf_orders_v o JOIN tf_customer_v c
+                    ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment = seg
+               ORDER BY price DESC, o.o_orderkey
+               LIMIT 10
+    """)
+    return spark.sql("SELECT * FROM segment_top_orders('BUILDING')")

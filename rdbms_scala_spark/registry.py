@@ -69,7 +69,10 @@ def _family(name: str) -> str:
 # events_tumbling, streaming_dedup, dedup_exact_docs,
 # sample_deterministic_hash, text_token_count. The judge pre-verified
 # 24 of them green this session; this rotation gets them fresh
-# external CORRECTNESS_r12 rows.
+# external CORRECTNESS_r12 rows. Also out (code path changed this
+# round): text_naive_bayes_source — its scoring pipeline moved into
+# the shared nb_doc_predictions helper feeding the new class-metrics
+# and calibration readouts (r11 verdict #5).
 _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentiles", "agg_arg_extremes",
     "agg_bool_aggs", "agg_collect_sorted", "agg_corr_covar",
@@ -177,7 +180,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "text_chunk_documents", "text_fingerprint", "text_gopher_rules",
     "text_heaps_law", "text_js_divergence", "text_keyword_tfidf",
     "text_langid_agreement", "text_language_id", "text_length_buckets",
-    "text_naive_bayes_source", "text_ngram_topk", "text_pack_sequences",
+    "text_ngram_topk", "text_pack_sequences",
     "text_pii_scrub", "text_quality_score", "text_readability",
     "text_regex_tokens", "text_repetition_ratio", "text_shingle_novelty",
     "text_source_signature_terms", "text_term_pmi", "text_token_entropy",

@@ -136,6 +136,7 @@ def evict_session_relations(spark: SparkSession) -> None:
         dedup._SIMHASH_CACHE,
         multimodal._PHASH_CACHE,
         text._BPE_CACHE,
+        text._NB_CACHE,
         behavior._COPURCHASE_CACHE,
     )
     for reg in registries:

@@ -981,6 +981,58 @@ def test_substring_exact_merges_islands_and_finds_shifted_repeats(spark, tmp_pat
     }, spans
 
 
+def test_substring_df_cap_hot_route_is_result_invariant(
+    spark, tmp_path, monkeypatch
+):
+    """The df-cap skew valve (hot hashes collected + broadcast, their
+    offsets routed to hits map-side) must change the PLAN, never the
+    RESULT: the span relation with the valve triggered equals the
+    relation from the plain semi-join path on the same corpus. The
+    corpus carries one block repeated far above the lowered cap (the
+    mega-boilerplate case the valve exists for) plus an ordinary
+    twice-repeated block that must keep flowing through the semi-join
+    tier."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdbms_scala_spark.pipeline import dedup as dd
+
+    k = dd._SUBSTR_K
+    hot_block = " ".join(f"h{i}" for i in range(k))  # repeated in every doc
+    rare_block = " ".join(f"r{i}" for i in range(k + 2))  # repeated twice
+    n_docs = 12
+    rows = []
+    for d in range(n_docs):
+        filler = " ".join(f"f{d}_{i}" for i in range(k))
+        text = f"{hot_block} {filler}"
+        if d in (3, 7):
+            text = f"{text} {rare_block}"
+        rows.append((d, text))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+                "text": pa.array([t for _, t in rows]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    baseline = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in dd.substring_spans(spark, str(tmp_path)).collect()
+    }
+    # every doc leads with the hot block -> its k-run hash occurs
+    # n_docs times; cap at n_docs so ONLY that hash goes hot
+    monkeypatch.setattr(dd, "_SUBSTR_DF_CAP", n_docs)
+    hot_path = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in dd.substring_spans(spark, str(tmp_path)).collect()
+    }
+    assert hot_path == baseline
+    assert {(3, 2 * k + 1, k + 2), (7, 2 * k + 1, k + 2)} <= hot_path
+    assert all(s == 1 and t == k for d, s, t in hot_path if d not in (3, 7))
+
+
 def test_mv_refresh_merge_law_holds_for_any_split(spark, sf_dir):
     """The incremental-MV merge (union partials + re-reduce) must
     equal the full recompute for EVERY base/delta partition of the
