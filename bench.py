@@ -256,11 +256,23 @@ def main() -> None:
     # deliberate cache sharing (graph_* over the pair relation,
     # winnowing over its store) still holds — that reuse is the
     # operator design, not bench residue.
+    # Queries that share NOTHING with their name-prefix family but
+    # leave heavy per-pass residue (broadcasts, multi-branch shuffle
+    # files) get their OWN block, so the eviction+GC boundary runs
+    # before their family-mates are timed. Round-12 bisect: with
+    # join_skew_salted leading the join block, join_bucketed_colocated
+    # timed 0.55 s vs 0.27 s without it (and bloom/range +15-25%) at
+    # matched calibration — the skew join's 6 passes x 4 broadcast
+    # relations + 4-way-union shuffles were the block-local residue
+    # the r11 per-family eviction couldn't see (same-block rows are
+    # timed BEFORE the eviction runs). See BASELINE.md.
+    _OWN_BLOCK = {"join_skew_salted"}
+
     def _family_blocks(names: list[str]) -> list[list[str]]:
         order: list[str] = []
         by_fam: dict[str, list[str]] = {}
         for n in names:
-            fam = n.split("_", 1)[0]
+            fam = "\x00own:" + n if n in _OWN_BLOCK else n.split("_", 1)[0]
             if fam not in by_fam:
                 by_fam[fam] = []
                 order.append(fam)

@@ -150,3 +150,15 @@ def evict_session_relations(spark: SparkSession) -> None:
                         pass  # ContextCleaner reclaims via the dict clear
         reg.clear()
     spark.catalog.clearCache()
+    # Unpersisting and clearing only drops the REFERENCES; the JVM
+    # blocks (checkpoint RDDs, and crucially per-query BROADCAST
+    # variables — each two_phase_skew_join pass creates four) are
+    # reclaimed by ContextCleaner only when a JVM GC collects the
+    # driver-side stubs (default periodicGC is 30 min — never, for a
+    # bench). Nudge one explicitly so the next block is timed against
+    # a clean heap (round-12 bisect: skew-join broadcast residue
+    # inflated same-block join rows 15-100%).
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # non-JVM-backed session stubs (mocks) lack _jvm
