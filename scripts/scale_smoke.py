@@ -555,6 +555,21 @@ def main() -> None:
         "  read-back per pass) — expect it to track orders volume",
         "  with a parquet-encode constant; sample_lang_temperature is",
         "  two corpus passes shuffling only the language key.",
+        "- round 12 measurement notes: dedup_substring_exact /",
+        "  _removal_stats now run with the df-cap skew valve IN CODE",
+        "  (dedup.py substring_spans: anchor hashes with corpus count",
+        "  >= 1024 are collected — bounded at 65536 — broadcast, and",
+        "  routed to hits map-side, so the semi-join shuffle never",
+        "  carries mega-repeated keys; result-invariant, pinned by",
+        "  test_substring_df_cap_hot_route_is_result_invariant). On",
+        "  marker-interleaved amplified text no hash reaches the cap,",
+        "  so these tiers measure the UNCHANGED two-pass plan plus one",
+        "  cheap empty hot-probe aggregate; the valve pays off on",
+        "  corpora with true mega-boilerplate, which amplification",
+        "  deliberately does not create. text_naive_bayes_source now",
+        "  shares its scored relation (_NB_CACHE) with the round-12",
+        "  class-metrics/calibration readouts — built in the warm",
+        "  pass, so the row measures scoring reads like the BPE pair.",
         "",
         f"Rows: {json.dumps(rows)}",
         "",
