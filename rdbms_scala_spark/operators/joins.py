@@ -301,6 +301,19 @@ def two_phase_skew_join(
         hot_threshold = max(100_000, max(left.count(), right.count()) // parts)
     hl = hot_keys(left, left_key, hot_threshold)
     hr = hot_keys(right, right_key, hot_threshold).withColumnRenamed(right_key, left_key)
+    # Production fast path (round 12): when NO key is hot on either
+    # side — the expected steady state under the auto threshold, where
+    # "hot" means "would overflow a reducer" — return the plain
+    # shuffle join outright instead of planning the 4-branch
+    # anti/semi/salt/grid union over empty hot sets. The existence
+    # probe is one limit-1 count over the two (already tiny by
+    # definition) hot-key aggregates: model-sized driver state, same
+    # class as the count() sizing above. Result-invariant by
+    # construction (the cold branch IS this join); the salted
+    # machinery below now only ever materializes when a genuinely
+    # skewed key exists to pay for it.
+    if hl.union(hr).limit(1).count() == 0:
+        return left.join(right, left[left_key] == right[right_key])
     l_only = F.broadcast(hl.join(hr, left_key, "left_anti"))
     r_only = F.broadcast(hr.join(hl, left_key, "left_anti"))
     grid = F.broadcast(hl.join(hr, left_key, "left_semi"))

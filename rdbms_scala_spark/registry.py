@@ -72,7 +72,9 @@ def _family(name: str) -> str:
 # external CORRECTNESS_r12 rows. Also out (code path changed this
 # round): text_naive_bayes_source — its scoring pipeline moved into
 # the shared nb_doc_predictions helper feeding the new class-metrics
-# and calibration readouts (r11 verdict #5).
+# and calibration readouts (r11 verdict #5); join_skew_salted and
+# join_skew_salted_demo — two_phase_skew_join gained the production
+# fast path (empty hot sets -> plain join, plan-pinned).
 _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentiles", "agg_arg_extremes",
     "agg_bool_aggs", "agg_collect_sorted", "agg_corr_covar",
@@ -133,8 +135,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "intersect_all_keys", "intersect_keys", "join_asof",
     "join_asof_nearest", "join_asof_tolerance", "join_bloom_pruned",
     "join_bucketed_colocated", "join_cross", "join_inner_equi",
-    "join_lateral", "join_null_safe", "join_self", "join_skew_salted",
-    "join_skew_salted_demo", "join_star_schema", "json_source_roundtrip",
+    "join_lateral", "join_null_safe", "join_self", "join_star_schema", "json_source_roundtrip",
     "maintenance_column_histogram", "maintenance_compact_small_files",
     "maintenance_drift_psi", "maintenance_incremental_stats",
     "maintenance_referential_audit", "maintenance_skew_report",

@@ -281,9 +281,18 @@ def test_two_phase_skew_join_auto_threshold(spark, sf_dir):
     derived = max(100_000, max(li.count(), orders.count()) // parts)
     assert derived >= 100_000
     assert hot_keys(li, "l_orderkey", derived).count() == 0
-    got = two_phase_skew_join(li, orders, "l_orderkey", "o_orderkey", hot_threshold=None).count()
+    joined = two_phase_skew_join(
+        li, orders, "l_orderkey", "o_orderkey", hot_threshold=None
+    )
+    got = joined.count()
     want = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
     assert got == want
+    # round-12 fast path: with empty hot sets the function returns the
+    # PLAIN join — no 4-branch salted union may appear in the plan
+    from rdbms_scala_spark.plans import physical_plan
+
+    plan = physical_plan(joined)
+    assert "Union" not in plan, plan
 
 
 def test_bucketed_colocated_join_plan_shape(spark, sf_dir):
