@@ -1242,3 +1242,178 @@ def events_ab_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: power / minimum-detectable-effect readout — the
+# experiment-QA family's sizing member (evaluation-follows-model:
+# ab_lift/cuped report the estimate, SRM the validity, this the
+# SENSITIVITY). Standard two-sample normal approximation: MDE at
+# alpha = 0.05 two-sided and 80% power is (z_.975 + z_.80) * SE of
+# the delta; a team reads "mde_rel = 0.08" as "this experiment, as
+# currently sized, cannot see lifts under 8%".
+
+# z_{0.975} + z_{0.80} = 1.959963984540054 + 0.8416212335729143
+_MDE_Z_SUM = "2.8015852181129683"
+
+
+@register(
+    "events_ab_mde",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS variant,
+               CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                                 END), 0) AS BIGINT) AS y_q
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count_if(variant = 'A') AS BIGINT) AS na,
+               CAST(count_if(variant = 'B') AS BIGINT) AS nb,
+               CAST(sum(CASE WHEN variant = 'A' THEN y_q ELSE 0 END)
+                    AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN variant = 'B' THEN y_q ELSE 0 END)
+                    AS BIGINT) AS sb,
+               CAST(sum(CASE WHEN variant = 'A' THEN y_q * y_q ELSE 0 END)
+                    AS BIGINT) AS ssa,
+               CAST(sum(CASE WHEN variant = 'B' THEN y_q * y_q ELSE 0 END)
+                    AS BIGINT) AS ssb
+        FROM per_user
+    ),
+    s AS (
+        SELECT na, nb, sa, sb,
+               (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                    / CAST(na AS DOUBLE))
+                   / CAST(nullif(na - 1, 0) AS DOUBLE) AS var_a,
+               (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                    / CAST(nb AS DOUBLE))
+                   / CAST(nullif(nb - 1, 0) AS DOUBLE) AS var_b
+        FROM m
+    ),
+    e AS (
+        SELECT na, nb, sa, sb,
+               sqrt(var_a / CAST(na AS DOUBLE)
+                    + var_b / CAST(nb AS DOUBLE)) AS se_c
+        FROM s
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 4) AS mean_a,
+           round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 4) AS mean_b,
+           round((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                  - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0, 4)
+               AS delta,
+           round(se_c / 100.0, 4) AS se,
+           round({_MDE_Z_SUM} * se_c / 100.0, 4) AS mde_abs,
+           round({_MDE_Z_SUM} * se_c
+                 / nullif(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 0.0), 4)
+               AS mde_rel,
+           round((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                  - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                 / nullif(se_c, 0.0), 4) AS observed_z
+    FROM e
+    """,
+    tags=("events", "experiment", "power", "mde", "scale"),
+)
+def events_ab_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect + achieved z for the per-user
+    purchase-value metric under `events_ab_lift`'s md5-coin
+    assignment: per-variant n / mean / sample variance from EXACT
+    int64 moments (per-event values quantized to cents before any
+    sum — the CUPED discipline), then SE of the mean difference,
+    the absolute and relative MDE at alpha = 0.05 two-sided / 80%
+    power ((z_.975 + z_.80) * SE with the z-sum as one shared double
+    literal), and the observed z. The one-row answer to "could this
+    experiment even have seen the effect we care about?" — read
+    BEFORE the lift readout, not after.
+
+    Cross-engine exactness: the only float work is a fixed tree of
+    IEEE double ops (divide/multiply/sqrt, correctly rounded) on
+    identical int64 moments, rounded at 4dp. Scale shape: one
+    per-user combinable aggregate (the only corpus-sized step) and a
+    6-counter global rollup — the ab_lift plan family plus second
+    moments. Moment overflow bound: cents x cents summed over users
+    needs |users| * (per-user cents)^2 < 2^63 — at 1e9 users that
+    allows ~$30k per user; past it, quantize coarser or sum ss as
+    DOUBLE (the readout is float anyway)."""
+    ev = load_table(spark, sf_dir, "events")
+    v_q = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", v_q)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y_q")
+        )
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                    *"01234567"
+                ),
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+            "y_q",
+        )
+    )
+    m = per_user.agg(
+        F.count_if(F.col("variant") == "A").alias("na"),
+        F.count_if(F.col("variant") == "B").alias("nb"),
+        F.sum(F.when(F.col("variant") == "A", F.col("y_q")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("variant") == "B", F.col("y_q")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sb"),
+        F.sum(
+            F.when(
+                F.col("variant") == "A", F.col("y_q") * F.col("y_q")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ssa"),
+        F.sum(
+            F.when(
+                F.col("variant") == "B", F.col("y_q") * F.col("y_q")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ssb"),
+    )
+    s = m.selectExpr(
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        "(CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)"
+        " / CAST(na AS DOUBLE)) / CAST(nullif(na - 1, 0) AS DOUBLE) AS var_a",
+        "(CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)"
+        " / CAST(nb AS DOUBLE)) / CAST(nullif(nb - 1, 0) AS DOUBLE) AS var_b",
+    ).selectExpr(
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        "sqrt(var_a / CAST(na AS DOUBLE) + var_b / CAST(nb AS DOUBLE)) AS se_c",
+    )
+    return s.selectExpr(
+        "na AS n_a",
+        "nb AS n_b",
+        "round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0D, 4) AS mean_a",
+        "round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0D, 4) AS mean_b",
+        "round((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)"
+        " - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0D, 4) AS delta",
+        "round(se_c / 100.0D, 4) AS se",
+        f"round({_MDE_Z_SUM}D * se_c / 100.0D, 4) AS mde_abs",
+        f"round({_MDE_Z_SUM}D * se_c"
+        " / nullif(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 0.0D), 4)"
+        " AS mde_rel",
+        "round((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)"
+        " - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+        " / nullif(se_c, 0.0D), 4) AS observed_z",
+    )
