@@ -74,7 +74,11 @@ def _family(name: str) -> str:
 # the shared nb_doc_predictions helper feeding the new class-metrics
 # and calibration readouts (r11 verdict #5); join_skew_salted and
 # join_skew_salted_demo — two_phase_skew_join gained the production
-# fast path (empty hot sets -> plain join, plan-pinned).
+# fast path (empty hot sets -> plain join, plan-pinned). Nine
+# r04-stale rows (agg_rollup, date_expressions, events_funnel,
+# functions_datetime/math/string, join_asof, join_inner_equi,
+# json_source_roundtrip) also rotate out so the ~50-row r12 prefix is
+# filled end-to-end with the longest-stale re-certification set.
 _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentiles", "agg_arg_extremes",
     "agg_bool_aggs", "agg_collect_sorted", "agg_corr_covar",
@@ -83,10 +87,10 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_grouping_sets", "agg_having", "agg_hll_intersection",
     "agg_hll_mergeable", "agg_median_mad", "agg_minmax_dates",
     "agg_mode_per_group", "agg_multi_distinct", "agg_percentiles",
-    "agg_rollup", "agg_stats", "agg_string_agg", "agg_ungrouped",
+    "agg_stats", "agg_string_agg", "agg_ungrouped",
     "agg_weighted_median", "basket_brand_pairs", "case_when",
     "csv_corrupt_records", "csv_source_roundtrip", "customer_ltv_deciles",
-    "date_dim_generate", "date_expressions", "dedup_connected_components",
+    "date_dim_generate", "dedup_connected_components",
     "dedup_contamination_check", "dedup_embedding_cosine",
     "dedup_image_phash", "dedup_incremental", "dedup_levenshtein",
     "dedup_lsh_bucket_stats", "dedup_minhash_bbit",
@@ -113,7 +117,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "events_concurrent_sessions", "events_concurrent_sessions_segmented",
     "events_cuped", "events_daily_trend", "events_dau_stickiness",
     "events_decay_score", "events_diff_in_diff", "events_dow_seasonality",
-    "events_ewma_smoothing", "events_funnel", "events_funnel_windowed",
+    "events_ewma_smoothing", "events_funnel_windowed",
     "events_gap_fill", "events_hopping", "events_hourly_profile",
     "events_interevent_gaps", "events_markov_transitions",
     "events_new_vs_returning", "events_pareto_activity",
@@ -126,17 +130,13 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "events_user_type_entropy", "events_value_log_histogram",
     "except_all_keys", "except_keys", "explode_token_counts",
     "filter_predicates", "functions_array", "functions_bitwise",
-    "functions_datetime", "functions_math", "functions_string",
     "functions_try_arith", "functions_variant", "graph_adamic_adar",
     "graph_assortativity", "graph_clustering_coefficient",
     "graph_degree_distribution", "graph_kcore", "graph_khop_reach",
     "graph_label_propagation", "graph_link_prediction", "graph_modularity",
     "graph_pagerank", "graph_triangle_count", "graph_triangle_count_lsh",
-    "intersect_all_keys", "intersect_keys", "join_asof",
-    "join_asof_nearest", "join_asof_tolerance", "join_bloom_pruned",
-    "join_bucketed_colocated", "join_cross", "join_inner_equi",
-    "join_lateral", "join_null_safe", "join_self", "join_star_schema", "json_source_roundtrip",
-    "maintenance_column_histogram", "maintenance_compact_small_files",
+    "intersect_all_keys", "intersect_keys", "join_asof_nearest", "join_asof_tolerance", "join_bloom_pruned",
+    "join_bucketed_colocated", "join_cross", "join_lateral", "join_null_safe", "join_self", "join_star_schema", "maintenance_column_histogram", "maintenance_compact_small_files",
     "maintenance_drift_psi", "maintenance_incremental_stats",
     "maintenance_referential_audit", "maintenance_skew_report",
     "maintenance_table_stats", "maintenance_table_stats_sketch",
