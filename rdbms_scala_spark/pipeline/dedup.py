@@ -2323,15 +2323,16 @@ def substring_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tokens().alias("t"))
 
 
-def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, span_start, span_tokens): the maximal repeated-span
-    relation of the exact-substring tier — shared by the span listing
-    (`dedup_substring_exact`) and the removal-stats readout so both
-    always report the same spans. See `dedup_substring_exact` for the
-    anchor-run formulation and the scale argument."""
+_SUBSTR_COUNTS_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
+def _substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, h): every document's positioned k-token anchor-run
+    hashes — one md5 per offset via a map-only ``transform`` (no
+    token explode/regroup)."""
     k = _SUBSTR_K
     toks = substring_doc_tokens(spark, sf_dir).filter(F.size("t") >= k)
-    runs = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -2340,16 +2341,59 @@ def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.i").alias("i"), F.col("e.h").alias("h"))
+
+
+def _substring_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(h, n): the repeated anchor-hash relation (corpus-wide
+    occurrence count >= 2) — the dup-hash table of the
+    exact-substring tier, session-materialized ONCE (localCheckpoint,
+    `cached_jaccard_pairs` staleness contract) because THREE readers
+    ride it: the df-cap hot probe, the span semi-join, and the
+    removal-stats call's second spans derivation. Without the cache
+    each reader re-pays the full tokenize+md5 pass over the corpus
+    (the dominant map cost); with it the tier pays one derivation per
+    session — exactly what a production pipeline does by persisting
+    the dup-hash table (it is the removal list's index). Size is
+    distinct-REPEATED-hashes only (far below token volume); at 100 TB
+    this is the relation you would scratch-parquet instead."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    table_fp = _table_fingerprint(sf_dir, "documents")
+    hit = _SUBSTR_COUNTS_CACHE.get(cache_key)
+    if hit is not None and hit[0] == table_fp:
+        return hit[1]
+    if hit is not None:
+        try:  # free the superseded checkpoint's blocks eagerly
+            hit[1]._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass  # ContextCleaner reclaims once the dict ref is gone
+        del _SUBSTR_COUNTS_CACHE[cache_key]
     counts = (
-        runs.groupBy("h")
+        _substring_runs(spark, sf_dir)
+        .groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
+        .localCheckpoint(eager=True)
     )
+    _SUBSTR_COUNTS_CACHE[cache_key] = (table_fp, counts)
+    return counts
+
+
+def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_tokens): the maximal repeated-span
+    relation of the exact-substring tier — shared by the span listing
+    (`dedup_substring_exact`) and the removal-stats readout so both
+    always report the same spans. See `dedup_substring_exact` for the
+    anchor-run formulation and the scale argument."""
+    k = _SUBSTR_K
+    runs = _substring_runs(spark, sf_dir)
+    counts = _substring_dup_counts(spark, sf_dir)
     # df-cap valve: pull the ultra-hot hashes (bounded driver-side
     # model state — see _SUBSTR_DF_CAP above) and route their offsets
     # to hits map-side, bypassing the skewed shuffle keys. When no
     # hash reaches the cap (the common healthy-corpus case) the plan
-    # is EXACTLY the original two-pass count + semi-join.
+    # is EXACTLY the original count + semi-join; the probe itself is
+    # a filter over the session-cached counts relation, not a second
+    # corpus pass.
     hot_rows = (
         counts.filter(F.col("n") >= _SUBSTR_DF_CAP)
         .orderBy(F.desc("n"), "h")
@@ -2416,7 +2460,9 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected (bounded at ``_SUBSTR_HOT_MAX`` — driver state is
     model-sized), broadcast, and their offsets routed to the hits
     relation map-side, so the semi-join shuffle never carries the
-    mega-repeated keys. Routing is result-invariant (hot implies
+    mega-repeated keys; the probe reads the session-materialized
+    dup-hash counts relation (`_substring_dup_counts`), not a second
+    corpus pass. Routing is result-invariant (hot implies
     repeated), so the DuckDB oracle replays the chain byte-for-byte
     (md5 kept here for that)."""
     toks = substring_doc_tokens(spark, sf_dir)

@@ -134,6 +134,7 @@ def evict_session_relations(spark: SparkSession) -> None:
         dedup._WINNOW_CACHE,
         dedup._WINNOW_CAPPED_CACHE,
         dedup._SIMHASH_CACHE,
+        dedup._SUBSTR_COUNTS_CACHE,
         multimodal._PHASH_CACHE,
         text._BPE_CACHE,
         text._NB_CACHE,
