@@ -173,6 +173,14 @@ EXTENSION = [
     # the image third of the corpus).
     "text_naive_bayes_source",
     "multimodal_image_resize",
+    # round-12: the A/B sizing readout (one per-user moment pass —
+    # should sit at the cuped/ab_lift floor), and the NB evaluation
+    # pair's representative (rides the session-cached prediction
+    # relation built by the NB warm pass; times the model-sized
+    # metrics rollup, which is the point — evaluation must be ~free
+    # once the scored relation exists).
+    "events_ab_mde",
+    "text_nb_class_metrics",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")
