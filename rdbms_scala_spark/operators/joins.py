@@ -296,6 +296,7 @@ def two_phase_skew_join(
     at x64 data purely from grid replication of a hot set that grows
     with the corpus, while the auto threshold keeps the hot set
     pinned to genuine per-reducer overflows."""
+    auto = hot_threshold is None
     if hot_threshold is None:
         parts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         hot_threshold = max(100_000, max(left.count(), right.count()) // parts)
@@ -309,10 +310,13 @@ def two_phase_skew_join(
     # probe is one limit-1 count over the two (already tiny by
     # definition) hot-key aggregates: model-sized driver state, same
     # class as the count() sizing above. Result-invariant by
-    # construction (the cold branch IS this join); the salted
-    # machinery below now only ever materializes when a genuinely
-    # skewed key exists to pay for it.
-    if hl.union(hr).limit(1).count() == 0:
+    # construction (the cold branch IS this join). Gated on the AUTO
+    # threshold: there the probe is near-certain to buy the plain
+    # plan, while under an explicit low threshold (the demo/test
+    # stance) hot keys are near-certain to EXIST and the probe's two
+    # aggregations would be pure added cost on top of the machinery
+    # that must then run anyway.
+    if auto and hl.union(hr).limit(1).count() == 0:
         return left.join(right, left[left_key] == right[right_key])
     l_only = F.broadcast(hl.join(hr, left_key, "left_anti"))
     r_only = F.broadcast(hr.join(hl, left_key, "left_anti"))
