@@ -2388,6 +2388,16 @@ def nb_doc_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass  # ContextCleaner reclaims once the dict ref is gone
         del _NB_CACHE[cache_key]
+    out = _nb_score_predictions(spark, sf_dir).localCheckpoint(eager=True)
+    _NB_CACHE[cache_key] = (table_fp, out)
+    return out
+
+
+def _nb_score_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY NB scoring pipeline (train + score + argmax + margin)
+    behind `nb_doc_predictions` — separated so plan tests can audit
+    the scoring plan itself (broadcast model join, no SMJ/cartesian/
+    row-python) rather than the checkpoint scan that hides it."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "source", F.explode(tokens()).alias("w"))
     vocab = (
@@ -2479,9 +2489,7 @@ def nb_doc_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("margin_q"),
         )
     )
-    out = pred.localCheckpoint(eager=True)
-    _NB_CACHE[cache_key] = (table_fp, out)
-    return out
+    return pred
 
 
 @register(

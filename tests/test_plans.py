@@ -721,13 +721,22 @@ def test_naive_bayes_scoring_broadcasts_model(spark, sf_dir):
     pass free of row-at-a-time Python and cartesian products (the
     class fan-out is a broadcast nested loop over the |classes|-row
     zero table, which is the intended shape)."""
+    from rdbms_scala_spark.pipeline.text import _nb_score_predictions
     from rdbms_scala_spark.plans import physical_plan
 
-    plan = physical_plan(SPECS["text_naive_bayes_source"].fn(spark, sf_dir))
+    # audit the LAZY scoring pipeline: the registered query consumes
+    # it through the session checkpoint (nb_doc_predictions), whose
+    # plan is an ExistingRDD scan that hides the scoring shape
+    plan = physical_plan(_nb_score_predictions(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BatchEvalPython" not in plan, plan[:2000]
+    # and the registered confusion matrix must ride the checkpointed
+    # relation (the session-cache discipline, as link prediction does)
+    SPECS["text_naive_bayes_source"].fn(spark, sf_dir).count()
+    plan2 = physical_plan(SPECS["text_naive_bayes_source"].fn(spark, sf_dir))
+    assert "ExistingRDD" in plan2 or "Scan ExistingRDD" in plan2, plan2[:2000]
 
 
 def test_image_resize_is_map_only_arrow(spark, sf_dir):
