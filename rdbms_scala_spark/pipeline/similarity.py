@@ -2140,6 +2140,61 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_lsh_recall",
+    oracle=f"""
+    WITH exact AS ({_BRUTE_ORACLE}),
+    approx AS ({_lsh_oracle()})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST({_TOP_K} AS BIGINT)             AS k,
+           round(count(a.neighbor_id) * 1.0 / {_TOP_K}, 4) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    tags=("similarity", "ann", "lsh", "recall", "evaluation"),
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{_TOP_K} of the multi-probe LSH index against
+    the exact brute-force ranking — completes the evaluation-follows-
+    model discipline for the LSH tier (round 12; the IVF tier got its
+    gate in round 8): `similarity_ivf_recall` covers the coarse-
+    quantizer index, this covers the hyperplane-bucket index, so BOTH
+    deployed ANN paths carry a per-query quality readout rather than
+    only the pytest floor assertion. Same composition-of-certified-
+    tiers shape: the oracle chains the brute-force and LSH replay
+    CTEs, so the recall arithmetic is certified end-to-end against
+    derived neighbor sets, not claimed ones. Scale shape: both inputs
+    are query-set-sized (N_QUERIES x k rows); the join and rollup are
+    model-sized — the corpus passes live in the composed tiers."""
+    exact = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity_lsh_ann(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("an").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.lit(_TOP_K).cast("long").alias("k"),
+            F.round(F.col("n_hits") / F.lit(_TOP_K), 4).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --- split-half centroid drift ----------------------------------------
 
 
