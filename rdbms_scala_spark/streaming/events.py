@@ -1417,3 +1417,247 @@ def events_ab_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
         " / nullif(se_c, 0.0D), 4) AS observed_z",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (cont.): sequential (always-valid) experiment monitoring —
+# the mixture SPRT of Johari et al. "Peeking at A/B Tests" (KDD'17).
+# ab_lift/cuped answer "what is the effect", events_ab_mde "could we
+# even see it"; this answers "can we LOOK every day without inflating
+# false positives": the always-valid p-value is a running min of
+# 1/mixture-likelihood-ratio and stays a valid p-value under optional
+# stopping, so a dashboard can poll it daily and stop the moment it
+# crosses alpha.
+
+
+@register(
+    "events_ab_sequential",
+    oracle="""
+    WITH per_ud AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS variant,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS y_q
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE), user_id
+    ),
+    daily AS (
+        SELECT day, variant,
+               CAST(count(*) AS BIGINT) AS n_inc,
+               CAST(sum(y_q) AS BIGINT) AS s_inc,
+               CAST(sum(y_q * y_q) AS BIGINT) AS ss_inc
+        FROM per_ud GROUP BY day, variant
+    ),
+    grid AS (
+        SELECT d.day, v.variant
+        FROM (SELECT DISTINCT day FROM daily) d
+        CROSS JOIN (SELECT unnest(['A', 'B']) AS variant) v
+    ),
+    cum AS (
+        SELECT g.day, g.variant,
+               CAST(sum(COALESCE(dl.n_inc, 0)) OVER w AS BIGINT) AS n,
+               CAST(sum(COALESCE(dl.s_inc, 0)) OVER w AS BIGINT) AS s,
+               CAST(sum(COALESCE(dl.ss_inc, 0)) OVER w AS BIGINT) AS ss
+        FROM grid g LEFT JOIN daily dl
+             ON dl.day = g.day AND dl.variant = g.variant
+        WINDOW w AS (PARTITION BY g.variant ORDER BY g.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    j AS (
+        SELECT a.day,
+               a.n AS na, a.s AS sa, a.ss AS ssa,
+               b.n AS nb, b.s AS sb, b.ss AS ssb
+        FROM (SELECT * FROM cum WHERE variant = 'A') a
+        JOIN (SELECT * FROM cum WHERE variant = 'B') b ON a.day = b.day
+    ),
+    st AS (
+        SELECT day, na, nb,
+               CAST(sb AS DOUBLE) / CAST(nullif(nb, 0) AS DOUBLE)
+                   - CAST(sa AS DOUBLE) / CAST(nullif(na, 0) AS DOUBLE)
+                   AS delta_c,
+               ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                     / CAST(nullif(na, 0) AS DOUBLE))
+                    / CAST(nullif(na - 1, 0) AS DOUBLE))
+                   / CAST(nullif(na, 0) AS DOUBLE)
+               + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                     / CAST(nullif(nb, 0) AS DOUBLE))
+                    / CAST(nullif(nb - 1, 0) AS DOUBLE))
+                   / CAST(nullif(nb, 0) AS DOUBLE) AS v
+        FROM j
+    ),
+    tau AS (
+        SELECT day, na, nb, delta_c, v,
+               first_value(v IGNORE NULLS) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS tau2
+        FROM st
+    ),
+    ll AS (
+        SELECT day, na, nb, delta_c,
+               CAST(round((0.5 * ln(v / (v + tau2))
+                           + delta_c * delta_c * tau2
+                             / (2.0 * v * (v + tau2))) * 1e6, 0)
+                    AS BIGINT) AS llq
+        FROM tau
+    ),
+    pd AS (
+        SELECT day, na, nb, delta_c, llq,
+               round(least(1.0, exp(-(CAST(llq AS DOUBLE) / 1e6))), 6) AS p_day
+        FROM ll
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, na AS n_a, nb AS n_b,
+           round(delta_c / 100.0, 4) AS delta,
+           llq AS log_lambda_q,
+           p_day,
+           min(p_day) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS always_valid_p
+    FROM pd
+    ORDER BY day
+    """,
+    tags=("events", "experiment", "sequential", "msprt", "scale"),
+)
+def events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily always-valid p-value for the per-user-day purchase metric
+    under the md5-coin assignment — the mixture SPRT (mSPRT, Johari et
+    al. 2017) with a unit-information normal mixture: tau^2 is the
+    FIRST day's variance of the delta (the prior that one day's
+    information would justify), and for each day t,
+
+        log Lambda_t = 0.5*ln(V_t/(V_t+tau^2))
+                       + delta_t^2*tau^2 / (2*V_t*(V_t+tau^2)),
+        p_t = min over s<=t of min(1, exp(-log Lambda_s)),
+
+    which remains a valid p-value under DAILY PEEKING and optional
+    stopping — the property the fixed-horizon z in `events_ab_lift`
+    lacks and the reason dashboards inflate false positives without
+    it. Observation grain is purchasing user-days; cumulative
+    per-variant moments come from exact cent-quantized int64 window
+    sums over the dense day x variant grid (days with activity in
+    only one variant still advance the other's cumulative row).
+
+    Cross-engine floats: the single ln(...) result is quantized to
+    1e-6 integers (the NB/unigram discipline) so log_lambda_q is
+    exact int64 in both engines; p_day = exp of that quantized value
+    rounded at 6dp, and the running min runs over already-rounded
+    values — exact. Scale shape: one (day,user) aggregate (the only
+    corpus-sized step), a (day,variant) rollup, then windows over the
+    calendar-bounded daily relation (~hundreds of rows; allowlisted
+    global window like orders_open_backlog)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_ud = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("y_q")
+        )
+        .select(
+            "day",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                    *"01234567"
+                ),
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+            "y_q",
+        )
+    )
+    daily = per_ud.groupBy("day", "variant").agg(
+        F.count(F.lit(1)).alias("n_inc"),
+        F.sum("y_q").cast("long").alias("s_inc"),
+        F.sum(F.col("y_q") * F.col("y_q")).cast("long").alias("ss_inc"),
+    )
+    grid = (
+        daily.select("day")
+        .distinct()
+        .select(
+            "day",
+            F.explode(F.array(F.lit("A"), F.lit("B"))).alias("variant"),
+        )
+    )
+    wcum = (
+        W.partitionBy("variant")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        grid.join(daily, ["day", "variant"], "left")
+        .select(
+            "day",
+            "variant",
+            F.sum(F.coalesce("n_inc", F.lit(0))).over(wcum).cast("long").alias("n"),
+            F.sum(F.coalesce("s_inc", F.lit(0))).over(wcum).cast("long").alias("s"),
+            F.sum(F.coalesce("ss_inc", F.lit(0)))
+            .over(wcum)
+            .cast("long")
+            .alias("ss"),
+        )
+    )
+    a = cum.filter(F.col("variant") == "A").select(
+        "day",
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+    )
+    b = cum.filter(F.col("variant") == "B").select(
+        F.col("day").alias("bday"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+    )
+    st = a.join(b, F.col("day") == F.col("bday")).selectExpr(
+        "day",
+        "na",
+        "nb",
+        "CAST(sb AS DOUBLE) / CAST(nullif(nb, 0) AS DOUBLE)"
+        " - CAST(sa AS DOUBLE) / CAST(nullif(na, 0) AS DOUBLE) AS delta_c",
+        "((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)"
+        " / CAST(nullif(na, 0) AS DOUBLE))"
+        " / CAST(nullif(na - 1, 0) AS DOUBLE))"
+        " / CAST(nullif(na, 0) AS DOUBLE)"
+        " + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)"
+        " / CAST(nullif(nb, 0) AS DOUBLE))"
+        " / CAST(nullif(nb - 1, 0) AS DOUBLE))"
+        " / CAST(nullif(nb, 0) AS DOUBLE) AS v",
+    )
+    wday = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tau = st.withColumn("tau2", F.first("v", ignorenulls=True).over(wday))
+    ll = tau.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "delta_c",
+        "CAST(round((0.5D * ln(v / (v + tau2))"
+        " + delta_c * delta_c * tau2"
+        " / (2.0D * v * (v + tau2))) * 1e6, 0) AS BIGINT) AS llq",
+    )
+    pd_ = ll.selectExpr(
+        "day",
+        "na",
+        "nb",
+        "delta_c",
+        "llq",
+        "round(least(1.0D, exp(-(CAST(llq AS DOUBLE) / 1e6))), 6) AS p_day",
+    )
+    return (
+        pd_.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round(F.col("delta_c") / F.lit(100.0), 4).alias("delta"),
+            F.col("llq").alias("log_lambda_q"),
+            "p_day",
+            F.min("p_day").over(wday).alias("always_valid_p"),
+        )
+        .orderBy("day")
+    )

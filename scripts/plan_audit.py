@@ -53,6 +53,11 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "events_pareto_activity": "<=63 log2 activity buckets",
     "events_value_log_histogram": "<=63 log2 value buckets",
     "orders_open_backlog": "calendar-bounded daily relation (~2.4k days)",
+    "events_ab_sequential": (
+        "calendar-bounded daily relation (cumulative moments, "
+        "first-day tau2, running-min always-valid p — ~hundreds of rows "
+        "after the per-day rollup)"
+    ),
     "dedup_threshold_sweep": "<=21 estimate buckets",
     "customer_ltv_deciles": "9 decile cut points",
     "events_rfm_segments": "4 cut points x 3 metrics",
