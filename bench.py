@@ -212,6 +212,33 @@ def _calibration_sec(spark) -> tuple[float, list[float]]:
     return min(times), times
 
 
+def _membw_sec(spark) -> tuple[float, list[float]]:
+    """Memory-BANDWIDTH host probe, the companion to the pure-CPU
+    ``_calibration_sec`` (r12 verdict #1): a fixed 2 GB cached-columnar
+    scan-sum (250M int64 rows through InMemoryTableScan, no shuffle
+    beyond 32 partial rows, no I/O, data-independent of sf_dir). The
+    CPU probe's integer mults are cache-resident ALU work and CANNOT
+    see a co-tenant saturating DRAM bandwidth, while the cached TPC-H
+    pack is exactly such a scan workload — r12 showed tpch8 +15-34% at
+    a FASTER CPU probe, the signature the round-9 tripwire calls a
+    real regression but which bandwidth contention also produces. With
+    both probes recorded, the two host-drift modes are separable:
+    tpch8 moves with membw_sec but not calibration_sec => bandwidth
+    contention, not engine. The probe relation is unpersisted before
+    the bench's own caching so it leaves no residue."""
+    probe = spark.range(250_000_000).cache()
+    probe.count()  # materialize + warm
+    q = lambda: probe.selectExpr("sum(id) AS s").collect()  # noqa: E731
+    q()
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        q()
+        times.append(round(time.perf_counter() - t0, 4))
+    probe.unpersist(blocking=True)
+    return min(times), times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -231,8 +258,10 @@ def main() -> None:
     else:
         keep = set(HEADLINE + EXTENSION)
 
-    # 0. host-speed calibration (before any caching — see docstring)
+    # 0. host-speed calibration (before any caching — see docstring):
+    # the pure-CPU probe, then the memory-bandwidth probe (r13).
     calibration, calibration_passes = _calibration_sec(spark)
+    membw, membw_passes = _membw_sec(spark)
 
     # 1. eager load (reference: CREATE TABLE materialization)
     tables = load_tables(spark, sf_dir)
@@ -274,7 +303,13 @@ def main() -> None:
     # relations + 4-way-union shuffles were the block-local residue
     # the r11 per-family eviction couldn't see (same-block rows are
     # timed BEFORE the eviction runs). See BASELINE.md.
-    _OWN_BLOCK = {"join_skew_salted"}
+    # join_skew_salted_demo joins the set in round 13 (ADVICE r12):
+    # after the r12 production fast path, join_skew_salted plans a
+    # plain join at bench scale (empty hot sets — no broadcasts),
+    # while the _demo row still creates the 4-broadcast/4-way-union
+    # machinery every pass; it was only safe in the shared join block
+    # because it happened to sit last in EXTENSION order.
+    _OWN_BLOCK = {"join_skew_salted", "join_skew_salted_demo"}
 
     def _family_blocks(names: list[str]) -> list[list[str]]:
         order: list[str] = []
@@ -324,6 +359,7 @@ def main() -> None:
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
+        "membw_sec": membw,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_PASSES.json"), "w") as f:
@@ -333,6 +369,7 @@ def main() -> None:
                 "queries": timings,
                 "passes": passes,
                 "calibration_passes": calibration_passes,
+                "membw_passes": membw_passes,
             },
             f,
             indent=1,

@@ -302,22 +302,30 @@ def two_phase_skew_join(
         hot_threshold = max(100_000, max(left.count(), right.count()) // parts)
     hl = hot_keys(left, left_key, hot_threshold)
     hr = hot_keys(right, right_key, hot_threshold).withColumnRenamed(right_key, left_key)
-    # Production fast path (round 12): when NO key is hot on either
-    # side — the expected steady state under the auto threshold, where
-    # "hot" means "would overflow a reducer" — return the plain
-    # shuffle join outright instead of planning the 4-branch
-    # anti/semi/salt/grid union over empty hot sets. The existence
-    # probe is one limit-1 count over the two (already tiny by
-    # definition) hot-key aggregates: model-sized driver state, same
-    # class as the count() sizing above. Result-invariant by
-    # construction (the cold branch IS this join). Gated on the AUTO
-    # threshold: there the probe is near-certain to buy the plain
-    # plan, while under an explicit low threshold (the demo/test
-    # stance) hot keys are near-certain to EXIST and the probe's two
-    # aggregations would be pure added cost on top of the machinery
-    # that must then run anyway.
-    if auto and hl.union(hr).limit(1).count() == 0:
-        return left.join(right, left[left_key] == right[right_key])
+    # Production fast path (round 12, probe-once since round 13):
+    # when NO key is hot on either side — the expected steady state
+    # under the auto threshold, where "hot" means "would overflow a
+    # reducer" — return the plain shuffle join outright instead of
+    # planning the 4-branch anti/semi/salt/grid union over empty hot
+    # sets. The hot-key sets are collected ONCE: under the auto
+    # threshold each hot key holds > n_rows/shuffle_partitions rows,
+    # so each side has at most shuffle_partitions hot keys —
+    # driver-safe by construction — and the collected rows are reused
+    # as local relations for the 4-branch plan, so the two corpus
+    # aggregations are paid exactly once (the r12 probe paid them for
+    # the emptiness check and again per branch — ADVICE r12).
+    # Result-invariant by construction (the cold branch IS this
+    # join). Gated on the AUTO threshold: under an explicit low
+    # threshold (the demo/test stance) hot keys are near-certain to
+    # EXIST, the collect bound above does not hold, and the lazy
+    # plans below recompute-but-never-collect instead.
+    if auto:
+        spark = left.sparkSession
+        hl_rows, hr_rows = hl.collect(), hr.collect()
+        if not hl_rows and not hr_rows:
+            return left.join(right, left[left_key] == right[right_key])
+        hl = spark.createDataFrame(hl_rows, schema=hl.schema)
+        hr = spark.createDataFrame(hr_rows, schema=hr.schema)
     l_only = F.broadcast(hl.join(hr, left_key, "left_anti"))
     r_only = F.broadcast(hr.join(hl, left_key, "left_anti"))
     grid = F.broadcast(hl.join(hr, left_key, "left_semi"))

@@ -3405,12 +3405,14 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one exchange on (band, band_hash) — the same
     aggregation skeleton as candidate generation itself — then a
-    7-row per-band reduction. Signatures come from the shared
-    session-materialized relation when the dedup suite already ran."""
-    docs = load_table(spark, sf_dir, "documents")
-    bands0 = minhash_band_buckets(
-        minhash_signatures(shingles_df(docs, n=3))
-    )
+    7-row per-band reduction. Signatures ride the session-cached
+    MinHash relation (``cached_minhash_sig_cand``, round 13 — r12
+    verdict #4: this row was re-deriving the signature pass its
+    siblings share; min over duplicated shingles equals min over
+    distinct ones, so the cached distinct=False build is
+    value-identical to the distinct build this query used before)."""
+    sig, _cand = cached_minhash_sig_cand(spark, sf_dir)
+    bands0 = minhash_band_buckets(sig)
     sizes = bands0.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from rdbms_scala_spark.catalog import load_table
-from rdbms_scala_spark.pipeline.dedup import shingles_df, tokens
+from rdbms_scala_spark.pipeline.dedup import (
+    cached_doc_shingles,
+    shingles_df,
+    tokens,
+)
 from rdbms_scala_spark.registry import register
 
 _STOP_EN = ("the", "a", "and", "of", "is", "to", "in", "it")
@@ -727,9 +731,13 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable) and one join back on shingle — both keyed by the
     uniformly-distributed shingle, then a per-doc count. No pairwise
     anything: cost is O(corpus shingles), not O(pairs), which is why
-    novelty scoring scales where exact pairwise Jaccard needs LSH."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_df(docs, n=3, distinct=True)
+    novelty scoring scales where exact pairwise Jaccard needs LSH.
+    Since round 13 the distinct (doc_id, shingle) relation is the
+    session-cached one (``cached_doc_shingles``, r12 verdict #4): the
+    min-aggregate AND the join-back both scan it, so the previous
+    form paid the tokenize+explode+distinct derivation twice per call
+    — the x64 SCALE row (32.2 s) was dominated by exactly that."""
+    sh = cached_doc_shingles(spark, sf_dir, n=3)
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(firsts, "shingle")

@@ -1497,9 +1497,12 @@ def events_ab_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ll AS (
         SELECT day, na, nb, delta_c,
-               CAST(round((0.5 * ln(v / (v + tau2))
-                           + delta_c * delta_c * tau2
-                             / (2.0 * v * (v + tau2))) * 1e6, 0)
+               CAST(round((0.5 * ln(nullif(v, 0.0)
+                                    / (nullif(v, 0.0) + nullif(tau2, 0.0)))
+                           + delta_c * delta_c * nullif(tau2, 0.0)
+                             / (2.0 * nullif(v, 0.0)
+                                * (nullif(v, 0.0) + nullif(tau2, 0.0))))
+                          * 1e6, 0)
                     AS BIGINT) AS llq
         FROM tau
     ),
@@ -1637,9 +1640,19 @@ def events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         "na",
         "nb",
         "delta_c",
-        "CAST(round((0.5D * ln(v / (v + tau2))"
-        " + delta_c * delta_c * tau2"
-        " / (2.0D * v * (v + tau2))) * 1e6, 0) AS BIGINT) AS llq",
+        # Degenerate-variance guard (ADVICE r12): if all purchasing
+        # user-days in both variants share identical cent totals, v=0
+        # (and on day one tau2=0) — ln(0) / division by zero produce
+        # -Infinity/NaN whose propagation Spark and DuckDB need not
+        # agree on. nullif(...,0) makes those rows NULL identically
+        # in both engines, matching the existing na=1 NULL-variance
+        # path.
+        "CAST(round((0.5D * ln(nullif(v, 0.0D)"
+        " / (nullif(v, 0.0D) + nullif(tau2, 0.0D)))"
+        " + delta_c * delta_c * nullif(tau2, 0.0D)"
+        " / (2.0D * nullif(v, 0.0D)"
+        " * (nullif(v, 0.0D) + nullif(tau2, 0.0D)))) * 1e6, 0)"
+        " AS BIGINT) AS llq",
     )
     pd_ = ll.selectExpr(
         "day",
