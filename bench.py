@@ -181,6 +181,15 @@ EXTENSION = [
     # once the scored relation exists).
     "events_ab_mde",
     "text_nb_class_metrics",
+    # round-13: the two r12 additions that had no bench row (r12
+    # verdict #5). ab_sequential rides the same per-user moment pass
+    # as mde/cuped then windows over the calendar-bounded daily
+    # relation; lsh_recall re-runs the multi-probe LSH queries against
+    # the brute-force top-k, so it times the ANN tier's full
+    # query-side path (the recall gate must not be blind in the
+    # bench).
+    "events_ab_sequential",
+    "similarity_lsh_recall",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

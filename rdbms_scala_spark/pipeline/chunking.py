@@ -461,3 +461,217 @@ def pipeline_pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("ctx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 13: the eval-hygiene report card — the pipeline_training_manifest
+# pattern applied to DECONTAMINATION (r12 verdict #8). The three tiers it
+# composes already exist and are individually certified: the benchmark
+# n-gram contamination check (dedup_contamination_check), the
+# content-keyed leakage-safe split (sample_leakage_safe_split), and the
+# exact-substring removal stats (dedup_substring_removal_stats). This
+# readout joins them into the one table a training run signs off on
+# before touching the data: per split, how many docs are benchmark
+# members, how many are contaminated against the benchmark slice, how
+# much of the token volume the ExactSubstr cuts would remove, and the
+# structural proof column that no duplicate cluster straddles splits.
+
+
+def _decontamination_report_oracle() -> str:
+    from rdbms_scala_spark.pipeline.dedup import _substring_spans_cte
+
+    return f"""
+    WITH {_substring_spans_cte()},
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               AS shingle
+        FROM (
+            SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 3
+        )
+    ),
+    bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0),
+    contam AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT t.doc_id
+            FROM tr t JOIN bench b ON t.shingle = b.shingle
+            GROUP BY t.doc_id, b.doc_id
+            HAVING count(*) >= 3
+        )
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(lower(trim(text))) AS fingerprint,
+               CASE WHEN substr(md5('split:' || md5(lower(trim(text)))), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                    THEN 'train'
+                    WHEN substr(md5('split:' || md5(lower(trim(text)))), 1, 1)
+                         IN ('c','d')
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    straddle AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_straddling
+        FROM (
+            SELECT fingerprint FROM fp
+            GROUP BY fingerprint HAVING count(DISTINCT split) > 1
+        )
+    ),
+    dup_per_doc AS (
+        SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    ),
+    ntok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+    base AS (
+        SELECT f.split,
+               CASE WHEN f.doc_id % 29 = 0 THEN 1 ELSE 0 END AS is_bench,
+               CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_contam,
+               COALESCE(n.n_tokens, 0) AS n_tokens,
+               COALESCE(d.dup_tokens, 0) AS dup_tokens
+        FROM fp f
+        LEFT JOIN contam c ON c.doc_id = f.doc_id
+        LEFT JOIN ntok n ON n.doc_id = f.doc_id
+        LEFT JOIN dup_per_doc d ON d.doc_id = f.doc_id
+    )
+    SELECT b.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_bench) AS BIGINT) AS n_bench,
+           CAST(sum(is_contam) AS BIGINT) AS n_contaminated,
+           round(sum(is_contam) * 1.0
+                 / nullif(count(*) - sum(is_bench), 0), 4)
+               AS contamination_rate,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens,
+           round(sum(dup_tokens) * 1.0 / nullif(sum(n_tokens), 0), 4)
+               AS dup_token_fraction,
+           s.n_straddling
+    FROM base b CROSS JOIN straddle s
+    GROUP BY b.split, s.n_straddling
+    ORDER BY b.split
+    """
+
+
+@register(
+    "pipeline_decontamination_report",
+    oracle=_decontamination_report_oracle(),
+    tags=("pipeline", "decontamination", "evaluation", "scale"),
+)
+def pipeline_decontamination_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval-set hygiene report card, per content-keyed split: the one
+    readout a training run signs off on before the data ships. For
+    each of train/val/test (assigned by `sample_leakage_safe_split`'s
+    fingerprint-keyed 12/2/2 coin, so exact duplicates can never
+    straddle splits):
+
+    - ``n_bench``: documents that ARE benchmark members (the
+      deterministic doc_id % 29 == 0 slice standing in for the eval
+      suites) — any benchmark member inside 'train' is eval text that
+      must be excluded from the training stream;
+    - ``n_contaminated`` / ``contamination_rate``: non-benchmark docs
+      sharing >= 3 distinct trigrams with any benchmark doc
+      (`dedup_contamination_check`'s flag), i.e. docs that leak eval
+      content verbatim-ish even after the member exclusion;
+    - ``dup_tokens`` / ``dup_token_fraction``: the token volume the
+      Lee et al. ExactSubstr removal list would cut
+      (`dedup_substring_removal_stats`' per-doc sums rolled up);
+    - ``n_straddling``: the structural proof column — fingerprint
+      clusters spanning >1 split, zero by construction.
+
+    Scale shape: nothing new — every input relation is an existing
+    certified tier riding its session-materialized form (the shingle
+    relation via ``cached_doc_shingles``, the substring spans via the
+    cached dup-hash counts), the benchmark side of the contamination
+    join is broadcast (eval suites are megabytes against 100 TB), and
+    the final rollup is a 3-key aggregate. The report is exactly the
+    manifest pattern of `pipeline_training_manifest` pointed at
+    hygiene instead of packing."""
+    from rdbms_scala_spark.pipeline.dedup import (
+        cached_doc_shingles,
+        substring_doc_tokens,
+        substring_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fpc = F.md5(F.lower(F.trim(F.col("text"))))
+    first = F.substring(F.md5(F.concat(F.lit("split:"), fpc)), 1, 1)
+    assigned = docs.select(
+        "doc_id",
+        fpc.alias("fingerprint"),
+        F.when(first.isin(*"0123456789ab"), "train")
+        .when(first.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    straddle = (
+        assigned.groupBy("fingerprint")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).alias("n_straddling"))
+    )
+    sh = cached_doc_shingles(spark, sf_dir, n=3)
+    bench = sh.filter(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    contam = (
+        sh.filter(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(1))
+    )
+    ntok = substring_doc_tokens(spark, sf_dir).select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens")
+    )
+    dupd = (
+        substring_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").cast("long").alias("dup_tokens"))
+    )
+    base = (
+        assigned.join(contam, "doc_id", "left")
+        .join(ntok, "doc_id", "left")
+        .join(dupd, "doc_id", "left")
+        .select(
+            "split",
+            F.when(F.col("doc_id") % 29 == 0, 1).otherwise(0).alias("is_bench"),
+            F.coalesce("is_contam", F.lit(0)).alias("is_contam"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        )
+    )
+    return (
+        base.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_bench").cast("long").alias("n_bench"),
+            F.sum("is_contam").cast("long").alias("n_contaminated"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .select(
+            "split",
+            "n_docs",
+            "n_bench",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated")
+                / F.expr("nullif(n_docs - n_bench, 0)"),
+                4,
+            ).alias("contamination_rate"),
+            "n_tokens",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens") / F.expr("nullif(n_tokens, 0)"), 4
+            ).alias("dup_token_fraction"),
+            "n_straddling",
+        )
+        .orderBy("split")
+    )

@@ -727,27 +727,38 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary keep/drop of `dedup_*` (a doc can evade the 0.7-Jaccard
     gate yet contribute almost nothing new).
 
-    Scale shape: one min-aggregate over the shingle index (map-side
-    combinable) and one join back on shingle — both keyed by the
-    uniformly-distributed shingle, then a per-doc count. No pairwise
-    anything: cost is O(corpus shingles), not O(pairs), which is why
-    novelty scoring scales where exact pairwise Jaccard needs LSH.
-    Since round 13 the distinct (doc_id, shingle) relation is the
-    session-cached one (``cached_doc_shingles``, r12 verdict #4): the
-    min-aggregate AND the join-back both scan it, so the previous
-    form paid the tokenize+explode+distinct derivation twice per call
-    — the x64 SCALE row (32.2 s) was dominated by exactly that."""
+    Scale shape (round-13 rewrite, r12 verdict #4): TWO combinable
+    aggregates over the session-cached distinct (doc_id, shingle)
+    relation (``cached_doc_shingles``) — the min-doc_id-per-shingle
+    pass and the shingles-per-doc count — then the novel count comes
+    from aggregating the FIRSTS relation itself (one row per distinct
+    shingle, grouped by its winning doc), and the final join is
+    doc-keyed between two doc-sized aggregates. The previous form
+    joined the full corpus-sized shingle relation back against firsts
+    on the shingle key — at the x64 tier (~80M shingle instances,
+    ~128x token volume) that join-back was the entire 30 s wall; this
+    form's corpus-sized work is just the two map-side-combinable
+    exchanges. No pairwise anything: cost is O(corpus shingles), not
+    O(pairs), which is why novelty scoring scales where exact
+    pairwise Jaccard needs LSH. The DuckDB oracle keeps the
+    independent join-back formulation — two derivations agreeing is
+    the stronger check."""
     sh = cached_doc_shingles(spark, sf_dir, n=3)
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
     return (
-        sh.join(firsts, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
             F.round(
-                F.count_if(F.col("first_doc") == F.col("doc_id")) / F.count(F.lit(1)),
-                4,
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_shingles"), 4
             ).alias("novelty"),
         )
         .orderBy("doc_id")
