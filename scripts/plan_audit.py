@@ -74,6 +74,11 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "dedup_simhash_candidate_histogram": "<=65 Hamming-distance buckets (cumulative over the full candidate set; bounded by the 64-bit fingerprint width)",
     "events_bootstrap_ci": "64 bootstrap-replicate means (rank-selected CI endpoints)",
     "text_zipf_fit": "<=1000-row top-k vocabulary cut (rank assignment post-limit)",
+    "text_quality_auc": (
+        "1e-6-quantized score relation (<=1,000,001 distinct scores by "
+        "construction; the cumulative rank sum runs over the per-score "
+        "aggregate, never the corpus)"
+    ),
 }
 
 # SortMergeJoins (surviving AQE) that are correct-by-construction.
