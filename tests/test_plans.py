@@ -295,6 +295,39 @@ def test_two_phase_skew_join_auto_threshold(spark, sf_dir):
     assert "Union" not in plan, plan
 
 
+def test_two_phase_skew_join_auto_nonempty_hot(spark):
+    """The auto-threshold path with a key that genuinely overflows the
+    100k-row floor (round 13: hot keys are collected ONCE and rebuilt
+    as local relations for the branch plans — this pins that path,
+    which the corpus-based auto test above can never reach because no
+    real order has 100k lines): result must equal the plain join and
+    the plan must contain the 4-branch salted Union."""
+    from pyspark.sql import functions as F
+
+    from rdbms_scala_spark.operators.joins import two_phase_skew_join
+    from rdbms_scala_spark.plans import physical_plan
+
+    left = spark.range(160_000).select(
+        F.when(F.col("id") < 150_000, F.lit(1))
+        .otherwise(F.col("id") % 100)
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("rk"), (F.col("id") * 10).alias("rv")
+    )
+    joined = two_phase_skew_join(left, right, "k", "rk", hot_threshold=None)
+    want = left.join(right, left["k"] == right["rk"])
+    assert joined.count() == want.count()
+    assert (
+        joined.agg(F.sum("lv")).collect()[0][0]
+        == want.agg(F.sum("lv")).collect()[0][0]
+    )
+    plan = physical_plan(joined)
+    assert "Union" in plan, plan
+
+
 def test_bucketed_colocated_join_plan_shape(spark, sf_dir):
     """join_bucketed_colocated: both scans must be bucketed and feed the
     sort-merge join with NO exchange on either input — the only
