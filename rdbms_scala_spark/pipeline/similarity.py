@@ -2195,6 +2195,118 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_pq_recall",
+    oracle=f"""
+    WITH exact AS ({_BRUTE_ORACLE}),
+    approx AS ({_PQ_ORACLE})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST({_TOP_K} AS BIGINT)             AS k,
+           round(count(a.neighbor_id) * 1.0 / {_TOP_K}, 4) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    tags=("similarity", "ann", "pq", "recall", "evaluation"),
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{_TOP_K} of the RAW product-quantization
+    ranking against the exact brute-force top-k — round 13 completes
+    the evaluation-follows-model discipline across the whole ANN
+    ladder (IVF got its gate in r8, LSH in r12; PQ and IVF-PQ close
+    the set). This readout is EXPECTED to sit well below the
+    candidate-pruning tiers' recall: K=16 codes per subspace cannot
+    separate same-cluster members (see `similarity_pq`'s docstring),
+    which is precisely why the production read path is
+    scan-then-rerank — the number this query reports is the
+    quantified argument for that rerank stage, per query, not a bug.
+    Same composition-of-certified-tiers shape as its siblings: the
+    oracle chains the brute-force and PQ replay CTEs, so the recall
+    arithmetic is certified end-to-end. Scale shape: both inputs are
+    query-set-sized (N_QUERIES x k rows); the join and rollup are
+    model-sized — the corpus passes live in the composed tiers."""
+    exact = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity_pq(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("an").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.lit(_TOP_K).cast("long").alias("k"),
+            F.round(F.col("n_hits") / F.lit(_TOP_K), 4).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "similarity_ivfpq_recall",
+    oracle=f"""
+    WITH exact AS ({_BRUTE_ORACLE}),
+    approx AS ({_IVF_PQ_ORACLE})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST({_TOP_K} AS BIGINT)             AS k,
+           round(count(a.neighbor_id) * 1.0 / {_TOP_K}, 4) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "recall", "evaluation"),
+)
+def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{_TOP_K} of the IVF-PQ composition against
+    the exact brute-force top-k — the quality readout for the tier a
+    billion-scale deployment actually runs (`similarity_ivf_pq`).
+    IVF-PQ stacks BOTH error sources (nprobe list misses x code
+    quantization), so reading this row next to `similarity_ivf_recall`
+    and `similarity_pq_recall` decomposes a recall drop into its
+    cause: a query low here but high in the IVF row lost its
+    neighbors to quantization (raise the rerank depth); low in both
+    means the probe missed the list (raise nprobe). Same certified
+    composition shape and model-sized arithmetic as its three
+    siblings."""
+    exact = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity_ivf_pq(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("an").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.lit(_TOP_K).cast("long").alias("k"),
+            F.round(F.col("n_hits") / F.lit(_TOP_K), 4).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --- split-half centroid drift ----------------------------------------
 
 
