@@ -190,6 +190,18 @@ EXTENSION = [
     # bench).
     "events_ab_sequential",
     "similarity_lsh_recall",
+    # round-13 additions: the decontamination report card composes
+    # three corpus tiers (shingle contamination join + substring
+    # spans + the fingerprint split) so its wall is the sum of its
+    # session-cached parts; quality AUC is one corpus map pass + the
+    # bounded per-score histogram; the two new recall gates time the
+    # PQ / IVF-PQ query paths against the shared brute-force ranking
+    # (codes/LUT memoized — the steady-state read cost, like the
+    # other ANN rows).
+    "pipeline_decontamination_report",
+    "text_quality_auc",
+    "similarity_pq_recall",
+    "similarity_ivfpq_recall",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")
