@@ -23,7 +23,13 @@ names = ["tpch_q1","tpch_q3","tpch_q5","tpch_q6","tpch_q9","tpch_q18","join_skew
 # round 10: DSIR must show the 256-row broadcast model join + a
 # TakeOrderedAndProject top-k (no global sort over the corpus); the
 # audio pass must be MapInPandas (Arrow), never BatchEvalPython
-"sample_dsir_importance","multimodal_audio_energy"]
+"sample_dsir_importance","multimodal_audio_energy",
+# round 13: the AUC pass must show the corpus side as one map +
+# combinable HashAggregate with the window running over the bounded
+# per-score relation (never a corpus sort); the decontamination
+# report's contamination join must show the benchmark side riding a
+# BroadcastExchange
+"text_quality_auc","pipeline_decontamination_report"]
 out = io.StringIO()
 out.write("""# PLANS — physical plans of headline queries (generated)
 
