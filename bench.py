@@ -202,6 +202,10 @@ EXTENSION = [
     "text_quality_auc",
     "similarity_pq_recall",
     "similarity_ivfpq_recall",
+    # the contamination threshold-tuning sweep: the check's broadcast
+    # overlap aggregate collapsed per-doc, then a 10-row threshold
+    # spine rollup — should sit at the contamination check's floor.
+    "dedup_contamination_sweep",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")
