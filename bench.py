@@ -206,6 +206,14 @@ EXTENSION = [
     # overlap aggregate collapsed per-doc, then a 10-row threshold
     # spine rollup — should sit at the contamination check's floor.
     "dedup_contamination_sweep",
+    # round-14 (r13 verdict #4): the two diagnostics whose r13
+    # session-cache rewrites moved their x64 SCALE rows 26.4->0.94 s
+    # and 32.2->0.55 s get per-round steady-state tracking at sf0.1 —
+    # both ride their family's session-cached relations (minhash
+    # signatures / shingle firsts), so their bench wall is the
+    # model-sized rollup each adds on top.
+    "dedup_lsh_bucket_stats",
+    "text_shingle_novelty",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")
@@ -250,17 +258,35 @@ def _membw_sec(spark) -> tuple[float, list[float]]:
     both probes recorded, the two host-drift modes are separable:
     tpch8 moves with membw_sec but not calibration_sec => bandwidth
     contention, not engine. The probe relation is unpersisted before
-    the bench's own caching so it leaves no residue."""
-    probe = spark.range(250_000_000).cache()
-    probe.count()  # materialize + warm
-    q = lambda: probe.selectExpr("sum(id) AS s").collect()  # noqa: E731
-    q()
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    the bench's own caching so it leaves no residue.
+
+    The cached column is ``xxhash64(id)`` with the in-memory columnar
+    compression DISABLED for the probe's build (ADVICE r13):
+    sequential longs under the default delta/RLE encodings cache as a
+    small fraction of 2 GB and the scan turns decode/CPU-bound, which
+    is exactly the contamination the probe exists to separate out;
+    high-entropy hashes + compression off pin the cached footprint at
+    the full 8 B/row so the timed pass genuinely streams ~2 GB from
+    DRAM. The conf flip is restored before any bench caching."""
+    prev = spark.conf.get("spark.sql.inMemoryColumnarStorage.compressed")
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    try:
+        probe = (
+            spark.range(250_000_000)
+            .selectExpr("xxhash64(id) AS h")
+            .cache()
+        )
+        probe.count()  # materialize + warm
+        q = lambda: probe.selectExpr("sum(h) AS s").collect()  # noqa: E731
         q()
-        times.append(round(time.perf_counter() - t0, 4))
-    probe.unpersist(blocking=True)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            q()
+            times.append(round(time.perf_counter() - t0, 4))
+        probe.unpersist(blocking=True)
+    finally:
+        spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", prev)
     return min(times), times
 
 

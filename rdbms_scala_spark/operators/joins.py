@@ -321,7 +321,14 @@ def two_phase_skew_join(
     # plans below recompute-but-never-collect instead.
     if auto:
         spark = left.sparkSession
-        hl_rows, hr_rows = hl.collect(), hr.collect()
+        # One driver job for both sides (ADVICE r13): union the two
+        # hot-key aggregations under a side tag and collect once —
+        # the all-cold steady state pays a single job instead of two.
+        tagged = hl.withColumn("__side", F.lit(0)).union(
+            hr.withColumn("__side", F.lit(1))
+        ).collect()
+        hl_rows = [(r[left_key],) for r in tagged if r["__side"] == 0]
+        hr_rows = [(r[left_key],) for r in tagged if r["__side"] == 1]
         if not hl_rows and not hr_rows:
             return left.join(right, left[left_key] == right[right_key])
         hl = spark.createDataFrame(hl_rows, schema=hl.schema)

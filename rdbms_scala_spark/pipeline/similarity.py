@@ -2085,11 +2085,14 @@ def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ANN recall report ------------------------------------------------
 
 
-@register(
-    "similarity_ivf_recall",
-    oracle=f"""
+def _recall_oracle(approx_cte: str) -> str:
+    """Oracle template for the per-query recall@k gates: chain the
+    brute-force replay CTE with the given approximate tier's replay
+    CTE and compute hits/k per query. One template, four gates — the
+    recall arithmetic cannot drift between tiers (ADVICE r13)."""
+    return f"""
     WITH exact AS ({_BRUTE_ORACLE}),
-    approx AS ({_IVF_ORACLE})
+    approx AS ({approx_cte})
     SELECT e.query_id,
            CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
            CAST({_TOP_K} AS BIGINT)             AS k,
@@ -2099,15 +2102,53 @@ def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
     GROUP BY e.query_id
     ORDER BY e.query_id
-    """,
+    """
+
+
+def _recall_against_bruteforce(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+    """Shared Spark-side recall@k arithmetic for the ANN quality
+    gates: join the given approximate tier's top-k against the exact
+    brute-force top-k and roll up per-query hits (ADVICE r13 — the
+    four gates previously carried four copies of this body). Scale
+    shape: both inputs are query-set-sized (N_QUERIES x k rows); the
+    join and rollup are model-sized — the corpus passes live in the
+    composed tiers."""
+    exact = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = approx_fn(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("an").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.lit(_TOP_K).cast("long").alias("k"),
+            F.round(F.col("n_hits") / F.lit(_TOP_K), 4).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "similarity_ivf_recall",
+    oracle=_recall_oracle(_IVF_ORACLE),
     tags=("similarity", "ann", "recall", "evaluation"),
 )
 def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@{_TOP_K} of the IVF index against the exact
-    brute-force ranking — the ANN quality gate AS A QUERY: every index
-    deployment needs this readout on a held-out query set before the
-    exact path is turned off, and at 100 TB it runs exactly like this
-    (brute force over the held-out queries only — a broadcast
+    """Per-query recall@10 (k=_TOP_K) of the IVF index against the
+    exact brute-force ranking — the ANN quality gate AS A QUERY: every
+    index deployment needs this readout on a held-out query set before
+    the exact path is turned off, and at 100 TB it runs exactly like
+    this (brute force over the held-out queries only — a broadcast
     map-only pass — never corpus x corpus). Composes the two
     certified tiers (`similarity_topk_bruteforce`, `similarity_ivf`);
     the oracle chains both replay CTEs and joins them, so the recall
@@ -2115,105 +2156,35 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor sets. The pytest recall gates assert a floor; this query
     exposes the actual per-query number (probe-miss queries surface
     as recall < 1 rows worth inspecting)."""
-    exact = similarity_topk_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    approx = similarity_ivf(spark, sf_dir).select(
-        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
-    )
-    return (
-        exact.join(
-            approx,
-            (F.col("query_id") == F.col("aq"))
-            & (F.col("neighbor_id") == F.col("an")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count("an").alias("n_hits"))
-        .select(
-            "query_id",
-            "n_hits",
-            F.lit(_TOP_K).cast("long").alias("k"),
-            F.round(F.col("n_hits") / F.lit(_TOP_K), 4).alias("recall_at_k"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_against_bruteforce(spark, sf_dir, similarity_ivf)
 
 
 @register(
     "similarity_lsh_recall",
-    oracle=f"""
-    WITH exact AS ({_BRUTE_ORACLE}),
-    approx AS ({_lsh_oracle()})
-    SELECT e.query_id,
-           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-           CAST({_TOP_K} AS BIGINT)             AS k,
-           round(count(a.neighbor_id) * 1.0 / {_TOP_K}, 4) AS recall_at_k
-    FROM exact e
-    LEFT JOIN approx a
-      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-    GROUP BY e.query_id
-    ORDER BY e.query_id
-    """,
+    oracle=_recall_oracle(_lsh_oracle()),
     tags=("similarity", "ann", "lsh", "recall", "evaluation"),
 )
 def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@{_TOP_K} of the multi-probe LSH index against
-    the exact brute-force ranking — completes the evaluation-follows-
-    model discipline for the LSH tier (round 12; the IVF tier got its
-    gate in round 8): `similarity_ivf_recall` covers the coarse-
-    quantizer index, this covers the hyperplane-bucket index, so BOTH
-    deployed ANN paths carry a per-query quality readout rather than
-    only the pytest floor assertion. Same composition-of-certified-
-    tiers shape: the oracle chains the brute-force and LSH replay
-    CTEs, so the recall arithmetic is certified end-to-end against
-    derived neighbor sets, not claimed ones. Scale shape: both inputs
-    are query-set-sized (N_QUERIES x k rows); the join and rollup are
-    model-sized — the corpus passes live in the composed tiers."""
-    exact = similarity_topk_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    approx = similarity_lsh_ann(spark, sf_dir).select(
-        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
-    )
-    return (
-        exact.join(
-            approx,
-            (F.col("query_id") == F.col("aq"))
-            & (F.col("neighbor_id") == F.col("an")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count("an").alias("n_hits"))
-        .select(
-            "query_id",
-            "n_hits",
-            F.lit(_TOP_K).cast("long").alias("k"),
-            F.round(F.col("n_hits") / F.lit(_TOP_K), 4).alias("recall_at_k"),
-        )
-        .orderBy("query_id")
-    )
+    """Per-query recall@10 (k=_TOP_K) of the multi-probe LSH index
+    against the exact brute-force ranking — completes the evaluation-
+    follows-model discipline for the LSH tier (round 12; the IVF tier
+    got its gate in round 8): `similarity_ivf_recall` covers the
+    coarse-quantizer index, this covers the hyperplane-bucket index,
+    so BOTH deployed ANN paths carry a per-query quality readout
+    rather than only the pytest floor assertion. Same composition-of-
+    certified-tiers shape: the oracle chains the brute-force and LSH
+    replay CTEs, so the recall arithmetic is certified end-to-end
+    against derived neighbor sets, not claimed ones."""
+    return _recall_against_bruteforce(spark, sf_dir, similarity_lsh_ann)
 
 
 @register(
     "similarity_pq_recall",
-    oracle=f"""
-    WITH exact AS ({_BRUTE_ORACLE}),
-    approx AS ({_PQ_ORACLE})
-    SELECT e.query_id,
-           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-           CAST({_TOP_K} AS BIGINT)             AS k,
-           round(count(a.neighbor_id) * 1.0 / {_TOP_K}, 4) AS recall_at_k
-    FROM exact e
-    LEFT JOIN approx a
-      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-    GROUP BY e.query_id
-    ORDER BY e.query_id
-    """,
+    oracle=_recall_oracle(_PQ_ORACLE),
     tags=("similarity", "ann", "pq", "recall", "evaluation"),
 )
 def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@{_TOP_K} of the RAW product-quantization
+    """Per-query recall@10 (k=_TOP_K) of the RAW product-quantization
     ranking against the exact brute-force top-k — round 13 completes
     the evaluation-follows-model discipline across the whole ANN
     ladder (IVF got its gate in r8, LSH in r12; PQ and IVF-PQ close
@@ -2225,86 +2196,29 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantified argument for that rerank stage, per query, not a bug.
     Same composition-of-certified-tiers shape as its siblings: the
     oracle chains the brute-force and PQ replay CTEs, so the recall
-    arithmetic is certified end-to-end. Scale shape: both inputs are
-    query-set-sized (N_QUERIES x k rows); the join and rollup are
-    model-sized — the corpus passes live in the composed tiers."""
-    exact = similarity_topk_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    approx = similarity_pq(spark, sf_dir).select(
-        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
-    )
-    return (
-        exact.join(
-            approx,
-            (F.col("query_id") == F.col("aq"))
-            & (F.col("neighbor_id") == F.col("an")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count("an").alias("n_hits"))
-        .select(
-            "query_id",
-            "n_hits",
-            F.lit(_TOP_K).cast("long").alias("k"),
-            F.round(F.col("n_hits") / F.lit(_TOP_K), 4).alias("recall_at_k"),
-        )
-        .orderBy("query_id")
-    )
+    arithmetic is certified end-to-end."""
+    return _recall_against_bruteforce(spark, sf_dir, similarity_pq)
 
 
 @register(
     "similarity_ivfpq_recall",
-    oracle=f"""
-    WITH exact AS ({_BRUTE_ORACLE}),
-    approx AS ({_IVF_PQ_ORACLE})
-    SELECT e.query_id,
-           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-           CAST({_TOP_K} AS BIGINT)             AS k,
-           round(count(a.neighbor_id) * 1.0 / {_TOP_K}, 4) AS recall_at_k
-    FROM exact e
-    LEFT JOIN approx a
-      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-    GROUP BY e.query_id
-    ORDER BY e.query_id
-    """,
+    oracle=_recall_oracle(_IVF_PQ_ORACLE),
     tags=("similarity", "ann", "ivf", "pq", "recall", "evaluation"),
 )
 def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@{_TOP_K} of the IVF-PQ composition against
-    the exact brute-force top-k — the quality readout for the tier a
-    billion-scale deployment actually runs (`similarity_ivf_pq`).
-    IVF-PQ stacks BOTH error sources (nprobe list misses x code
-    quantization), so reading this row next to `similarity_ivf_recall`
-    and `similarity_pq_recall` decomposes a recall drop into its
-    cause: a query low here but high in the IVF row lost its
-    neighbors to quantization (raise the rerank depth); low in both
-    means the probe missed the list (raise nprobe). Same certified
-    composition shape and model-sized arithmetic as its three
-    siblings."""
-    exact = similarity_topk_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    approx = similarity_ivf_pq(spark, sf_dir).select(
-        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
-    )
-    return (
-        exact.join(
-            approx,
-            (F.col("query_id") == F.col("aq"))
-            & (F.col("neighbor_id") == F.col("an")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count("an").alias("n_hits"))
-        .select(
-            "query_id",
-            "n_hits",
-            F.lit(_TOP_K).cast("long").alias("k"),
-            F.round(F.col("n_hits") / F.lit(_TOP_K), 4).alias("recall_at_k"),
-        )
-        .orderBy("query_id")
-    )
+    """Per-query recall@10 (k=_TOP_K) of the IVF-PQ composition
+    against the exact brute-force top-k — the quality readout for the
+    tier a billion-scale deployment actually runs
+    (`similarity_ivf_pq`). IVF-PQ stacks BOTH error sources (nprobe
+    list misses x code quantization), so reading this row next to
+    `similarity_ivf_recall` and `similarity_pq_recall` decomposes a
+    recall drop into its cause: a query low here but high in the IVF
+    row lost its neighbors to quantization (raise the rerank depth);
+    low in both means the probe missed the list (raise nprobe). Same
+    certified composition shape and model-sized arithmetic as its
+    three siblings."""
+    return _recall_against_bruteforce(spark, sf_dir, similarity_ivf_pq)
+
 
 
 # --- split-half centroid drift ----------------------------------------
