@@ -214,6 +214,14 @@ EXTENSION = [
     # model-sized rollup each adds on top.
     "dedup_lsh_bucket_stats",
     "text_shingle_novelty",
+    # round-14 additions: the streaming family's first
+    # performance-shaped row — a known row count drained end-to-end
+    # through a 4-micro-batch map-only stream (split write + drain;
+    # rows/s is derivable from the row count and this wall) — and the
+    # BH-guarded heterogeneity readout (two per-user corpus aggregates
+    # + a 5-row rank ladder; should sit at the ab_mde/cuped floor).
+    "streaming_throughput_progress",
+    "events_ab_segments",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -1674,3 +1674,285 @@ def events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: heterogeneous-effect slicing — the missing A/B readout
+# after sizing (events_ab_mde), monitoring (events_ab_sequential) and
+# validity (events_srm_check): "the average lift is X, but WHICH
+# users moved?" Per-segment Welch z over the per-user purchase-value
+# metric with a Benjamini-Hochberg multiple-comparison guard, because
+# slicing one experiment into m segments is m chances at a false
+# positive — the per-segment p-values must be read through the BH
+# ladder, not raw.
+
+# Abramowitz & Stegun 7.1.26 erfc polynomial (|error| <= 1.5e-7,
+# invisible under the query's 1e-6 p-value quantization): with
+# x = |z|/sqrt(2) and t = 1/(1 + 0.3275911 x), the two-sided normal
+# p-value 2*(1 - Phi(|z|)) = erfc(x) = poly(t) * exp(-x^2). The
+# SAME Horner text runs on both engines, so the doubles agree
+# bit-for-bit (IEEE-correctly-rounded ops + the shared libm exp).
+_ERFC_P = (
+    "((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741) * {t}"
+    " - 0.284496736) * {t} + 0.254829592) * {t} * exp(-({x}) * ({x}))"
+)
+
+
+def _two_sided_p_sql(z_col: str) -> str:
+    """SQL expression text for the two-sided normal p-value of
+    ``z_col`` (NULL propagates), shared verbatim by the Spark
+    selectExpr and the DuckDB oracle so the float trees are
+    token-identical."""
+    x = f"(abs({z_col}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    return _ERFC_P.format(t=t, x=x)
+
+
+@register(
+    "events_ab_segments",
+    oracle=f"""
+    WITH t0 AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    seg AS (
+        SELECT e.user_id, min(e.event_type) AS segment
+        FROM events e JOIN t0 ON e.user_id = t0.user_id
+                             AND e.ts = t0.first_ts
+        GROUP BY e.user_id
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                                 END), 0) AS BIGINT) AS y_q
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT s.segment,
+               CASE WHEN substr(md5(CAST(s.user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS variant,
+               p.y_q
+        FROM seg s JOIN per_user p ON s.user_id = p.user_id
+    ),
+    mom AS (
+        SELECT segment,
+               CAST(count_if(variant = 'A') AS BIGINT) AS na,
+               CAST(count_if(variant = 'B') AS BIGINT) AS nb,
+               CAST(sum(CASE WHEN variant = 'A' THEN y_q ELSE 0 END)
+                    AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN variant = 'B' THEN y_q ELSE 0 END)
+                    AS BIGINT) AS sb,
+               CAST(sum(CASE WHEN variant = 'A' THEN y_q * y_q ELSE 0 END)
+                    AS BIGINT) AS ssa,
+               CAST(sum(CASE WHEN variant = 'B' THEN y_q * y_q ELSE 0 END)
+                    AS BIGINT) AS ssb
+        FROM m GROUP BY segment
+    ),
+    stat AS (
+        SELECT segment, na, nb, sa, sb,
+               (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                    / CAST(nullif(na, 0) AS DOUBLE))
+                   / CAST(nullif(na - 1, 0) AS DOUBLE) AS var_a,
+               (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                    / CAST(nullif(nb, 0) AS DOUBLE))
+                   / CAST(nullif(nb - 1, 0) AS DOUBLE) AS var_b
+        FROM mom
+    ),
+    zed AS (
+        SELECT segment, na, nb, sa, sb,
+               (CAST(sb AS DOUBLE) / CAST(nullif(nb, 0) AS DOUBLE)
+                - CAST(sa AS DOUBLE) / CAST(nullif(na, 0) AS DOUBLE))
+               / nullif(sqrt(var_a / CAST(nullif(na, 0) AS DOUBLE)
+                             + var_b / CAST(nullif(nb, 0) AS DOUBLE)), 0.0)
+                   AS z
+        FROM stat
+    ),
+    pq AS (
+        SELECT segment, na, nb, sa, sb, z,
+               CAST(round(COALESCE({_two_sided_p_sql('z')}, 1.0) * 1e9, 0)
+                    AS BIGINT) AS p_q
+        FROM zed
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (ORDER BY p_q, segment) AS BIGINT) AS r,
+               CAST(count(*) OVER () AS BIGINT) AS n_seg
+        FROM pq
+    ),
+    bh AS (
+        SELECT *,
+               min(CAST(p_q AS DOUBLE) * CAST(n_seg AS DOUBLE)
+                   / CAST(r AS DOUBLE))
+                   OVER (ORDER BY r DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS q_min
+        FROM ranked
+    )
+    SELECT segment, na AS n_a, nb AS n_b,
+           round(CAST(sa AS DOUBLE) / CAST(nullif(na, 0) AS DOUBLE)
+                 / 100.0, 4) AS mean_a,
+           round(CAST(sb AS DOUBLE) / CAST(nullif(nb, 0) AS DOUBLE)
+                 / 100.0, 4) AS mean_b,
+           round((CAST(sb AS DOUBLE) / CAST(nullif(nb, 0) AS DOUBLE)
+                  - CAST(sa AS DOUBLE) / CAST(nullif(na, 0) AS DOUBLE))
+                 / 100.0, 4) AS delta,
+           round(z, 4) AS z_score,
+           round(CAST(p_q AS DOUBLE) / 1e9, 6) AS p_value,
+           round(least(q_min / 1e9, 1.0), 6) AS p_bh,
+           CAST(least(q_min / 1e9, 1.0) <= 0.05 AS BOOLEAN) AS significant
+    FROM bh ORDER BY segment
+    """,
+    tags=("events", "experiment", "heterogeneity", "bh", "scale"),
+)
+def events_ab_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effects with a false-discovery guard:
+    per-segment Welch z on the per-user purchase-value metric under
+    `events_ab_lift`'s md5-coin assignment, segments = the user's
+    FIRST event type (an acquisition-channel proxy fixed at user
+    birth — slicing on a pre-treatment attribute, never on
+    post-treatment behavior), p-values through the Benjamini-Hochberg
+    step-up so reading m segment slices does not inflate the false
+    positive rate m-fold. Completes the experiment-QA family's story:
+    sizing (`events_ab_mde`), monitoring (`events_ab_sequential`),
+    validity (`events_srm_check`), and now WHO moved.
+
+    Exactness discipline (the events_ab_mde template): per-event
+    values quantize to int64 cents before any sum; per-segment
+    moments are exact int64; the Welch z and the two-sided normal
+    p (Abramowitz-Stegun erfc polynomial, |err| <= 1.5e-7) are fixed
+    double trees shared token-for-token with the oracle; the p-value
+    is quantized to int64 at 1e-9 BEFORE the BH ranking, so rank
+    order and the running min compare integers — a last-ulp libm
+    divergence cannot flip a rank. Degenerate cells (a one-sided or
+    zero-variance segment) yield NULL z and enter BH at p = 1 — no
+    evidence, explicitly, instead of an ANSI division error.
+
+    Scale shape: two per-user combinable aggregates (first-ts and
+    purchase moments) plus the first-event resolution join are the
+    only corpus-sized steps; everything after is a |segments|-row
+    relation. The BH window is global but runs over one row per
+    segment — bounded by the event-type vocabulary, not the data
+    (allowlisted in scripts/plan_audit.py with that bound)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    t0 = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    seg = (
+        ev.join(t0, "user_id")
+        .filter(F.col("ts") == F.col("first_ts"))
+        .groupBy("user_id")
+        .agg(F.min("event_type").alias("segment"))
+    )
+    v_q = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", v_q)), F.lit(0)
+        )
+        .cast("long")
+        .alias("y_q")
+    )
+    m = seg.join(per_user, "user_id").select(
+        "segment",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "y_q",
+    )
+    mom = m.groupBy("segment").agg(
+        F.count_if(F.col("variant") == "A").alias("na"),
+        F.count_if(F.col("variant") == "B").alias("nb"),
+        F.sum(F.when(F.col("variant") == "A", F.col("y_q")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("variant") == "B", F.col("y_q")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sb"),
+        F.sum(
+            F.when(F.col("variant") == "A", F.col("y_q") * F.col("y_q")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("ssa"),
+        F.sum(
+            F.when(F.col("variant") == "B", F.col("y_q") * F.col("y_q")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("ssb"),
+    )
+    stat = mom.selectExpr(
+        "segment",
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        "(CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)"
+        " / CAST(nullif(na, 0) AS DOUBLE))"
+        " / CAST(nullif(na - 1, 0) AS DOUBLE) AS var_a",
+        "(CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)"
+        " / CAST(nullif(nb, 0) AS DOUBLE))"
+        " / CAST(nullif(nb - 1, 0) AS DOUBLE) AS var_b",
+    ).selectExpr(
+        "segment",
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        "(CAST(sb AS DOUBLE) / CAST(nullif(nb, 0) AS DOUBLE)"
+        " - CAST(sa AS DOUBLE) / CAST(nullif(na, 0) AS DOUBLE))"
+        " / nullif(sqrt(var_a / CAST(nullif(na, 0) AS DOUBLE)"
+        " + var_b / CAST(nullif(nb, 0) AS DOUBLE)), 0.0) AS z",
+    )
+    pq = stat.selectExpr(
+        "segment",
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        "z",
+        f"CAST(round(COALESCE({_two_sided_p_sql('z')}, 1.0) * 1e9, 0)"
+        " AS BIGINT) AS p_q",
+    )
+    w_rank = W.orderBy("p_q", "segment")
+    w_min = W.orderBy(F.col("r").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = pq.select(
+        "*",
+        F.row_number().over(w_rank).cast("long").alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("n_seg"),
+    )
+    bh = ranked.select(
+        "*",
+        F.min(
+            F.col("p_q").cast("double")
+            * F.col("n_seg").cast("double")
+            / F.col("r").cast("double")
+        )
+        .over(w_min)
+        .alias("q_min"),
+    )
+    return bh.selectExpr(
+        "segment",
+        "na AS n_a",
+        "nb AS n_b",
+        "round(CAST(sa AS DOUBLE) / CAST(nullif(na, 0) AS DOUBLE)"
+        " / 100.0D, 4) AS mean_a",
+        "round(CAST(sb AS DOUBLE) / CAST(nullif(nb, 0) AS DOUBLE)"
+        " / 100.0D, 4) AS mean_b",
+        "round((CAST(sb AS DOUBLE) / CAST(nullif(nb, 0) AS DOUBLE)"
+        " - CAST(sa AS DOUBLE) / CAST(nullif(na, 0) AS DOUBLE))"
+        " / 100.0D, 4) AS delta",
+        "round(z, 4) AS z_score",
+        "round(CAST(p_q AS DOUBLE) / 1e9, 6) AS p_value",
+        "round(least(q_min / 1e9, 1.0D), 6) AS p_bh",
+        "CAST(least(q_min / 1e9, 1.0D) <= 0.05D AS BOOLEAN) AS significant",
+    ).orderBy("segment")

@@ -1088,6 +1088,128 @@ def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 14: micro-batch progress accounting — the throughput readout's
+# trust anchor. StreamingQueryProgress is the surface a production
+# pipeline monitors (rows/s, batch duration, backpressure); before a
+# dashboard alarms on those numbers, the ACCOUNTING underneath them
+# (numInputRows per batch, sink numOutputRows, their sum vs the
+# source) must be exact. The rates themselves are wall-clock-shaped
+# and live in this query's bench row; the row accounting is
+# deterministic and oracle-checked here.
+
+_THROUGHPUT_BATCHES = 4
+
+
+@register(
+    "streaming_throughput_progress",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(event_id % {_THROUGHPUT_BATCHES} AS BIGINT) AS batch_seq,
+               CAST(count(*) AS BIGINT) AS input_rows,
+               CAST(count_if(event_type = 'purchase') AS BIGINT)
+                   AS output_rows
+        FROM events GROUP BY 1
+    )
+    SELECT batch_seq, input_rows, output_rows,
+           CAST(sum(input_rows) OVER (ORDER BY batch_seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_input_rows
+    FROM b ORDER BY batch_seq
+    """,
+    tags=("streaming", "metrics", "observability", "throughput"),
+)
+def streaming_throughput_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch progress accounting: replay the events table as
+    a {_THROUGHPUT_BATCHES}-batch stream (files split by event_id mod
+    {_THROUGHPUT_BATCHES}, oldest-mtime first, maxFilesPerTrigger=1 —
+    the streaming_late_data_metrics batching recipe) through a
+    map-only purchase filter into a memory sink, and report each
+    batch's numInputRows and sink numOutputRows from the
+    StreamingQueryProgress objects, plus the cumulative input — the
+    exactly-once ledger: sum(input_rows) must equal the source table,
+    per-batch output must equal the filter's per-file selectivity.
+
+    This is the trust anchor for the throughput numbers a pipeline
+    actually alarms on: inputRowsPerSecond / durationMs ride the SAME
+    progress objects but are wall-clock-shaped, so they are tracked as
+    this query's per-round bench row (a known row count drained
+    end-to-end — the streaming family's performance readout) while the
+    deterministic row accounting is what the oracle certifies.
+
+    Scale shape: the split is one partitioned pass of the source (the
+    stand-in for a real arrival order); the drain is map-only — no
+    state store, no shuffle; progress objects are driver-held control
+    plane. At 100 TB the identical readout comes from the production
+    query's own progress stream — nothing here is test-only
+    machinery."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from rdbms_scala_spark.catalog import load_table
+
+    k = _THROUGHPUT_BATCHES
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    workdir = tempfile.mkdtemp(prefix="throughput_")
+    try:
+        input_dir = os.path.join(workdir, "input")
+        os.makedirs(input_dir)
+        for i in range(k):
+            d = os.path.join(workdir, f"w{i}")
+            ev.filter(F.col("event_id") % k == i).coalesce(1).write.parquet(d)
+            [part] = glob.glob(os.path.join(d, "part-*.parquet"))
+            dst = os.path.join(input_dir, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(input_dir)
+            .filter(F.col("event_type") == "purchase")
+        )
+        name = f"tput_{uuid.uuid4().hex[:12]}"
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            progress = [_json.loads(p.json) for p in q.recentProgress]
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    rows = []
+    cum = 0
+    seq = 0
+    for p in sorted(progress, key=lambda j: j["batchId"]):
+        n_in = int(p["numInputRows"])
+        if n_in == 0:
+            continue  # availableNow's trailing no-data commit batch
+        cum += n_in
+        rows.append((seq, n_in, int(p["sink"]["numOutputRows"]), cum))
+        seq += 1
+    return spark.createDataFrame(
+        rows,
+        "batch_seq long, input_rows long, output_rows long,"
+        " cum_input_rows long",
+    ).orderBy("batch_seq")
+
+
+# ---------------------------------------------------------------------------
 # Round 11: custom Python STREAMING source (SimpleDataSourceStreamReader
 # — the streaming half of Spark 4's pyspark.sql.datasource API, the
 # batch half being sources/files.py's source_python_datasource). The

@@ -79,6 +79,11 @@ GLOBAL_WINDOW_ALLOWLIST = {
         "construction; the cumulative rank sum runs over the per-score "
         "aggregate, never the corpus)"
     ),
+    "events_ab_segments": (
+        "BH rank ladder over ONE row per segment — bounded by the "
+        "event-type vocabulary (5), not the data; the corpus passes "
+        "are the per-user combinable aggregates upstream"
+    ),
 }
 
 # SortMergeJoins (surviving AQE) that are correct-by-construction.
