@@ -1181,3 +1181,45 @@ def test_hard_negative_mining_flags_planted_mislabels(spark, tmp_path):
     rows = {r.label: r for r in embeddings_hard_negative_mining(spark, str(tmp_path)).collect()}
     assert rows[0].n_hard == 1, rows  # only the plant
     assert rows[1].n_hard == 0, rows
+
+
+def test_erfc_polynomial_matches_stdlib(spark):
+    """The Abramowitz-Stegun 7.1.26 tree events_ab_segments shares
+    with its oracle must track math.erfc within the published 1.5e-7
+    bound across the z range that matters (0..6 covers p from 1 down
+    to ~1e-9, the query's quantization floor)."""
+    import math
+
+    from rdbms_scala_spark.streaming.events import _two_sided_p_sql
+
+    zs = [i / 10.0 for i in range(0, 61)]
+    df = spark.createDataFrame([(z,) for z in zs], "z double").selectExpr(
+        "z", f"{_two_sided_p_sql('z')} AS p"
+    )
+    for row in df.collect():
+        want = math.erfc(abs(row["z"]) / math.sqrt(2.0))
+        assert abs(row["p"] - want) <= 1.5e-7, (row["z"], row["p"], want)
+
+
+def test_ab_segments_bh_is_textbook_step_up(spark, sf_dir):
+    """The query's p_bh column must equal the textbook BH step-up
+    (p_adj(i) = min_{j>=i} m*p_(j)/j, capped at 1) recomputed
+    driver-side from its own p_value column, and significance must be
+    the p_bh <= 0.05 cut."""
+    from rdbms_scala_spark.streaming.events import events_ab_segments
+
+    rows = events_ab_segments(spark, sf_dir).collect()
+    m = len(rows)
+    by_p = sorted(rows, key=lambda r: (r["p_value"], r["segment"]))
+    adj, run = {}, float("inf")
+    for i in range(m - 1, -1, -1):
+        run = min(run, by_p[i]["p_value"] * m / (i + 1))
+        adj[by_p[i]["segment"]] = min(run, 1.0)
+    # Tolerance: the query computes BH from the UNROUNDED p (int64
+    # 1e-9 quanta); this recomputation starts from the 6dp-rounded
+    # p_value column, which can shift m*p/j by up to m * 0.5e-6.
+    tol = m * 5e-7 + 1e-9
+    for r in rows:
+        assert abs(r["p_bh"] - adj[r["segment"]]) <= tol, r
+        assert r["significant"] == (r["p_bh"] <= 0.05)
+        assert r["p_bh"] >= r["p_value"] - tol

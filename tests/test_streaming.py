@@ -362,3 +362,29 @@ def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
     assert drain() == (80, 80)
     assert drain() == (100, 100)
     assert drain() == (100, 100)
+
+
+def test_throughput_progress_ledger_is_exactly_once(spark):
+    """The progress ledger must account for every source row exactly
+    once at a DIFFERENT sf than the driver gate exercises: 4 non-empty
+    batches (one per mod-4 file), sum(input_rows) == the events table,
+    per-batch output == the purchase count of that batch's residue
+    class, cumulative input telescopes."""
+    from rdbms_scala_spark.catalog import load_table
+    from rdbms_scala_spark.streaming.jobs import (
+        _THROUGHPUT_BATCHES,
+        streaming_throughput_progress,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = streaming_throughput_progress(spark, sf).collect()
+    ev = load_table(spark, sf, "events")
+    total = ev.count()
+    assert len(rows) == _THROUGHPUT_BATCHES
+    assert sum(r["input_rows"] for r in rows) == total
+    assert rows[-1]["cum_input_rows"] == total
+    cum = 0
+    for r in rows:
+        cum += r["input_rows"]
+        assert r["cum_input_rows"] == cum
+        assert 0 <= r["output_rows"] <= r["input_rows"]
