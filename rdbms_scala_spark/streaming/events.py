@@ -1956,3 +1956,115 @@ def events_ab_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(least(q_min / 1e9, 1.0D), 6) AS p_bh",
         "CAST(least(q_min / 1e9, 1.0D) <= 0.05D AS BOOLEAN) AS significant",
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Round 14 (cont.): differentially-private statistics release — the
+# privacy tier a training-data pipeline needs the day it publishes
+# corpus statistics (per-day active users, domain mixes, quality
+# histograms) outside the boundary that holds the raw data. The
+# Laplace mechanism is a one-line noise add; what the engine must get
+# right at scale is (a) the SENSITIVITY-BOUNDING aggregate shape
+# (count DISTINCT users per day — each user contributes at most 1 to
+# each released count, so per-count sensitivity is 1) and (b) a
+# reproducible noise derivation, expressed here as seeded
+# inverse-CDF noise keyed on the release cell.
+
+_DP_EPS = "1.0"  # shared double literal, both engines
+_DP_SEED = "dp1|"  # release-version prefix: new release => new noise
+
+
+def _dp_uniform_sql(key_expr: str) -> str:
+    """SQL text for a deterministic uniform in (0,1) strictly: the
+    first 15 md5 hex chars of the seeded cell key as an int64 v in
+    [0, 16^15), then (v + 0.5) / 16^15. Shared token-for-token with
+    the oracle (the md5-prefix discipline of pipeline/sampling.py);
+    only the hex->int call differs by engine and both are exact
+    integer ops on the same 60-bit value."""
+    hex2int = (
+        f"conv(substr(md5(concat('{_DP_SEED}', {key_expr})), 1, 15), 16, 10)"
+    )
+    return f"(CAST({hex2int} AS DOUBLE) + 0.5) / 1152921504606846976.0"
+
+
+@register(
+    "events_dp_daily_counts",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS true_users
+        FROM events GROUP BY 1
+    ),
+    noised AS (
+        SELECT day, true_users,
+               (CAST(('0x' || substr(md5(concat('{_DP_SEED}', day)), 1, 15))::BIGINT
+                     AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+        FROM daily
+    ),
+    lap AS (
+        SELECT day, true_users,
+               -(1.0 / {_DP_EPS}) * sign(u - 0.5)
+                   * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+        FROM noised
+    )
+    SELECT day, true_users,
+           CAST(round(noise * 1e6, 0) AS BIGINT) AS noise_q,
+           greatest(CAST(0 AS BIGINT),
+                    true_users + CAST(round(noise, 0) AS BIGINT))
+               AS dp_users,
+           {_DP_EPS} + 0.0 AS eps
+    FROM lap ORDER BY day
+    """,
+    tags=("events", "privacy", "dp", "scale"),
+)
+def events_dp_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release of per-day active-user counts at
+    eps = 1: the aggregate counts DISTINCT users per day so each
+    user's contribution to each released count is capped at 1
+    (sensitivity 1 — the bounding is IN the aggregate shape, not an
+    afterthought), then adds inverse-CDF Laplace noise b = 1/eps and
+    clamps at zero (post-processing, privacy-free). A user active on
+    d distinct days touches d released counts, so the release's
+    user-level guarantee composes to d_max * eps — the event-level
+    vs user-level distinction a real release must state; capping
+    d_max (releasing only a user's first-k days) is one more
+    groupBy upstream.
+
+    The noise is SEEDED (md5 of a release-version prefix + the cell
+    key -> uniform in strictly-(0,1) -> inverse CDF), which is what
+    makes the mechanism certifiable cross-engine and reproducible
+    across retries of the release job; a production release rotates
+    the seed per release and drops the true_users column — it is
+    emitted here because certifying the mechanism arithmetic IS this
+    query's job. u = (v + 0.5)/16^15 can never hit 0, 0.5-exactly or
+    1, so sign/ln are total. Scale shape: one distinct-aggregate
+    exchange on (day, user) then a calendar-bounded per-day map —
+    the noise add is free at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.col("ts").cast("date").cast("string").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("true_users"))
+    )
+    return (
+        daily.selectExpr(
+            "day",
+            "true_users",
+            f"{_dp_uniform_sql('day')} AS u",
+        )
+        .selectExpr(
+            "day",
+            "true_users",
+            f"-(1.0D / {_DP_EPS}D) * sign(u - 0.5D)"
+            " * ln(1.0D - 2.0D * abs(u - 0.5D)) AS noise",
+        )
+        .selectExpr(
+            "day",
+            "true_users",
+            "CAST(round(noise * 1e6, 0) AS BIGINT) AS noise_q",
+            "greatest(CAST(0 AS BIGINT),"
+            " true_users + CAST(round(noise, 0) AS BIGINT)) AS dp_users",
+            f"{_DP_EPS}D + 0.0D AS eps",
+        )
+        .orderBy("day")
+    )

@@ -224,6 +224,15 @@ QUERIES = (
     # so its wall should track the image count).
     "text_naive_bayes_source",
     "multimodal_image_resize",
+    # round 14: the BH heterogeneity readout is two per-user
+    # combinable moment passes + the first-event resolution join (the
+    # only corpus-sized steps — its growth should track events volume
+    # like cuped); the progress ledger re-splits the amplified events
+    # into 4 files and drains them map-only, so its wall is the
+    # split write + source/sink throughput (the streaming family's
+    # genuinely data-volume-bound row).
+    "events_ab_segments",
+    "streaming_throughput_progress",
 )
 
 
