@@ -222,6 +222,10 @@ EXTENSION = [
     # + a 5-row rank ladder; should sit at the ab_mde/cuped floor).
     "streaming_throughput_progress",
     "events_ab_segments",
+    # the DP release: one distinct-users-per-day exchange + a
+    # calendar-bounded noise map — should sit at the daily-rollup
+    # floor (the noise add is free).
+    "events_dp_daily_counts",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -233,6 +233,10 @@ QUERIES = (
     # genuinely data-volume-bound row).
     "events_ab_segments",
     "streaming_throughput_progress",
+    # the DP release's one distinct-agg exchange on (day, user) —
+    # growth should track events volume; the per-day noise map is
+    # calendar-bounded.
+    "events_dp_daily_counts",
 )
 
 
