@@ -29,7 +29,13 @@ names = ["tpch_q1","tpch_q3","tpch_q5","tpch_q6","tpch_q9","tpch_q18","join_skew
 # per-score relation (never a corpus sort); the decontamination
 # report's contamination join must show the benchmark side riding a
 # BroadcastExchange
-"text_quality_auc","pipeline_decontamination_report"]
+"text_quality_auc","pipeline_decontamination_report",
+# round 14: the BH readout must show the corpus side as two combinable
+# HashAggregates (per-user moments) with the rank ladder's window over
+# the segment-count relation; the DP release must show ONE
+# distinct-aggregate exchange (partial/final HashAggregate pair on
+# (day, user)) and a map-only noise projection after it
+"events_ab_segments","events_dp_daily_counts"]
 out = io.StringIO()
 out.write("""# PLANS — physical plans of headline queries (generated)
 
