@@ -390,18 +390,33 @@ def main() -> None:
     head = [n for n in HEADLINE if n in specs and n in keep]
     ext = [n for n in EXTENSION if n in specs and n in keep]
     blocks = ([head] if head else []) + _family_blocks(ext)
+
+    # Timing action: a noop-SINK write, not count() (round 14).
+    # count() lets Catalyst prune every computed column the group
+    # keys don't depend on — dedup_contamination_sweep's full
+    # contamination aggregate timed 1.9 s under count() vs 122 s
+    # honestly computed at the x64 SCALE tier, because the final
+    # 10-row threshold rollup's keys are independent of the heavy
+    # per-doc overlap relation and the whole subtree was optimized
+    # away. The noop sink materializes every output row with all
+    # columns (the "run the query, discard the result" stance the
+    # reference's stdout sink also takes) and discards it
+    # executor-side — no driver transfer in the timed path.
+    def run(df):
+        if df.isStreaming:
+            return
+        df.write.format("noop").mode("overwrite").save()
+
     passes: dict[str, list[float]] = {}
     for block in blocks:
         for name in block:
-            specs[name].fn(spark, sf_dir).count()
+            run(specs[name].fn(spark, sf_dir))
         for _rep in range(5):
             for name in block:
                 t0 = time.perf_counter()
-                df = specs[name].fn(spark, sf_dir)
-                n = df.count() if df.isStreaming is False else -1
+                run(specs[name].fn(spark, sf_dir))
                 dt = round(time.perf_counter() - t0, 4)
                 passes.setdefault(name, []).append(dt)
-                _ = n
         evict_session_relations(spark)
         for name in _CACHED_TABLES:
             if name in tables:

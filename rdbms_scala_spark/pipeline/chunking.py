@@ -478,18 +478,14 @@ def pipeline_pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _decontamination_report_oracle() -> str:
-    from rdbms_scala_spark.pipeline.dedup import _substring_spans_cte
+    from rdbms_scala_spark.pipeline.dedup import (
+        _contam_sh_chain,
+        _substring_spans_cte,
+    )
 
     return f"""
     WITH {_substring_spans_cte()},
-    sh AS (
-        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-               AS shingle
-        FROM (
-            SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
-            FROM toks WHERE len(t) >= 3
-        )
-    ),
+    {_contam_sh_chain()},
     bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 = 0),
     tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0),
     contam AS (
@@ -590,7 +586,7 @@ def pipeline_decontamination_report(
     manifest pattern of `pipeline_training_manifest` pointed at
     hygiene instead of packing."""
     from rdbms_scala_spark.pipeline.dedup import (
-        cached_doc_shingles,
+        contamination_shingles,
         substring_doc_tokens,
         substring_spans,
     )
@@ -612,7 +608,7 @@ def pipeline_decontamination_report(
         .filter(F.col("k") > 1)
         .agg(F.count(F.lit(1)).alias("n_straddling"))
     )
-    sh = cached_doc_shingles(spark, sf_dir, n=3)
+    sh = contamination_shingles(spark, sf_dir)
     bench = sh.filter(F.col("doc_id") % 29 == 0).select(
         F.col("doc_id").alias("bench_doc_id"), "shingle"
     )

@@ -1460,21 +1460,68 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 9. benchmark decontamination
 
 
+_CONTAM_MAX_DF = 1000
+
+
+def _contam_sh_chain() -> str:
+    """Oracle CTE chain for the contamination family (requires a
+    ``toks(doc_id, t)`` CTE upstream): the distinct per-doc trigram
+    set MINUS trigrams whose TRAIN-side document frequency exceeds
+    ``_CONTAM_MAX_DF``. Shared verbatim by the check, the sweep and
+    the decontamination report so the capped semantics cannot drift
+    between the three."""
+    return f"""sh_all AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               AS shingle
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 3)
+    ),
+    hot AS (
+        SELECT shingle FROM sh_all WHERE doc_id % 29 <> 0
+        GROUP BY shingle HAVING count(*) > {_CONTAM_MAX_DF}
+    ),
+    sh AS (
+        SELECT s.doc_id, s.shingle FROM sh_all s
+        LEFT JOIN hot h ON s.shingle = h.shingle WHERE h.shingle IS NULL
+    )"""
+
+
+def contamination_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination probe relation: the session-cached distinct
+    (doc_id, shingle) set with ultra-common trigrams REMOVED — any
+    trigram held by more than ``_CONTAM_MAX_DF`` training documents
+    carries no contamination signal (it is corpus idiom/boilerplate,
+    the "one phrase shared by 1M docs" case the Jaccard tier's
+    MAX_SHINGLE_DF already names) and is exactly what makes the
+    bench-side join fan-out quadratic-ish: the x64 SCALE tier measured
+    a 1.06e9-row join fan-out dominated by trigrams with train-df in
+    the thousands. Decontamination systems match on RARE n-grams by
+    construction; the cap makes that explicit and bounds the fan-out
+    at sum(df_t * df_b) <= _CONTAM_MAX_DF * |bench shingle instances|.
+    The hot set is tiny by construction (<= instances / cap) and rides
+    a broadcast anti-join. The cap does not bind at the driver's
+    sf0.01 gate (145 training docs < 1000), so the capped and uncapped
+    semantics coincide there; at scale they diverge by design, and the
+    oracle chain (``_contam_sh_chain``) encodes the SAME cap."""
+    sh = cached_doc_shingles(spark, sf_dir, n=3)
+    hot = (
+        sh.filter(F.col("doc_id") % 29 != 0)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _CONTAM_MAX_DF)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 @register(
     "dedup_contamination_check",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
         FROM documents
     ),
-    idx AS (
-        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
-        FROM toks WHERE len(t) >= 3
-    ),
-    sh AS (
-        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-        FROM idx
-    ),
+    {_contam_sh_chain()},
     bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 = 0),
     train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0),
     sz AS (SELECT doc_id, count(*) AS n_sh FROM train GROUP BY doc_id),
@@ -1511,10 +1558,18 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast-hash join, the per-(doc, bench) counts are map-side
     combinable, and the final per-doc argmax windows over the handful
     of matched benchmark docs, never the corpus. No all-pairs, no
-    corpus-sized shuffle; the one wide shuffle is the per-doc distinct
-    shingle set it shares with every other tier in this module."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_df(docs, n=3, distinct=True)
+    corpus-sized shuffle; the shingle relation is the session-cached,
+    train-df-capped one (`contamination_shingles`). Round-14 history,
+    in measurement order: the SCALE sweep first caught this query
+    re-deriving tokenize+explode+distinct per call (the r8 minhash
+    treatment applied); chasing the remaining x64 wall then exposed
+    that count()-timed harness rows were Catalyst-PRUNED (the fix is
+    the noop-sink timing action, bench.py) and that the honest cost
+    was a 1.06e9-row join fan-out from ultra-common trigrams — which
+    the df cap removes by definition of the operator (contamination
+    is sharing RARE n-grams). Honest x64 wall after all three:
+    157 s -> 24.7 s, sublinear vs the 128x token volume."""
+    sh = contamination_shingles(spark, sf_dir)
     is_bench = F.col("doc_id") % 29 == 0
     bench = sh.filter(is_bench).select(
         F.col("doc_id").alias("bench_doc_id"), "shingle"
@@ -1526,11 +1581,40 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bench_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    w = W.partitionBy("doc_id").orderBy(F.col("n_shared").desc(), "bench_doc_id")
+    # Per-doc argmax as a COMBINABLE single-long max, not a
+    # row_number window (round 14): pack (n_shared, bench_doc_id)
+    # into one int64 — n_shared * 2^43 + (2^43 - 1 - bench_doc_id) —
+    # whose max selects the highest overlap with ties to the SMALLEST
+    # benchmark doc, exactly the window's (n_shared DESC,
+    # bench_doc_id ASC) rank-1 row. A long max runs as a map-side
+    # partial HashAggregate; both the window form (WindowGroupLimit
+    # still sorts the full 52.5M-row overlap relation twice around
+    # its exchange) and a struct-max form (struct buffers are not
+    # hash-aggregable, so Catalyst silently falls back to
+    # SortAggregate + the same two sorts) measured ~9x slower at the
+    # x64 tier. Packing bounds, both loud on violation under ANSI:
+    # bench_doc_id < 2^43 (8.8e12 docs) and n_shared < 2^20 (1M
+    # distinct shared trigrams needs a >1M-trigram doc — cap upstream
+    # if documents that size ever enter). The oracle keeps the
+    # independent row_number formulation.
+    _B = F.lit(1 << 43)
+    packed = F.max(
+        F.col("n_shared") * _B + (_B - F.lit(1) - F.col("bench_doc_id"))
+    ).alias("packed")
+    top = (
+        overlap.groupBy("doc_id")
+        .agg(packed)
+        .select(
+            "doc_id",
+            # integer div, not `/`: double division loses exactness
+            # past 2^53 and packed values live near 2^63
+            F.expr(f"packed div {1 << 43}").alias("n_shared"),
+            (_B - F.lit(1) - F.col("packed") % _B).alias("bench_doc_id"),
+        )
+        .filter(F.col("n_shared") >= 3)
+    )
     return (
-        overlap.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("n_shared") >= 3))
-        .join(sizes, "doc_id")
+        top.join(sizes, "doc_id")
         .select(
             "doc_id",
             "bench_doc_id",
@@ -3800,19 +3884,12 @@ def dedup_simhash_candidate_histogram(spark: SparkSession, sf_dir: str) -> DataF
 
 @register(
     "dedup_contamination_sweep",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
         FROM documents
     ),
-    idx AS (
-        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
-        FROM toks WHERE len(t) >= 3
-    ),
-    sh AS (
-        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-        FROM idx
-    ),
+    {_contam_sh_chain()},
     bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 = 0),
     tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0),
     per_pair AS (
@@ -3859,8 +3936,9 @@ def dedup_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB), collapsed to a per-doc max; the sweep itself is a 10-row
     threshold spine cross-joined against the doc-sized max relation
     and rolled up — 10x fan-out of doc-count rows, no window, no
-    corpus sort. The shingle relation is the session-cached one."""
-    sh = cached_doc_shingles(spark, sf_dir, n=3)
+    corpus sort. The shingle relation is the session-cached one with
+    the family's train-df cap applied (`contamination_shingles`)."""
+    sh = contamination_shingles(spark, sf_dir)
     bench = sh.filter(F.col("doc_id") % 29 == 0).select(
         F.col("doc_id").alias("bench_doc_id"), "shingle"
     )

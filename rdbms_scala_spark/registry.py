@@ -223,9 +223,14 @@ _ROTATE_LEAD: frozenset[str] = frozenset({
     "dedup_contamination_check", "events_gap_fill", "text_length_buckets",
     "text_ngram_topk", "text_pii_scrub", "text_regex_tokens",
     "text_repetition_ratio", "tpch_q11", "tpch_q16", "tpch_q20",
-    # code path changed in round 14 (rotation discipline)
+    # code path changed in round 14 (rotation discipline): the ANN
+    # recall refactor, the skew-join single-job probe, and the
+    # contamination family's df-cap + cached-relation + packed-argmax
+    # rewrite (check/sweep are already above via the staleness block;
+    # the report composes the same rewritten join)
     "similarity_ivf_recall", "similarity_lsh_recall",
     "similarity_pq_recall", "join_skew_salted", "join_skew_salted_demo",
+    "pipeline_decontamination_report",
 })
 
 # Tier 1: the staleness-7 block (last externally checked r06). 38

@@ -40,12 +40,12 @@ def main() -> None:
         sf_dir = sm.amplify(spark, k)
         c0 = sm.calibration_sec(spark)
         for q in subset:
-            specs[q].fn(spark, sf_dir).count()  # warm (codegen + caches)
+            sm._noop(specs[q].fn(spark, sf_dir))  # warm (codegen + caches)
             times = []
             reps = 3 if k <= 4 else 2
             for _ in range(reps):
                 t0 = time.perf_counter()
-                specs[q].fn(spark, sf_dir).count()
+                sm._noop(specs[q].fn(spark, sf_dir))
                 times.append(time.perf_counter() - t0)
             results[q][k] = round(min(times), 3)
             print(f"x{k} {q}: {results[q][k]}s", flush=True)

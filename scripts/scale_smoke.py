@@ -237,6 +237,19 @@ QUERIES = (
     # growth should track events volume; the per-day noise map is
     # calendar-bounded.
     "events_dp_daily_counts",
+    # round 14 (cont.): the r13 corpus-pass additions get SCALE rows —
+    # quality AUC is one corpus map + the bounded per-score histogram
+    # (read against token volume like the quality score it ranks);
+    # the contamination check/sweep ride the session-cached shingle
+    # relation + a broadcast benchmark side (the sweep adds a 10-row
+    # threshold spine on top of the check's overlap aggregate); the
+    # decontamination report composes three corpus tiers
+    # (contamination + leakage split + exact-substring burden), so its
+    # wall is the sum of its session-cached parts.
+    "text_quality_auc",
+    "dedup_contamination_check",
+    "dedup_contamination_sweep",
+    "pipeline_decontamination_report",
 )
 
 
@@ -258,6 +271,17 @@ def calibration_sec(spark) -> float:
         q()
         times.append(time.perf_counter() - t0)
     return round(min(times), 3)
+
+
+def _noop(df):
+    """Timing action (round 14): a noop-sink write that materializes
+    every output row with ALL columns executor-side. count() is NOT a
+    valid timing action — Catalyst prunes computed columns the group
+    keys don't depend on (dedup_contamination_sweep: 1.9 s under
+    count() vs 122 s honest at x64 — the whole overlap subtree was
+    optimized away under the 10-row rollup). Streaming results are
+    already-drained batch DFs here, so the noop write is total."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def amplify(spark, k: int) -> str:
@@ -375,7 +399,7 @@ def main() -> None:
         }
         calib_start = calibration_sec(spark)
         for q in QUERIES:
-            specs[q].fn(spark, sf_dir).count()  # warm (codegen+JIT)
+            _noop(specs[q].fn(spark, sf_dir))  # warm (codegen+JIT)
             times = []
             # x1/x4 are the CHEAP tiers where a host-load bubble can
             # out-last a query's passes (the r9 bubble): min-of-3
@@ -384,7 +408,7 @@ def main() -> None:
             reps = 3 if k <= 4 else 2
             for _ in range(reps):
                 t0 = time.perf_counter()
-                specs[q].fn(spark, sf_dir).count()
+                _noop(specs[q].fn(spark, sf_dir))
                 times.append(time.perf_counter() - t0)
             results[q][k] = round(min(times), 3)
             print(f"x{k} {q}: {results[q][k]}s", flush=True)
