@@ -464,13 +464,27 @@ def _sketch_oracle() -> str:
 )
 def maintenance_table_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`maintenance_table_stats` with NDV from the deterministic
-    integer HLL replay (see the module-block comment above): the
-    profile pass a 100 TB drop actually runs — no exact-distinct
-    Expand, one md5-per-column scan combined map-side into 3 x 1024
-    sketch cells, plus the plain one-pass min/max/null aggregate.
-    `ndv_in_band` is evaluated BY THE ORACLE against its exact NDV
-    (Spark asserts TRUE): an out-of-band estimate fails the gate on
-    that column's hash."""
+    integer HLL replay (see the module-block comment above): no
+    exact-distinct Expand, one md5-per-column scan combined map-side
+    into 3 x 1024 sketch cells, plus the plain one-pass min/max/null
+    aggregate. `ndv_in_band` is evaluated BY THE ORACLE against its
+    exact NDV (Spark asserts TRUE): an out-of-band estimate fails the
+    gate on that column's hash.
+
+    Honest cost note (round 14, after the noop-timing epoch fix):
+    this pass is NOT faster than the exact pass at the measured
+    scales (x64 SCALE tier: 31.1 s vs the exact pass's 12.2 s) — the
+    md5-per-column hashing that buys the cross-engine deterministic
+    replay costs more per row than exact NDV's native hashing, and
+    the pre-r14 row claiming the opposite was a count()-pruned
+    artifact. What the sketch form buys is MERGEABILITY — fixed-size
+    per-partition state that composes across snapshots/increments
+    (`maintenance_incremental_stats`) where the exact pass must
+    re-scan history — and bounded memory per column at any NDV. A
+    production profile pass drops the determinism tax by swapping
+    md5 for xxhash64 (or Spark's native approx_count_distinct, which
+    this module keeps as `agg_approx_distinct`); the md5 replay here
+    is the price of an oracle-checkable sketch."""
     li = load_table(spark, sf_dir, "lineitem")
 
     hash_exprs = ", ".join(
