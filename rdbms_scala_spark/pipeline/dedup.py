@@ -1514,9 +1514,12 @@ def contamination_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-@register(
-    "dedup_contamination_check",
-    oracle=f"""
+def _contamination_check_oracle() -> str:
+    """Oracle builder for the check — a function (not a baked string)
+    so tests can rebuild it after monkeypatching ``_CONTAM_MAX_DF``
+    and verify the capped semantics where the cap actually BINDS
+    (it is non-binding at the sf0.01 driver gate by design)."""
+    return f"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
         FROM documents
@@ -1541,7 +1544,12 @@ def contamination_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked r JOIN sz s ON s.doc_id = r.doc_id
     WHERE r.rn = 1 AND r.n_shared >= 3
     ORDER BY r.doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_contamination_check",
+    oracle=_contamination_check_oracle(),
     tags=("dedup", "contamination", "scale"),
 )
 def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1223,3 +1223,32 @@ def test_ab_segments_bh_is_textbook_step_up(spark, sf_dir):
         assert abs(r["p_bh"] - adj[r["segment"]]) <= tol, r
         assert r["significant"] == (r["p_bh"] <= 0.05)
         assert r["p_bh"] >= r["p_value"] - tol
+
+
+def test_contamination_df_cap_matches_oracle_when_binding(
+    spark, oracle, sf_dir, monkeypatch
+):
+    """The contamination family's train-df cap is non-binding at the
+    sf0.01 driver gate by design (145 training docs < 1000), so the
+    external gate never exercises it. Bind it here: with the cap
+    monkeypatched to 3 (many sf0.01 trigrams have train-df above
+    that), the Spark result must still match the oracle rebuilt with
+    the SAME cap — pinning that the capped semantics agree between
+    engines where the cap actually changes the answer."""
+    import pandas as pd
+
+    import rdbms_scala_spark.pipeline.dedup as dd
+    from tests.utils import assert_matches_oracle
+
+    monkeypatch.setattr(dd, "_CONTAM_MAX_DF", 3)
+    capped_sql = dd._contamination_check_oracle()
+    assert "count(*) > 3" in capped_sql  # the cap reached the chain
+    df = dd.dedup_contamination_check(spark, sf_dir)
+    assert_matches_oracle(df, oracle, capped_sql, "contamination_cap3")
+    # and the cap must actually bind at this sf: the capped answer
+    # differs from the registered (cap-1000, non-binding) oracle's
+    uncapped = oracle.execute(
+        capped_sql.replace("count(*) > 3", "count(*) > 1000")
+    ).fetchdf()
+    capped = df.toPandas()
+    assert not capped.equals(uncapped)
