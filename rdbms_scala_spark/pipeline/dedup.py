@@ -1600,14 +1600,32 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its exchange) and a struct-max form (struct buffers are not
     # hash-aggregable, so Catalyst silently falls back to
     # SortAggregate + the same two sorts) measured ~9x slower at the
-    # x64 tier. Packing bounds, both loud on violation under ANSI:
-    # bench_doc_id < 2^43 (8.8e12 docs) and n_shared < 2^20 (1M
-    # distinct shared trigrams needs a >1M-trigram doc — cap upstream
-    # if documents that size ever enter). The oracle keeps the
-    # independent row_number formulation.
+    # x64 tier. Packing bounds: bench_doc_id < 2^43 (8.8e12 docs) and
+    # n_shared < 2^20 (1M distinct shared trigrams needs a
+    # >1M-trigram doc — cap upstream if documents that size ever
+    # enter). The bounds are enforced by an explicit raise_error
+    # branch INSIDE the packed expression (ADVICE r14): relying on
+    # ANSI overflow checks made the guard conditional on
+    # spark.sql.ansi.enabled — under non-ANSI sessions the multiply
+    # would wrap silently and elect a WRONG top benchmark doc. The
+    # when/otherwise keeps the guard un-prunable (it is the value
+    # being aggregated) and costs one comparison per overlap row.
+    # The oracle keeps the independent row_number formulation.
     _B = F.lit(1 << 43)
+    _bounds_ok = (F.col("n_shared") < F.lit(1 << 20)) & (
+        F.col("bench_doc_id") >= 0
+    ) & (F.col("bench_doc_id") < _B)
     packed = F.max(
-        F.col("n_shared") * _B + (_B - F.lit(1) - F.col("bench_doc_id"))
+        F.when(
+            _bounds_ok,
+            F.col("n_shared") * _B + (_B - F.lit(1) - F.col("bench_doc_id")),
+        ).otherwise(
+            F.expr(
+                "CAST(raise_error('dedup_contamination_check: packed-argmax"
+                " bound exceeded (need n_shared < 2^20 and"
+                " 0 <= bench_doc_id < 2^43)') AS BIGINT)"
+            )
+        )
     ).alias("packed")
     top = (
         overlap.groupBy("doc_id")

@@ -67,7 +67,7 @@ def _family(name: str) -> str:
 #
 # STALENESS BUDGET (round-14 policy, r13 verdict #2): no query's
 # external check may age past 8 rounds. The driver certifies a ~50-row
-# prefix per round and the registry holds 343 queries, so a full
+# prefix per round and the registry holds ~346 queries, so a full
 # rotation takes ~7 rounds; each round, every row whose staleness
 # would reach 7-8 by round end is promoted (never-checked rows first).
 # scripts/staleness.py computes the table from CORRECTNESS_r*.json and
@@ -85,6 +85,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "case_when", "csv_corrupt_records", "csv_source_roundtrip",
     "customer_ltv_deciles", "date_dim_generate", "date_expressions",
     "dedup_connected_components", "dedup_contamination_check",
+    "dedup_contamination_sweep",
     "dedup_embedding_cosine", "dedup_exact_docs", "dedup_image_phash",
     "dedup_incremental", "dedup_levenshtein", "dedup_lsh_bucket_stats",
     "dedup_minhash_bbit", "dedup_minhash_calibration",
@@ -110,8 +111,9 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "events_bootstrap_ci", "events_change_point_cusum",
     "events_cohort_ltv", "events_concurrent_sessions",
     "events_concurrent_sessions_segmented", "events_cuped",
+    "events_ab_segments",
     "events_daily_trend", "events_dau_stickiness", "events_decay_score",
-    "events_diff_in_diff", "events_dow_seasonality",
+    "events_diff_in_diff", "events_dow_seasonality", "events_dp_daily_counts",
     "events_ewma_smoothing", "events_funnel", "events_funnel_windowed",
     "events_gap_fill", "events_hopping", "events_hourly_profile",
     "events_interevent_gaps", "events_markov_transitions",
@@ -168,7 +170,8 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "scan_metadata_count", "scan_partition_pruned", "scan_point_lookup",
     "scan_project", "scan_schema_merge", "scan_zorder_skipping",
     "similarity_ivf", "similarity_ivf_kmeans", "similarity_ivf_pq",
-    "similarity_ivf_recall", "similarity_kmeans_parallel_init",
+    "similarity_ivf_recall", "similarity_ivfpq_recall",
+    "similarity_kmeans_parallel_init",
     "similarity_lsh_ann", "similarity_lsh_recall",
     "similarity_pairs_above_threshold", "similarity_pq",
     "similarity_pq_recall", "similarity_range_search",
@@ -180,7 +183,8 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "streaming_python_source", "streaming_session_window",
     "streaming_stateful_user_totals", "streaming_static_enrich",
     "streaming_stream_stream_join", "streaming_stream_stream_outer_join",
-    "streaming_transform_with_state", "streaming_tumbling_counts",
+    "streaming_throughput_progress", "streaming_transform_with_state",
+    "streaming_tumbling_counts",
     "subquery_exists_correlated", "subquery_from", "subquery_in",
     "subquery_not_in", "subquery_recursive_cte", "subquery_scalar",
     "text_bigram_logprob", "text_bm25_search", "text_bpe_apply_encode",
@@ -191,6 +195,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "text_length_buckets", "text_naive_bayes_source",
     "text_nb_class_metrics", "text_nb_margin_calibration",
     "text_ngram_topk", "text_pack_sequences", "text_pii_scrub",
+    "text_quality_auc",
     "text_quality_score", "text_readability", "text_regex_tokens",
     "text_repetition_ratio", "text_shingle_novelty",
     "text_source_signature_terms", "text_term_pmi", "text_token_count",
@@ -209,52 +214,47 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "window_topn_per_group", "window_value_functions"
 })
 
-# Round-14 rotation. Tier 0 (leads the prefix): the 3 never-checked
-# round-13 additions (automatic — absent from _DRIVER_GREEN:
-# dedup_contamination_sweep, text_quality_auc, similarity_ivfpq_recall)
-# plus the 13 rows last externally checked r05 (staleness 8, the
-# budget ceiling) plus the rows whose code path changes in round 14:
-# the four ANN recall rows (recall arithmetic extracted into
-# _recall_against_bruteforce — ADVICE r13) and the two skew-join rows
-# (hot-key probe now collects both sides in one job — ADVICE r13).
+# Round-15 rotation (r14 verdict #1). Tier 0 (leads the prefix): the
+# 13 rows last externally checked r06 (staleness 8 as of the r14
+# artifact — the budget ceiling; all pre-verified green by the r14
+# judge's fresh-process sweep) plus the rows whose code path changes
+# in round 15: the contamination check's packed-argmax overflow guard
+# (ADVICE r14) and the throughput ledger's batch_seq derivation fix
+# (ADVICE r14).
 _ROTATE_LEAD: frozenset[str] = frozenset({
-    # staleness 8 (last checked r05) — r13 verdict #1
-    "agg_collect_sorted", "agg_corr_covar", "agg_percentiles",
-    "dedup_contamination_check", "events_gap_fill", "text_length_buckets",
-    "text_ngram_topk", "text_pii_scrub", "text_regex_tokens",
-    "text_repetition_ratio", "tpch_q11", "tpch_q16", "tpch_q20",
-    # code path changed in round 14 (rotation discipline): the ANN
-    # recall refactor, the skew-join single-job probe, and the
-    # contamination family's df-cap + cached-relation + packed-argmax
-    # rewrite (check/sweep are already above via the staleness block;
-    # the report composes the same rewritten join)
-    "similarity_ivf_recall", "similarity_lsh_recall",
-    "similarity_pq_recall", "join_skew_salted", "join_skew_salted_demo",
-    "pipeline_decontamination_report",
+    # staleness 8 (last checked r06) — r14 verdict #1
+    "agg_count_min_sketch", "agg_group_by_all", "agg_hll_mergeable",
+    "agg_mode_per_group", "join_bucketed_colocated", "join_null_safe",
+    "maintenance_column_histogram", "maintenance_compact_small_files",
+    "pipeline_snapshot_diff", "pipeline_snapshot_vacuum",
+    "scan_point_lookup", "scan_schema_merge", "text_unigram_logprob",
+    # code path changed in round 15 (rotation discipline)
+    "dedup_contamination_check", "streaming_throughput_progress",
 })
 
-# Tier 1: the staleness-7 block (last externally checked r06). 38
-# rows; the ~50-row prefix takes tier 0 (~21) plus the first ~29 of
+# Tier 1: the staleness-7 block (last externally checked r07). 38
+# rows; the ~50-row prefix takes tier 0 (~15) plus the first ~35 of
 # these — the handful that miss reach staleness 8 next round and must
-# lead the r15 _ROTATE_LEAD (the budget makes this mandatory, not
+# lead the r16 _ROTATE_LEAD (the budget makes this mandatory, not
 # advisory).
 _ROTATE_STALE: frozenset[str] = frozenset({
-    "agg_approx_distinct", "agg_approx_percentiles",
-    "agg_count_min_sketch", "agg_group_by_all", "agg_hll_mergeable",
-    "agg_mode_per_group", "csv_corrupt_records",
-    "embeddings_label_centroids", "events_anomaly_zscore",
-    "events_markov_transitions", "events_pattern_match",
-    "functions_array", "join_bloom_pruned", "join_bucketed_colocated",
-    "join_lateral", "join_null_safe", "maintenance_column_histogram",
-    "maintenance_compact_small_files", "maintenance_drift_psi",
-    "maintenance_table_stats", "orc_source_roundtrip",
-    "pipeline_snapshot_diff", "pipeline_snapshot_time_travel",
-    "pipeline_snapshot_vacuum", "pipeline_upsert_snapshot",
-    "scan_metadata_count", "scan_partition_pruned", "scan_point_lookup",
-    "scan_schema_merge", "similarity_ivf_pq", "similarity_pq",
-    "streaming_foreachbatch_upsert", "streaming_static_enrich",
-    "subquery_recursive_cte", "text_bm25_search", "text_unigram_logprob",
-    "text_vocab_induction", "union_by_name"
+    "agg_arg_extremes", "agg_bool_aggs", "agg_filter_clause",
+    "agg_median_mad", "agg_multi_distinct", "agg_string_agg",
+    "agg_weighted_median", "events_attribution_first_touch",
+    "events_concurrent_sessions", "events_dau_stickiness",
+    "events_hourly_profile", "events_interevent_gaps",
+    "events_pareto_activity", "events_rfm_segments",
+    "events_time_to_conversion", "events_value_log_histogram",
+    "except_keys", "functions_bitwise", "functions_try_arith",
+    "intersect_keys", "join_asof_nearest", "join_star_schema",
+    "maintenance_referential_audit", "multimodal_features",
+    "pipeline_dataset_card", "pipeline_quality_funnel",
+    "sample_epoch_shuffle", "sample_kfold_assignment",
+    "sample_split_by_time", "sample_stratified_fixed_n",
+    "similarity_ivf_kmeans", "similarity_range_search",
+    "text_bpe_merge_pairs", "text_char_entropy", "text_keyword_tfidf",
+    "window_gaps_islands", "window_nulls_ordering",
+    "window_value_functions"
 })
 
 # Within-family ordering for the interleave: each family's
@@ -263,23 +263,26 @@ _ROTATE_STALE: frozenset[str] = frozenset({
 # prefix — which takes roughly the first two of every family —
 # maximizes information. Unlisted members keep registration order.
 _FLAGSHIPS: dict[str, list[str]] = {
-    # Round-14 leads (r13 verdict #1): within each family the
-    # never-checked round-13 additions come first, then the
-    # staleness-8 rows, then the changed-code-path rows; the earlier
-    # flagships follow for tier-2 regression ordering.
-    "dedup": ["dedup_contamination_sweep", "dedup_contamination_check",
+    # Round-15 leads (r14 verdict #1): within each family the
+    # staleness-8 rows come first, then the changed-code-path rows;
+    # the earlier flagships follow for tier-2 regression ordering.
+    "dedup": ["dedup_contamination_check", "dedup_contamination_sweep",
               "dedup_lsh_bucket_stats", "dedup_minhash_lsh", "dedup_simhash",
               "dedup_levenshtein"],
     "similarity": ["similarity_ivfpq_recall", "similarity_pq_recall",
                    "similarity_lsh_recall", "similarity_ivf_recall",
                    "similarity_lsh_ann", "similarity_topk_bruteforce"],
-    "streaming": ["streaming_stateful_user_totals", "streaming_tumbling_counts"],
+    "streaming": ["streaming_throughput_progress",
+                  "streaming_stateful_user_totals",
+                  "streaming_tumbling_counts"],
     "multimodal": ["multimodal_decode", "multimodal_ingest"],
-    "join": ["join_skew_salted", "join_skew_salted_demo", "join_asof"],
-    "agg": ["agg_collect_sorted", "agg_corr_covar", "agg_percentiles",
-            "agg_grouped", "agg_rollup"],
+    "join": ["join_bucketed_colocated", "join_null_safe",
+             "join_skew_salted", "join_skew_salted_demo", "join_asof"],
+    "agg": ["agg_count_min_sketch", "agg_group_by_all", "agg_hll_mergeable",
+            "agg_mode_per_group", "agg_grouped", "agg_rollup"],
     "window": ["window_running_revenue", "window_distribution_ranks"],
-    "text": ["text_quality_auc", "text_length_buckets", "text_ngram_topk",
+    "text": ["text_unigram_logprob", "text_quality_auc",
+             "text_length_buckets", "text_ngram_topk",
              "text_pii_scrub", "text_regex_tokens", "text_repetition_ratio",
              "text_shingle_novelty", "text_language_id",
              "text_quality_score", "text_pack_sequences"],
@@ -290,13 +293,18 @@ _FLAGSHIPS: dict[str, list[str]] = {
     "pandas": ["pandas_udf_grouped_map", "pandas_udf_scalar"],
     "tpch": ["tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22",
              "tpch_q1", "tpch_q3"],
-    "pipeline": ["pipeline_training_manifest", "pipeline_upsert_snapshot"],
     # round-6 families: scale-path members lead future regression
     # prefixes once certified
     "graph": ["graph_triangle_count_lsh", "graph_triangle_count", "graph_pagerank"],
-    "maintenance": ["maintenance_table_stats", "maintenance_drift_psi"],
+    "maintenance": ["maintenance_column_histogram",
+                    "maintenance_compact_small_files",
+                    "maintenance_table_stats", "maintenance_drift_psi"],
+    "pipeline": ["pipeline_snapshot_diff", "pipeline_snapshot_vacuum",
+                 "pipeline_training_manifest", "pipeline_upsert_snapshot"],
     "embeddings": ["embeddings_gram_matrix", "embeddings_label_centroids"],
-    "scan": ["scan_zorder_skipping", "scan_partition_pruned", "scan_metadata_count"],
+    "scan": ["scan_point_lookup", "scan_schema_merge",
+             "scan_zorder_skipping", "scan_partition_pruned",
+             "scan_metadata_count"],
     "functions": ["functions_variant", "functions_array"],
 }
 

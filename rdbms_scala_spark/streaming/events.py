@@ -2018,8 +2018,20 @@ def _dp_uniform_sql(key_expr: str) -> str:
     tags=("events", "privacy", "dp", "scale"),
 )
 def events_dp_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Laplace-mechanism release of per-day active-user counts at
-    eps = 1: the aggregate counts DISTINCT users per day so each
+    """Laplace-mechanism ARITHMETIC CERTIFICATION for a per-day
+    active-user release at eps = 1 — NOT a private release (ADVICE
+    r14). The noise here is a deterministic function of an in-source
+    constant seed ('dp1|') and the public cell key, and true_users is
+    emitted alongside, so anyone with the code can strip the noise
+    exactly: this query certifies that the mechanism's sensitivity
+    bounding, inverse-CDF arithmetic and clamping are cross-engine
+    exact, which is the part an engine can certify. An actual release
+    additionally needs (a) a secret, non-derivable per-release seed
+    (or true randomness), (b) the true_users column dropped, and
+    (c) the composition accounting below enforced — none of which
+    change the query plan being certified.
+
+    The mechanism: the aggregate counts DISTINCT users per day so each
     user's contribution to each released count is capped at 1
     (sensitivity 1 — the bounding is IN the aggregate shape, not an
     afterthought), then adds inverse-CDF Laplace noise b = 1/eps and
@@ -2033,10 +2045,9 @@ def events_dp_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The noise is SEEDED (md5 of a release-version prefix + the cell
     key -> uniform in strictly-(0,1) -> inverse CDF), which is what
     makes the mechanism certifiable cross-engine and reproducible
-    across retries of the release job; a production release rotates
-    the seed per release and drops the true_users column — it is
-    emitted here because certifying the mechanism arithmetic IS this
-    query's job. u = (v + 0.5)/16^15 can never hit 0, 0.5-exactly or
+    across retries of the release job — and is exactly why this is a
+    certification, not a release (see above).
+    u = (v + 0.5)/16^15 can never hit 0, 0.5-exactly or
     1, so sign/ln are total. Scale shape: one distinct-aggregate
     exchange on (day, user) then a calendar-bounded per-day map —
     the noise add is free at any scale."""

@@ -1194,14 +1194,27 @@ def streaming_throughput_progress(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(workdir, ignore_errors=True)
     rows = []
     cum = 0
-    seq = 0
     for p in sorted(progress, key=lambda j: j["batchId"]):
         n_in = int(p["numInputRows"])
         if n_in == 0:
-            continue  # availableNow's trailing no-data commit batch
+            # availableNow's trailing no-data commit batch, or an
+            # empty residue class's (still-written) empty file
+            continue
+        # batch_seq is the FILE identity, not a running counter
+        # (ADVICE r14): with maxFilesPerTrigger=1 the file-source log
+        # consumes b0..b{k-1} in mtime order and the 0-based log
+        # offsets track it — the batch whose endOffset is logOffset i
+        # read exactly b{i}.parquet = residue i. A sequential counter
+        # over non-empty batches diverges from the oracle's
+        # event_id%k residue the moment any residue class is empty at
+        # some scale factor (the counter stays dense while the oracle
+        # skips the empty residue's value).
+        end = p["sources"][0]["endOffset"]
+        if isinstance(end, str):
+            end = _json.loads(end)
+        seq = int(end["logOffset"])
         cum += n_in
         rows.append((seq, n_in, int(p["sink"]["numOutputRows"]), cum))
-        seq += 1
     return spark.createDataFrame(
         rows,
         "batch_seq long, input_rows long, output_rows long,"
