@@ -226,6 +226,12 @@ EXTENSION = [
     # calendar-bounded noise map — should sit at the daily-rollup
     # floor (the noise add is free).
     "events_dp_daily_counts",
+    # round-15: the batch explain-yourself row (r14 verdict #7a) —
+    # each timed pass executes the audited filter->join->agg query
+    # (collect is bounded at 5 groups) plus the driver-side metric
+    # walk, so the row tracks the cost of the readout a production
+    # cost dashboard would run per query.
+    "maintenance_plan_metrics_audit",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -721,3 +721,148 @@ def maintenance_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("max_ts_us").alias("max_ts_us"),
     ).select(F.lit("merged").alias("part"), "*")
     return parts.unionByName(merged).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# Round 15: runtime plan-metrics audit — the cost/lineage readout's
+# trust anchor (the batch analog of streaming_throughput_progress's
+# progress ledger, r14). Production pipelines alarm on per-query
+# runtime metrics (rows scanned, rows joined, bytes shuffled) pulled
+# from the executed plan's SQLMetrics; before a dashboard trusts
+# those numbers, the row ACCOUNTING underneath them must be exact.
+# Bytes/time metrics are host-shaped and belong to the bench rows;
+# the row counts are deterministic SEMANTIC quantities a second
+# engine can recompute — so they are what the oracle certifies.
+
+
+def _physical_nodes(jdf) -> list:
+    """Pre-order walk of the EXECUTED physical plan via py4j,
+    descending through the adaptive-execution wrappers: the
+    AdaptiveSparkPlanExec root (-> final plan), materialized
+    QueryStageExec stage boundaries (-> their stage plan) and
+    ReusedExchangeExec (-> the reused child). Returns the flat node
+    list, parents before children."""
+    out: list = []
+    stack = [jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(node.executedPlan())
+            continue
+        if cls.endswith("QueryStageExec"):
+            stack.append(node.plan())
+            continue
+        if cls == "ReusedExchangeExec":
+            stack.append(node.child())
+            continue
+        out.append(node)
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return out
+
+
+def _node_rows(nodes: list, name_part: str, *string_parts: str) -> int:
+    """numOutputRows of the first node (pre-order) whose nodeName
+    contains ``name_part`` and whose simpleString contains every one
+    of ``string_parts``."""
+    for node in nodes:
+        if name_part not in node.nodeName():
+            continue
+        s = node.simpleString(1000)
+        if any(part not in s for part in string_parts):
+            continue
+        metrics = node.metrics()
+        if metrics.contains("numOutputRows"):
+            return int(metrics.apply("numOutputRows").value())
+    raise RuntimeError(
+        f"plan-metrics audit: no node matching name~'{name_part}' "
+        f"string~{string_parts} with a numOutputRows metric"
+    )
+
+
+@register(
+    "maintenance_plan_metrics_audit",
+    oracle="""
+    WITH filt AS (
+        SELECT l_orderkey FROM lineitem WHERE l_orderkey % 7 = 0
+    ),
+    joined AS (
+        SELECT o.o_orderpriority
+        FROM filt l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT 'filter_rows' AS stage,
+           CAST((SELECT count(*) FROM filt) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'join_rows', CAST(count(*) AS BIGINT) FROM joined
+    UNION ALL
+    SELECT 'result_groups',
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM joined
+    UNION ALL
+    SELECT 'result_rows',
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM joined
+    ORDER BY stage
+    """,
+    tags=("maintenance", "metrics", "observability", "lineage"),
+)
+def maintenance_plan_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime SQLMetrics row-accounting audit: execute a fixed
+    filter -> join -> aggregate query (lineitem keys divisible by 7,
+    joined to orders, grouped by order priority), then read the
+    numOutputRows metric off the executed plan's Filter, Join and
+    final Aggregate nodes and emit them as a (stage, n_rows) ledger
+    alongside the collected result-row count. The oracle recomputes
+    every stage's row count semantically, so the query certifies that
+    the metrics a cost dashboard reads off `queryExecution.metrics`
+    agree with ground truth — the batch analog of the streaming
+    progress ledger (streaming/jobs.py, r14), and the readout the
+    reference's rule-free interpreter has no surface for (its
+    executeSelect pipeline, Microbase.scala:943-1088, exposes no
+    per-operator counters).
+
+    Stage identification is structural, not positional: the audited
+    filter carries a deliberately parquet-UNPUSHABLE predicate
+    (`l_orderkey % 7 = 0` — modulo does not translate to a parquet
+    filter), so its Filter node survives as a real operator whose
+    numOutputRows is the semantic post-filter count regardless of
+    row-group layout or whether the table arrives cached
+    (InMemoryTableScan) or scanned; it is matched by the '%' AND the
+    lineitem key name in its condition string — the '%' alone is not
+    unique because Catalyst's equi-join constraint propagation INFERS
+    `o_orderkey % 7 = 0` on the orders side and plants a second
+    modulo filter there (the first thing this audit's own metrics
+    surfaced while being built), and the join's injected isnotnull
+    filters never contain '%'. The final aggregate is the first
+    Aggregate node in
+    pre-order (nearer the root than its partial). The walk descends
+    through AQE stage wrappers, so the audit holds under adaptive
+    re-planning.
+
+    Scale shape: the audited query is one broadcast-or-shuffle join
+    plus a two-phase aggregate; the metric walk is driver control
+    plane over an already-executed plan, and the collect is bounded
+    at the group count (5 order priorities). At 100 TB the identical
+    readout comes from the production query's own executed plan —
+    nothing here is test-only machinery."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    audited = (
+        li.filter(F.col("l_orderkey") % 7 == 0)
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    result = audited.collect()  # drives execution; populates metrics
+    nodes = _physical_nodes(audited._jdf)
+    ledger = [
+        ("filter_rows", _node_rows(nodes, "Filter", "%", "l_orderkey")),
+        ("join_rows", _node_rows(nodes, "Join")),
+        ("result_groups", _node_rows(nodes, "Aggregate")),
+        ("result_rows", len(result)),
+    ]
+    return spark.createDataFrame(
+        ledger, "stage string, n_rows long"
+    ).orderBy("stage")
