@@ -232,6 +232,13 @@ EXTENSION = [
     # walk, so the row tracks the cost of the readout a production
     # cost dashboard would run per query.
     "maintenance_plan_metrics_audit",
+    # round-15 (r14 verdict #7c): the incremental decontamination
+    # readout — CDC diff of two corpus epochs + delta-only rescoring
+    # against the standing index + the merge arithmetic. Its wall is
+    # the steady-state nightly-ingest cost: one key join of the two
+    # snapshots plus batch-sized shingling, NOT a corpus re-score
+    # (compare pipeline_decontamination_report, the full-scan row).
+    "pipeline_decontamination_incremental",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -671,3 +671,254 @@ def pipeline_decontamination_report(
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 15 (r14 verdict #7c): INCREMENTAL decontamination — the report
+# refreshed across two snapshot epochs by riding the CDC diff instead
+# of re-scanning the corpus. This is the one composition the warehouse
+# family had not exercised: snapshot_diff (pipeline/snapshot.py)
+# produces the change feed, and the contamination flags are recomputed
+# ONLY for the delta batch against the STANDING index (bench shingles
+# + the pinned hot set), then merged arithmetically into the v0
+# report. The flag is per-doc independent (a doc's flag depends only
+# on its own text and the static index), so incremental == full by
+# identity — and the driver gate PROVES it: the Spark side emits the
+# incrementally-merged v1 numbers while the oracle recomputes v1 from
+# scratch; any error in the merge arithmetic is a hash mismatch.
+
+from rdbms_scala_spark.pipeline.dedup import _contam_sh_chain as _sh_chain
+
+
+def _decontam_incremental_oracle() -> str:
+    return f"""
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    upd AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 29 <> 0 AND doc_id % 13 = 5 AND doc_id % 97 <> 7
+          AND substr(text, 1, length(text) // 2) <> text
+    ),
+    del AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 29 <> 0 AND doc_id % 97 = 7
+    ),
+    ins AS (
+        SELECT d.doc_id + m.mx + 1 AS doc_id, d.text
+        FROM documents d, m
+        WHERE d.doc_id % 41 = 3
+           OR (d.doc_id % 29 = 0 AND d.doc_id % 2 = 0)
+    ),
+    v1train AS (
+        SELECT d.doc_id,
+               CASE WHEN u.doc_id IS NOT NULL
+                    THEN substr(d.text, 1, length(d.text) // 2)
+                    ELSE d.text END AS text
+        FROM documents d
+        LEFT JOIN upd u ON u.doc_id = d.doc_id
+        LEFT JOIN del x ON x.doc_id = d.doc_id
+        WHERE d.doc_id % 29 <> 0 AND x.doc_id IS NULL
+        UNION ALL
+        SELECT doc_id, text FROM ins
+    ),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    {_sh_chain()},
+    bench AS (
+        SELECT doc_id AS bench_doc_id, shingle FROM sh WHERE doc_id % 29 = 0
+    ),
+    train0 AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0),
+    flags0 AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT t.doc_id FROM train0 t JOIN bench b USING (shingle)
+            GROUP BY t.doc_id, b.bench_doc_id HAVING count(*) >= 3) q
+    ),
+    v1toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM v1train
+    ),
+    {_sh_chain(toks="v1toks", prefix="v1", hot_from="hot")},
+    flags1 AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT t.doc_id FROM v1sh t JOIN bench b USING (shingle)
+            GROUP BY t.doc_id, b.bench_doc_id HAVING count(*) >= 3) q
+    )
+    SELECT 'v0_full' AS view,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 29 <> 0)
+                AS BIGINT) AS n_train_docs,
+           CAST((SELECT count(*) FROM flags0) AS BIGINT) AS n_contaminated,
+           CAST(0 AS BIGINT) AS n_inserted,
+           CAST(0 AS BIGINT) AS n_updated,
+           CAST(0 AS BIGINT) AS n_deleted
+    UNION ALL
+    SELECT 'v1_incremental',
+           CAST((SELECT count(*) FROM v1train) AS BIGINT),
+           CAST((SELECT count(*) FROM flags1) AS BIGINT),
+           CAST((SELECT count(*) FROM ins) AS BIGINT),
+           CAST((SELECT count(*) FROM upd) AS BIGINT),
+           CAST((SELECT count(*) FROM del) AS BIGINT)
+    ORDER BY view
+    """
+
+
+@register(
+    "pipeline_decontamination_incremental",
+    oracle=_decontam_incremental_oracle(),
+    tags=("pipeline", "contamination", "incremental", "cdc", "scale"),
+)
+def pipeline_decontamination_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination report refreshed INCREMENTALLY across two
+    corpus snapshot epochs via the CDC diff — the composition a 100 TB
+    pipeline actually runs nightly: re-scoring the whole corpus per
+    ingest batch is unaffordable, so only the change feed is scored
+    against the standing decontamination index and the standing
+    report is merged forward.
+
+    Epochs, derived deterministically from ``documents`` (bench docs
+    — the ``doc_id % 29 == 0`` eval-suite slice — are never mutated,
+    so the index's bench side is static between epochs, as real eval
+    suites are): v1 UPDATES every non-bench ``doc_id % 13 == 5`` doc
+    to the first half of its text (genuinely changing its trigram
+    set), DELETES the non-bench ``% 97 == 7`` slice, and INSERTS
+    re-keyed copies (``doc_id + max + 1``) of the ``% 41 == 3`` slice
+    plus copies of every even-id bench doc — the latter are
+    guaranteed leaks the delta scoring must catch (each shares its
+    source's full capped trigram set), so the v1 contamination count
+    must move, not just carry forward.
+
+    The incremental path: ``snapshot_diff(v0, v1)`` (one key join)
+    yields the change feed; only insert/update NEW texts are shingled
+    and scored against the broadcast bench shingles, with the hot-set
+    cap PINNED at the index epoch (``contamination_hot_shingles`` —
+    recomputing the cap per batch would make incremental and full
+    paths diverge by definition, see dedup.py); the v1 report is then
+    v0's counts minus flags leaving (updated/deleted docs' old flags)
+    plus flags entering (new texts). Because a doc's flag depends
+    only on its own text and the static index, this merge is exact —
+    and the gate proves it: the oracle recomputes the v1 numbers FROM
+    SCRATCH (full corpus re-score under the same pinned hot set), so
+    any arithmetic error in the merge is a value-hash mismatch.
+
+    Scale shape: the CDC join shuffles both snapshots once on doc_id
+    (zero times if snapshots share a bucketed layout); delta scoring
+    shingles ONLY the batch (batch-sized, not corpus-sized) against
+    broadcast bench/hot relations; the merge is five 1-row aggregates
+    cross-joined. Nothing re-scans the standing corpus except the
+    session-cached v0 relations the family already materializes."""
+    from rdbms_scala_spark.pipeline.dedup import (
+        contamination_hot_shingles,
+        contamination_shingles,
+        shingles_df,
+    )
+    from rdbms_scala_spark.pipeline.snapshot import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # v1 derives from an independent scan (NOT load_table, which
+    # memoizes the DataFrame per session+path and would hand back the
+    # SAME plan object): snapshot_diff full-outer joins the two
+    # epochs, and shared lineage makes every column ambiguous in the
+    # join condition. In production the two snapshots ARE distinct
+    # stored versions, so the fresh scan is the realistic shape.
+    from rdbms_scala_spark.catalog import table_path
+
+    docs_v1_src = spark.read.parquet(
+        table_path(sf_dir, "documents")
+    ).select("doc_id", "text")
+    mx = docs_v1_src.agg(F.max("doc_id").alias("mx"))
+    is_bench = F.col("doc_id") % 29 == 0
+    upd_pred = (~is_bench) & (F.col("doc_id") % 13 == 5)
+    del_pred = (~is_bench) & (F.col("doc_id") % 97 == 7)
+    half = F.expr("substring(text, 1, cast(length(text) div 2 as int))")
+    v1 = (
+        docs_v1_src.filter(~del_pred)
+        .select(
+            "doc_id",
+            F.when(upd_pred, half).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs_v1_src.filter(
+                (F.col("doc_id") % 41 == 3)
+                | ((F.col("doc_id") % 29 == 0) & (F.col("doc_id") % 2 == 0))
+            )
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("doc_id") + F.col("mx") + 1).alias("doc_id"), "text"
+            )
+        )
+    )
+    cdc = snapshot_diff(docs, v1, keys=["doc_id"])
+
+    sh0 = contamination_shingles(spark, sf_dir)
+    bench = sh0.filter(is_bench).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+
+    def _flags(train_sh: DataFrame) -> DataFrame:
+        return (
+            train_sh.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id", "bench_doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 3)
+            .select("doc_id")
+            .distinct()
+        )
+
+    flags0 = _flags(sh0.filter(~is_bench))
+    adds = cdc.filter(F.col("op").isin("insert", "update")).select(
+        "doc_id", "text"
+    )
+    adds_sh = shingles_df(adds, n=3, distinct=True).join(
+        F.broadcast(contamination_hot_shingles(spark, sf_dir)),
+        "shingle",
+        "left_anti",
+    )
+    leaving = cdc.filter(F.col("op").isin("update", "delete")).select(
+        "doc_id"
+    )
+
+    one = F.lit(1)
+    base = (
+        docs.filter(~is_bench)
+        .agg(F.count(one).cast("long").alias("n0"))
+        .crossJoin(flags0.agg(F.count(one).cast("long").alias("f0")))
+        .crossJoin(
+            cdc.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("op") == "insert", 1)), F.lit(0)
+                ).cast("long").alias("n_ins"),
+                F.coalesce(
+                    F.sum(F.when(F.col("op") == "update", 1)), F.lit(0)
+                ).cast("long").alias("n_upd"),
+                F.coalesce(
+                    F.sum(F.when(F.col("op") == "delete", 1)), F.lit(0)
+                ).cast("long").alias("n_del"),
+            )
+        )
+        .crossJoin(
+            _flags(adds_sh).agg(F.count(one).cast("long").alias("f_add"))
+        )
+        .crossJoin(
+            flags0.join(leaving, "doc_id")
+            .agg(F.count(one).cast("long").alias("f_rem"))
+        )
+    )
+    v0_row = base.selectExpr(
+        "'v0_full' AS view",
+        "n0 AS n_train_docs",
+        "f0 AS n_contaminated",
+        "CAST(0 AS BIGINT) AS n_inserted",
+        "CAST(0 AS BIGINT) AS n_updated",
+        "CAST(0 AS BIGINT) AS n_deleted",
+    )
+    v1_row = base.selectExpr(
+        "'v1_incremental' AS view",
+        "n0 + n_ins - n_del AS n_train_docs",
+        "f0 - f_rem + f_add AS n_contaminated",
+        "n_ins AS n_inserted",
+        "n_upd AS n_updated",
+        "n_del AS n_deleted",
+    )
+    return v0_row.unionByName(v1_row).orderBy("view")

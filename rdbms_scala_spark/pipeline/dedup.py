@@ -1463,26 +1463,34 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAM_MAX_DF = 1000
 
 
-def _contam_sh_chain() -> str:
+def _contam_sh_chain(toks: str = "toks", prefix: str = "",
+                     hot_from: str | None = None) -> str:
     """Oracle CTE chain for the contamination family (requires a
-    ``toks(doc_id, t)`` CTE upstream): the distinct per-doc trigram
+    ``{toks}(doc_id, t)`` CTE upstream): the distinct per-doc trigram
     set MINUS trigrams whose TRAIN-side document frequency exceeds
     ``_CONTAM_MAX_DF``. Shared verbatim by the check, the sweep and
-    the decontamination report so the capped semantics cannot drift
-    between the three."""
-    return f"""sh_all AS (
+    the decontamination reports so the capped semantics cannot drift
+    between them. ``prefix`` namespaces the emitted CTEs so one query
+    can instantiate the chain for two corpus epochs; ``hot_from``
+    names an ALREADY-BUILT hot-set CTE to anti-join against instead
+    of deriving one — the incremental readout pins the hot set at the
+    index epoch (v0) and must not recompute it from the new corpus."""
+    p = prefix
+    hot_cte = "" if hot_from else f"""{p}hot AS (
+        SELECT shingle FROM {p}sh_all WHERE doc_id % 29 <> 0
+        GROUP BY shingle HAVING count(*) > {_CONTAM_MAX_DF}
+    ),
+    """
+    hot_name = hot_from if hot_from else f"{p}hot"
+    return f"""{p}sh_all AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                AS shingle
         FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
-              FROM toks WHERE len(t) >= 3)
+              FROM {toks} WHERE len(t) >= 3)
     ),
-    hot AS (
-        SELECT shingle FROM sh_all WHERE doc_id % 29 <> 0
-        GROUP BY shingle HAVING count(*) > {_CONTAM_MAX_DF}
-    ),
-    sh AS (
-        SELECT s.doc_id, s.shingle FROM sh_all s
-        LEFT JOIN hot h ON s.shingle = h.shingle WHERE h.shingle IS NULL
+    {hot_cte}{p}sh AS (
+        SELECT s.doc_id, s.shingle FROM {p}sh_all s
+        LEFT JOIN {hot_name} h ON s.shingle = h.shingle WHERE h.shingle IS NULL
     )"""
 
 
@@ -1504,14 +1512,29 @@ def contamination_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics coincide there; at scale they diverge by design, and the
     oracle chain (``_contam_sh_chain``) encodes the SAME cap."""
     sh = cached_doc_shingles(spark, sf_dir, n=3)
-    hot = (
+    return sh.join(
+        F.broadcast(contamination_hot_shingles(spark, sf_dir)),
+        "shingle",
+        "left_anti",
+    )
+
+
+def contamination_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination family's hot set: trigrams whose TRAIN-side
+    document frequency exceeds ``_CONTAM_MAX_DF`` over the standing
+    (v0) corpus. Exposed as its own relation (round 15) because the
+    incremental decontamination readout must subtract the SAME pinned
+    hot set from delta-batch shingles that the standing index was
+    built with — recomputing it per batch would make the incremental
+    and full paths use different caps and break their identity."""
+    sh = cached_doc_shingles(spark, sf_dir, n=3)
+    return (
         sh.filter(F.col("doc_id") % 29 != 0)
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > _CONTAM_MAX_DF)
         .select("shingle")
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def _contamination_check_oracle() -> str:

@@ -228,8 +228,13 @@ _ROTATE_LEAD: frozenset[str] = frozenset({
     "maintenance_column_histogram", "maintenance_compact_small_files",
     "pipeline_snapshot_diff", "pipeline_snapshot_vacuum",
     "scan_point_lookup", "scan_schema_merge", "text_unigram_logprob",
-    # code path changed in round 15 (rotation discipline)
+    # code path changed in round 15 (rotation discipline): the
+    # packed-argmax guard (check), the batch_seq fix (throughput),
+    # and the contamination_shingles/_contam_sh_chain refactor that
+    # exposed the pinned hot set for the incremental readout (the
+    # whole family shares those helpers)
     "dedup_contamination_check", "streaming_throughput_progress",
+    "dedup_contamination_sweep", "pipeline_decontamination_report",
 })
 
 # Tier 1: the staleness-7 block (last externally checked r07). 38
