@@ -14,7 +14,8 @@ excluding all setup. We mirror that stance exactly:
    compilation and JVM JIT, the cost the reference's interpreted
    executor never has but also never amortizes;
 3. the timed pass measures per-query end-to-end latency (plan, AQE,
-   execute, count).
+   execute, noop-sink write — see the round-14 epoch note in
+   BASELINE.md; count() lets Catalyst prune computed columns).
 
 ``value`` is the 8-query TPC-H total (the number comparable to the
 baseline's <7 s); ``queries`` also carries the extension-family

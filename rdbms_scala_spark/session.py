@@ -124,10 +124,11 @@ def evict_session_relations(spark: SparkSession) -> None:
     the same reason."""
     from pyspark.sql import DataFrame
 
-    from rdbms_scala_spark.pipeline import dedup, multimodal, text
+    from rdbms_scala_spark.pipeline import chunking, dedup, multimodal, text
     from rdbms_scala_spark.queries import behavior
 
     registries = (
+        chunking._CDC_CACHE,
         dedup._PAIR_CACHE,
         dedup._SHINGLE_CACHE,
         dedup._MINHASH_CACHE,
