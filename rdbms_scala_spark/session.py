@@ -129,6 +129,7 @@ def evict_session_relations(spark: SparkSession) -> None:
 
     registries = (
         chunking._CDC_CACHE,
+        chunking._V0_FLAGS_CACHE,
         dedup._PAIR_CACHE,
         dedup._SHINGLE_CACHE,
         dedup._MINHASH_CACHE,

@@ -250,6 +250,16 @@ QUERIES = (
     "dedup_contamination_check",
     "dedup_contamination_sweep",
     "pipeline_decontamination_report",
+    # round 15: the plan-metrics audit executes its fixed
+    # filter->join->agg query per pass plus the driver-side metric
+    # walk — growth should track the audited join; the incremental
+    # decontamination readout pays its CDC feed build in the warm
+    # pass (session-materialized), so the timed wall is the delta
+    # scoring + the 1-row merge — the nightly-ingest steady state,
+    # which should grow with the BATCH (a fixed fraction of the
+    # corpus here), not the corpus re-score.
+    "maintenance_plan_metrics_audit",
+    "pipeline_decontamination_incremental",
 )
 
 

@@ -1270,6 +1270,8 @@ def test_decontamination_incremental_feed_reuse_and_plan(spark, sf_dir):
     feed1 = chunking._decontam_cdc(spark, sf_dir)
     feed2 = chunking._decontam_cdc(spark, sf_dir)
     assert feed1 is feed2  # fingerprint-keyed session cache hit
+    flags1 = chunking._v0_standing_flags(spark, sf_dir)
+    assert flags1 is chunking._v0_standing_flags(spark, sf_dir)
     ops = {r["op"] for r in feed1.select("op").distinct().collect()}
     assert ops == {"insert", "update", "delete"}
 
