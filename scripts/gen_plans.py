@@ -35,7 +35,14 @@ names = ["tpch_q1","tpch_q3","tpch_q5","tpch_q6","tpch_q9","tpch_q18","join_skew
 # the segment-count relation; the DP release must show ONE
 # distinct-aggregate exchange (partial/final HashAggregate pair on
 # (day, user)) and a map-only noise projection after it
-"events_ab_segments","events_dp_daily_counts"]
+"events_ab_segments","events_dp_daily_counts",
+# round 15: the incremental decontamination readout's STEADY-STATE
+# plan must show NO SortMergeJoin (the structural full-outer CDC join
+# is paid once into the session-materialized feed; delta scoring
+# rides BroadcastExchanges; the standing flag relation is a
+# checkpoint scan) and the 1-row merge as nested-loop crossJoins of
+# scalar aggregates
+"pipeline_decontamination_incremental"]
 out = io.StringIO()
 out.write("""# PLANS — physical plans of headline queries (generated)
 
