@@ -67,11 +67,16 @@ def _family(name: str) -> str:
 #
 # STALENESS BUDGET (round-14 policy, r13 verdict #2): no query's
 # external check may age past 8 rounds. The driver certifies a ~50-row
-# prefix per round and the registry holds ~346 queries, so a full
-# rotation takes ~7 rounds; each round, every row whose staleness
-# would reach 7-8 by round end is promoted (never-checked rows first).
-# scripts/staleness.py computes the table from CORRECTNESS_r*.json and
-# asserts the budget; its output is embedded in SELFCHECK_r{N}.
+# prefix per round and the registry holds ~348 queries, so a full
+# rotation takes ~7 rounds. ENFORCED boundary (ADVICE r14 alignment,
+# matching scripts/staleness.py): rows AT staleness 8 as of the last
+# completed round MUST sit in _ROTATE_LEAD (tier 0); rows at 7 belong
+# in _ROTATE_STALE (tier 1) and fill the prefix after tier 0 — the
+# few a 50-row prefix can't hold reach exactly 8 and are then forced
+# into the next round's lead. Never-checked rows are tier 0
+# automatically. scripts/staleness.py computes the table from
+# CORRECTNESS_r*.json and exits 1 on violation; its output is
+# embedded in SELFCHECK_r{N}.
 _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentiles", "agg_arg_extremes",
     "agg_bool_aggs", "agg_collect_sorted", "agg_corr_covar",
