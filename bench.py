@@ -240,6 +240,11 @@ EXTENSION = [
     # snapshots plus batch-sized shingling, NOT a corpus re-score
     # (compare pipeline_decontamination_report, the full-scan row).
     "pipeline_decontamination_incremental",
+    # round-15 (cont.): the retrieval family's quality gate — shingle-
+    # BM25 MRR/recall against the contamination ground truth; rides
+    # the session-cached shingle relation, so its wall is the
+    # broadcast-index scoring + per-query bounded ranking windows.
+    "retrieval_eval_mrr",
 ]
 
 _CACHED_TABLES = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")

@@ -540,3 +540,249 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rrf_score").desc(), "id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 15: retrieval-quality EVALUATION — the readout the retrieval
+# family was missing. A pipeline that builds a retrieval index for
+# decontamination lookups must measure whether the index actually
+# FINDS the leaks before trusting it; MRR@10 / recall@10 against a
+# ground-truth relevance set is that gate, exactly as the ANN tiers
+# gate on recall-vs-brute-force (similarity.py's recall ladder).
+#
+# The retrieval unit is the trigram SHINGLE, not the unigram token —
+# a choice forced by measurement, not taste: the first cut of this
+# operator queried with each bench doc's rarest unigrams and scored
+# 0.0 MRR across every query, and the data said why — the corpus
+# vocabulary is 31 tokens with document frequency ~390/497, so NO
+# unigram discriminates anything (real corpora hit the same wall on
+# short/boilerplate docs). Leak signal lives in n-grams, which is
+# exactly why production decontamination lookups index n-grams
+# (suffix-array / Bloom-of-ngram designs); this evaluates that index.
+
+_EVAL_TOPK = 10
+
+
+def _retrieval_eval_oracle() -> str:
+    from rdbms_scala_spark.pipeline.dedup import _contam_sh_chain
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    {_contam_sh_chain()},
+    qsh AS (
+        SELECT doc_id AS bench_doc_id, shingle FROM sh WHERE doc_id % 29 = 0
+    ),
+    train_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0),
+    rel AS (
+        SELECT bench_doc_id, doc_id FROM (
+            SELECT t.doc_id, b.bench_doc_id
+            FROM train_sh t JOIN qsh b USING (shingle)
+            GROUP BY t.doc_id, b.bench_doc_id HAVING count(*) >= 3) z
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen
+        FROM train_sh GROUP BY doc_id
+    ),
+    corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dlen) AS BIGINT) AS sum_len
+        FROM dl
+    ),
+    posting AS (
+        SELECT doc_id, shingle FROM train_sh
+        WHERE shingle IN (SELECT DISTINCT shingle FROM qsh)
+    ),
+    dfreq AS (
+        SELECT shingle, CAST(count(*) AS BIGINT) AS dft
+        FROM posting GROUP BY shingle
+    ),
+    contrib AS (
+        SELECT q.bench_doc_id, p.doc_id,
+               CAST(round(
+                   ln(1.0 + (c.n_docs - d.dft + 0.5) / (d.dft + 0.5)) *
+                   ({_K1P1} /
+                    (1.0 + {_K1} *
+                     ({_ONE_MINUS_B} + {_B} *
+                      (CAST(l.dlen AS DOUBLE) /
+                       (CAST(c.sum_len AS DOUBLE) / c.n_docs)))))
+                   * 1e6) AS BIGINT) AS qv
+        FROM qsh q
+        JOIN posting p ON p.shingle = q.shingle
+        JOIN dfreq d ON d.shingle = p.shingle
+        JOIN dl l ON l.doc_id = p.doc_id
+        CROSS JOIN corpus c
+    ),
+    scores AS (
+        SELECT bench_doc_id, doc_id, CAST(sum(qv) AS BIGINT) AS s
+        FROM contrib GROUP BY bench_doc_id, doc_id
+    ),
+    ranked AS (
+        SELECT bench_doc_id, doc_id,
+               row_number() OVER (PARTITION BY bench_doc_id
+                                  ORDER BY s DESC, doc_id) AS rnk
+        FROM scores
+    ),
+    nrel AS (
+        SELECT bench_doc_id, CAST(count(*) AS BIGINT) AS n_relevant
+        FROM rel GROUP BY bench_doc_id
+    ),
+    hits AS (
+        SELECT r.bench_doc_id,
+               CAST(count(*) AS BIGINT) AS n_hits_at_10,
+               min(rk.rnk) AS first_rel_rank
+        FROM rel r JOIN ranked rk
+          ON rk.bench_doc_id = r.bench_doc_id AND rk.doc_id = r.doc_id
+        WHERE rk.rnk <= {_EVAL_TOPK}
+        GROUP BY r.bench_doc_id
+    )
+    SELECT n.bench_doc_id,
+           n.n_relevant,
+           COALESCE(h.n_hits_at_10, 0) AS n_hits_at_10,
+           round(COALESCE(1.0 / h.first_rel_rank, 0.0), 4) AS rr_at_10,
+           round(CAST(COALESCE(h.n_hits_at_10, 0) AS DOUBLE)
+                 / n.n_relevant, 4) AS recall_at_10
+    FROM nrel n LEFT JOIN hits h USING (bench_doc_id)
+    ORDER BY n.bench_doc_id
+    """
+
+
+@register(
+    "retrieval_eval_mrr",
+    oracle=_retrieval_eval_oracle(),
+    tags=("retrieval", "eval", "mrr", "recall", "scale"),
+)
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the n-gram decontamination
+    index: per-query MRR@10 and recall@10 against a ground-truth
+    relevance set — the gate a curation pipeline runs before trusting
+    its leak-lookup index, mirroring how the ANN tiers gate on recall
+    vs brute force.
+
+    Queries are the benchmark docs (the static ``doc_id % 29 == 0``
+    eval-suite slice), represented as their capped trigram-shingle
+    sets (the standing index's own query representation). Candidates
+    are train docs scored by BM25 over SHINGLE postings (tf = 1 by
+    construction — the shingle relation is distinct — so the score is
+    a dlen-normalized sum of shingle IDFs; same k1/b literals and
+    1e-6 pre-sum quantization as `text_bm25_search`), ranked
+    (score DESC, doc_id), cut at {_EVAL_TOPK}. Ground truth is the
+    contamination pair relation (>= 3 shared capped trigrams —
+    `dedup_contamination_check`'s flag, same `_contam_sh_chain`
+    semantics), so the metric reads: does the index FIND the
+    documents that verifiably leak this benchmark's content?
+
+    Why shingles and not unigrams: the first cut queried with each
+    bench doc's rarest eligible unigrams and measured 0.0 MRR on
+    every query — and the corpus said why (31-token vocabulary,
+    document frequency ~390 of 497: no unigram discriminates
+    anything; real corpora hit the same wall on short or boilerplate
+    documents). Leak signal lives in n-grams, which is exactly why
+    production decontamination lookups index n-grams; this operator
+    evaluates that index rather than a structurally-blind one.
+
+    Scale shape: postings are filtered to the (broadcast, eval-suite-
+    sized) query shingle set BEFORE any aggregation, per-shingle df
+    and corpus stats are broadcast scalars, and the ranking window
+    partitions BY QUERY over df-capped candidate lists (the hot-set
+    cap bounds every posting list — never a corpus sort). Both corpus
+    passes ride the family's session-materialized shingle relation."""
+    from rdbms_scala_spark.pipeline.chunking import _decontam_bench_shingles
+    from rdbms_scala_spark.pipeline.dedup import contamination_shingles
+
+    is_bench = F.col("doc_id") % 29 == 0
+    qsh = _decontam_bench_shingles(spark, sf_dir)  # (bench_doc_id, shingle)
+    train_sh = contamination_shingles(spark, sf_dir).filter(~is_bench)
+
+    rel = (
+        train_sh.join(F.broadcast(qsh), "shingle")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select("bench_doc_id", "doc_id")
+    )
+
+    dl = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").alias("sum_len"),
+    )
+    posting = train_sh.join(
+        F.broadcast(qsh.select("shingle").distinct()), "shingle", "semi"
+    )
+    dfreq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("dft"))
+
+    avgdl = F.col("sum_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+        / (F.col("dft") + F.lit(0.5))
+    )
+    tf_norm = F.expr(_K1P1) / (
+        F.lit(1.0)
+        + F.expr(_K1)
+        * (
+            F.expr(_ONE_MINUS_B)
+            + F.expr(_B) * (F.col("dlen").cast("double") / avgdl)
+        )
+    )
+    contrib = (
+        F.broadcast(qsh)
+        .join(posting, "shingle")
+        .join(F.broadcast(dfreq), "shingle")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "bench_doc_id",
+            "doc_id",
+            F.round(idf * tf_norm * F.lit(1e6)).cast("long").alias("qv"),
+        )
+    )
+    ranked = (
+        contrib.groupBy("bench_doc_id", "doc_id")
+        .agg(F.sum("qv").alias("s"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("bench_doc_id").orderBy(
+                    F.col("s").desc(), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _EVAL_TOPK)
+    )
+
+    nrel = rel.groupBy("bench_doc_id").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    # ranked is <= TOPK x |queries| rows after the cut (and hits one
+    # row per query) — broadcast-sized at ANY corpus scale, so neither
+    # join may shuffle-sort the pair relation
+    hits = (
+        rel.join(F.broadcast(ranked), ["bench_doc_id", "doc_id"])
+        .groupBy("bench_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("hits10"),
+            F.min("rnk").alias("first_rel_rank"),
+        )
+    )
+    return (
+        nrel.join(F.broadcast(hits), "bench_doc_id", "left")
+        .select(
+            "bench_doc_id",
+            "n_relevant",
+            F.coalesce("hits10", F.lit(0)).cast("long").alias("n_hits_at_10"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)),
+                4,
+            ).alias("rr_at_10"),
+            F.round(
+                F.coalesce("hits10", F.lit(0)).cast("double")
+                / F.col("n_relevant"),
+                4,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("bench_doc_id")
+    )

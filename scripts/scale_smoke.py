@@ -260,6 +260,11 @@ QUERIES = (
     # corpus here), not the corpus re-score.
     "maintenance_plan_metrics_audit",
     "pipeline_decontamination_incremental",
+    # the retrieval quality gate: posting lists are bounded by the
+    # hot-set df cap and the query side is eval-suite-sized, so the
+    # row should track the shingle relation's build cost, not the
+    # corpus pair space.
+    "retrieval_eval_mrr",
 )
 
 
