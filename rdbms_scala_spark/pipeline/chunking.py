@@ -613,7 +613,10 @@ def pipeline_decontamination_report(
         F.col("doc_id").alias("bench_doc_id"), "shingle"
     )
     contam = (
+        # doc-aligned (see dedup_contamination_check): the repartition
+        # makes the overlap aggregate and the distinct exchange-free
         sh.filter(F.col("doc_id") % 29 != 0)
+        .repartition("doc_id")
         .join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -631,7 +634,11 @@ def pipeline_decontamination_report(
         .agg(F.sum("span_tokens").cast("long").alias("dup_tokens"))
     )
     base = (
-        assigned.join(contam, "doc_id", "left")
+        # explicit broadcast: the repartition above hides contam's
+        # (tiny) size from the static planner, which would otherwise
+        # fall back to a sort-merge join; the flag relation is the
+        # removal list — threshold-bounded output, ≪ corpus
+        assigned.join(F.broadcast(contam), "doc_id", "left")
         .join(ntok, "doc_id", "left")
         .join(dupd, "doc_id", "left")
         .select(
@@ -786,9 +793,14 @@ def _contam_flags(bench: DataFrame, train_sh: DataFrame) -> DataFrame:
     """Contamination flag ids: docs sharing >= 3 distinct capped
     trigrams with ANY single bench doc (the check's threshold), as a
     distinct doc_id relation. The bench side broadcasts (eval suites
-    are megabytes against 100 TB)."""
+    are megabytes against 100 TB); the train side is doc_id-aligned
+    first so the overlap aggregate and the distinct run exchange-free
+    (see dedup_contamination_check — for the v0 standing-flag caller
+    this is the corpus-sized pass, for the delta caller it is
+    batch-sized either way)."""
     return (
-        train_sh.join(F.broadcast(bench), "shingle")
+        train_sh.repartition("doc_id")
+        .join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)

@@ -1605,7 +1605,18 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = sh.filter(is_bench).select(
         F.col("doc_id").alias("bench_doc_id"), "shingle"
     )
-    train = sh.filter(~is_bench)
+    # Doc-aligned layout (the retrieval_eval_mrr lesson, measured
+    # there at x64: 26.8 -> 9.4 s for the pair aggregate alone): one
+    # explicit doc_id repartition of the train side makes every
+    # downstream aggregate exchange-free — HashPartitioning(doc_id)
+    # satisfies the clustered distribution of BOTH the (doc, bench)
+    # overlap groupBy (fan-out partials otherwise shuffle with a poor
+    # combine ratio: ~3.5 fan-out rows per pair) and the per-doc
+    # argmax/size aggregates, and the final top⋈sizes join is
+    # co-partitioned. The broadcast probe preserves the layout, so
+    # the only exchange in the whole plan is this corpus-row
+    # repartition (15.8M rows at x64, ~0.5 s).
+    train = sh.filter(~is_bench).repartition("doc_id")
     sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     overlap = (
         train.join(F.broadcast(bench), "shingle")
@@ -3991,7 +4002,10 @@ def dedup_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = sh.filter(F.col("doc_id") % 29 == 0).select(
         F.col("doc_id").alias("bench_doc_id"), "shingle"
     )
-    tr = sh.filter(F.col("doc_id") % 29 != 0)
+    # Doc-aligned train side (see dedup_contamination_check): the one
+    # repartition makes the (doc, bench) overlap aggregate, the
+    # per-doc max, and the distinct-doc total all exchange-free.
+    tr = sh.filter(F.col("doc_id") % 29 != 0).repartition("doc_id")
     per_doc = (
         tr.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_doc_id")
