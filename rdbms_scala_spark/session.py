@@ -54,6 +54,23 @@ def get_spark(app_name: str = "rdbms_scala_spark", master: str | None = None) ->
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         # --- IO ------------------------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Scan-split packing weight per file (guide §6): Spark sizes
+        # splits at min(maxPartitionBytes, max(openCostInBytes,
+        # totalBytes / minPartitionNum)), so the DEFAULT 4 MB open
+        # cost — spinning-disk seek economics — floors every split at
+        # 4 MB and caps a small table's scan parallelism at
+        # size/4 MB tasks regardless of core count (an 11 MB input
+        # scans as 3 tasks on 32 cores; measured r15: the sketch-stats
+        # md5 pass ran 2.1 s on 3 of 32 cores). 512 KB reflects
+        # NVMe/page-cache open latency; at 100 TB splits are
+        # maxPartitionBytes-bound and this knob is inert — it only
+        # governs how far a SMALL input fans out. Env-overridable for
+        # cluster profiles where file-open is genuinely expensive
+        # (cold object stores with many small files).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "524288"),
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise rejected;
