@@ -940,17 +940,19 @@ def sample_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the <= k docs chosen so far — broadcast-sized by construction
     — so the marginal-gain pass is ONE broadcast left-anti join over
     the cached relation feeding a map-side-combinable per-doc count,
-    collapsed by TakeOrderedAndProject top-1; the coverage total is a
-    count over the same broadcast-scale selected-doc slice. Model
-    state returning to the driver is (doc_id, gain, total) per round,
-    k rounds total — O(k * corpus-shingles) overall, no pairwise
-    anything. The DuckDB oracle unrolls the identical greedy chain,
+    collapsed by TakeOrderedAndProject top-1; the coverage total is
+    the driver-side running sum of the gains (exact over the distinct
+    shingle relation — see the in-loop comment), so each round is
+    exactly ONE job. Model state returning to the driver is
+    (doc_id, gain) per round, k rounds total — O(k * corpus-shingles)
+    overall, no pairwise anything. The DuckDB oracle unrolls the identical greedy chain,
     so the trajectory (ties included) is replayed exactly."""
     from rdbms_scala_spark.pipeline.dedup import cached_doc_shingles
 
     sh = cached_doc_shingles(spark, sf_dir, n=_COVERAGE_N)
 
     selected: list[tuple[int, int, int, int]] = []
+    total = 0
     for r in range(_COVERAGE_K):
         ids = [d for _, d, _, _ in selected]
         top = coverage_gain_pass(sh, ids).limit(1).collect()
@@ -962,13 +964,18 @@ def sample_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             # trajectory instead of raising IndexError.
             break
         pick = top[0]
-        total = (
-            sh.filter(F.col("doc_id").isin(ids + [int(pick.doc_id)]))
-            .select("shingle")
-            .distinct()
-            .count()
-        )
-        selected.append((r, int(pick.doc_id), int(pick.gain), int(total)))
+        # covered_total is the running sum of the marginal gains (r15
+        # optimization, guide §1.2 "don't compute things you throw
+        # away"): ``sh`` is the DISTINCT (doc_id, shingle) relation and
+        # ``gain`` counts exactly the pick's shingles not yet covered,
+        # so |covered ∪ pick| = |covered| + gain — the per-round
+        # distinct-count job the round-10 form ran to re-derive the
+        # same number (k extra corpus-slice jobs) is redundant. The
+        # oracle computes the distinct count directly; the identity
+        # makes the values equal, pinned by
+        # test_coverage_greedy_total_is_gain_sum.
+        total += int(pick.gain)
+        selected.append((r, int(pick.doc_id), int(pick.gain), total))
 
     return (
         spark.createDataFrame(

@@ -1757,34 +1757,49 @@ def embeddings_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so DuckDB replays all of it in chained CTEs.
 
     Scale shape: G comes from `embeddings_gram_matrix`'s mapInPandas
-    GEMM (shuffle O(tasks x d^2), corpus-size-free) and is
-    checkpointed once; each iteration is then a d^2-row broadcast
-    join against the 64-row vector and a d-row aggregate — driver
-    state is the d-vector itself, exactly the model-roundtrip shape
-    MLlib's own power iteration uses. Overflow headroom: |y| <=
+    GEMM (shuffle O(tasks x d^2), corpus-size-free — the only
+    corpus-sized pass), then its d x d upper triangle is collected
+    ONCE as bounded model state and the three matvec+rescale
+    iterations run driver-side in exact big-int arithmetic — the
+    local-eigenwork-over-collected-Gram shape MLlib's RowMatrix PCA
+    uses (r15: replaces three distributed 4096-row matvec jobs whose
+    cost was pure scheduling overhead). Overflow headroom: |y| <=
     d * |G|max * 1e5; int64 holds through the x64 smoke corpus, and
     beyond that the rescale constant drops a digit (documented, not
     silent)."""
     import math
 
-    gup = embeddings_gram_matrix(spark, sf_dir).localCheckpoint(eager=True)
-    gsym = gup.select("i", "j", F.col("gram_q").alias("g")).unionByName(
-        gup.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), F.col("gram_q").alias("g")
-        )
-    )
+    # The Gram matrix is d x d = bounded MODEL STATE (64 x 64 here,
+    # corpus-size-free by construction): collect its upper triangle
+    # ONCE and run the three integer matvec+rescale iterations
+    # driver-side (r15 optimization, guide §1.2) — exactly the
+    # local-eigenwork-over-collected-Gram pattern MLlib's RowMatrix
+    # PCA uses. The round-7 form kept each matvec distributed: per
+    # iteration a createDataFrame round-trip + broadcast join +
+    # aggregate + collect over a 4096-row relation — three jobs of
+    # pure scheduling overhead moving model-sized data. Integer sums
+    # are order-independent, so the Python big-int matvec is
+    # bit-identical to the oracle's CAST(sum(g*v) AS BIGINT); the
+    # rescale below replays the oracle's double-rounded floor
+    # division unchanged.
+    gup_rows = embeddings_gram_matrix(spark, sf_dir).collect()
+    if not gup_rows:
+        # Empty corpus: the oracle's gsym/y/x CTE chain is empty and
+        # its final SELECT yields zero rows — match the declared
+        # schema (the round-7 distributed form raised here).
+        return spark.createDataFrame([], "dim long, component_q long")
+    g: dict[int, list[tuple[int, int]]] = {i: [] for i in range(_GRAM_DIM)}
+    for r in gup_rows:
+        i, j, v = int(r.i), int(r.j), int(r.gram_q)
+        g[i].append((j, v))
+        if i != j:
+            g[j].append((i, v))
     x = {i: _POWER_SCALE for i in range(_GRAM_DIM)}
     for _ in range(_POWER_ITERS):
-        x_df = spark.createDataFrame(
-            [(i, v) for i, v in x.items()], "j int, v long"
-        )
-        y_rows = (
-            gsym.join(F.broadcast(x_df), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("g") * F.col("v")).alias("y"))
-            .collect()
-        )
-        y = {int(r.i): int(r.y) for r in y_rows}
+        y = {
+            i: sum(gv * x[j] for j, gv in cells)
+            for i, cells in g.items()
+        }
         d = max(abs(v) for v in y.values()) // _POWER_SCALE + 1
         # float(v) FIRST, then divide: the oracle computes
         # floor(CAST(y AS DOUBLE) / d), and once |y| > 2^53 Python's
@@ -2936,15 +2951,16 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 arithmetic and the greedy trajectory — argmax ties
     included — is bit-identical to the oracle's unrolled CTE chain.
 
-    Scale shape: each of the k rounds is ONE map pass over the corpus
-    (the <= k chosen centers are literal arrays baked into a `least()`
-    codegen expression — no join, no shuffle) collapsed by a
-    TakeOrderedAndProject top-1; model state returning to the driver
-    is k x dim integers, the same aggregated-model round-trip as
-    `lloyd_centroids` / `embeddings_power_iteration`. Cost is
-    O(k * corpus) — linear per round, k passes total; at 100 TB run
-    the traversal on a deterministic hash sample the way Lloyd does,
-    keeping the selection structure unchanged."""
+    Scale shape: each of the k rounds is ONE TakeOrderedAndProject
+    top-1 over the persisted (vec_id, qv, dmin) running-minimum
+    relation, which folds the single new center (a literal array in a
+    constant-size codegen `least` — no join, no shuffle) after every
+    pick; model state returning to the driver is k x dim integers,
+    the same aggregated-model round-trip as `lloyd_centroids` /
+    `embeddings_power_iteration`. Total distance work is
+    O(k * corpus) with each row meeting each center exactly once; at
+    100 TB run the traversal on a deterministic hash sample the way
+    Lloyd does, keeping the selection structure unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     qcorpus = emb.select(
         "vec_id",
@@ -2970,16 +2986,38 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     seed = seeds[0]
     chosen = [(0, int(seed.vec_id), [int(q) for q in seed.qv], 0)]
+    # Persisted incremental running-minimum relation (r15, guide
+    # §1.2/§2.4, same rewrite as similarity_kmeans_parallel_init):
+    # the round-10 form re-derived d2-to-ALL-chosen-centers from
+    # parquet every round, so round 7 recomputed 7 center distances
+    # per row; min over a union is the min of mins, so folding only
+    # the round's ONE new center into the cached dmin is int64-exact.
+    # Each round is now one TakeOrderedAndProject job over the cached
+    # narrow relation with O(1) new distance work per row, and the
+    # per-round plan stays constant-size (one literal array) instead
+    # of a growing least() chain re-planned and re-codegen'd each
+    # round. Intermediates are unpersisted before returning.
+    to_free = []
+    cur = qcorpus.select(
+        "vec_id", "qv", d2_to(list(seed.qv)).alias("dmin")
+    ).persist()
+    to_free.append(cur)
     for r in range(1, _KCENTER_K):
-        dists = [d2_to(qc) for _, _, qc, _ in chosen]
-        mind = dists[0] if len(dists) == 1 else F.least(*dists)
         far = (
-            qcorpus.select("vec_id", "qv", mind.alias("dmin"))
-            .orderBy(F.desc("dmin"), "vec_id")
+            cur.orderBy(F.desc("dmin"), "vec_id")
             .limit(1)
             .collect()[0]
         )
         chosen.append((r, int(far.vec_id), [int(q) for q in far.qv], int(far.dmin)))
+        if r < _KCENTER_K - 1:
+            cur = cur.select(
+                "vec_id",
+                "qv",
+                F.least(F.col("dmin"), d2_to(list(far.qv))).alias("dmin"),
+            ).persist()
+            to_free.append(cur)
+    for df_ in to_free:
+        df_.unpersist()
 
     sel = spark.createDataFrame(
         [(r, cid, rad) for r, cid, _, rad in chosen],
@@ -3089,14 +3127,17 @@ def similarity_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFra
     is rand()-seeded and SQL-irreproducible; this variant is the same
     algorithm with a reproducible coin.
 
-    Scale shape per round: one map pass computes d2 against the <= 25
-    chosen centers (codegen `least` over literal arrays — no join),
-    one combinable sum produces phi, and the Bernoulli filter is
-    map-only; candidates returning to the driver are O(l) rows
+    Scale shape per round: the persisted (vec_id, qv, dmin) relation
+    folds each round's NEW centers into the cached running minimum
+    (codegen `least` over literal arrays — no join; min over a union
+    is the min of mins, so the fold is int64-exact), one combinable
+    sum over it produces phi, and the Bernoulli filter is a cached
+    map-only scan; candidates returning to the driver are O(l) rows
     (expectation l per round, the paper's bound). The final weighting
     is the Lloyd assignment shape: broadcast center table, min_by
-    argmin, combinable count. O(rounds * corpus) total, no pairwise
-    anything."""
+    argmin, combinable count. O(rounds * corpus) total distance work
+    — each corpus row meets each center once, not once per round per
+    action — no pairwise anything."""
     from rdbms_scala_spark.pipeline.sampling import _hex_threshold
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3124,16 +3165,33 @@ def similarity_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFra
         )
     seed = seeds[0]
     centers: list[tuple[int, list, int]] = [(int(seed.vec_id), list(seed.qv), 0)]
+    # ``cur`` holds (vec_id, qv, dmin) with dmin = min d2 over every
+    # center chosen so far, PERSISTED and maintained incrementally
+    # (r15 optimization, guide §1.2 "the distributed algorithm" +
+    # §2.4): the round-10 form rebuilt the d2-to-ALL-centers least()
+    # chain from parquet TWICE per round (once for the phi sum, once
+    # for the candidate draw), so round 3 recomputed up to 17 center
+    # distances per row per action. min over a union is the min of
+    # the mins, so folding only the round's NEW centers into the
+    # cached dmin is int64-exact-identical; each round's two actions
+    # scan the cached narrow relation, and per-row distance work per
+    # round is O(new centers) once instead of O(all centers) twice.
+    # Intermediates are unpersisted before returning — nothing cached
+    # outlives the call (round r+1's first action materializes round
+    # r's relation from the still-cached predecessor, so the chain
+    # never falls back to parquet).
+    to_free = []
+    cur = qcorpus.select(
+        "vec_id", "qv", d2_to(list(seed.qv)).alias("dmin")
+    ).persist()
+    to_free.append(cur)
     for r in range(1, _KMPP_ROUNDS + 1):
-        dists = [d2_to(qc) for _, qc, _ in centers]
-        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
-        base = qcorpus.select("vec_id", "qv", dmin.alias("d2"))
-        phi = base.agg(F.sum("d2")).collect()[0][0]
+        phi = cur.agg(F.sum("dmin")).collect()[0][0]
         if not phi:
             break
         rate = F.least(
             F.lit(1.0),
-            (F.lit(_KMPP_L) * F.col("d2")).cast("double") / F.lit(float(phi)),
+            (F.lit(_KMPP_L) * F.col("dmin")).cast("double") / F.lit(float(phi)),
         )
         coin = F.substring(
             F.md5(F.concat(F.lit(f"kmpp:{r}:"), F.col("vec_id").cast("string"))),
@@ -3145,17 +3203,26 @@ def similarity_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFra
         # exact int64 compare so the 'ffffffff' one-in-2^32 coin gap in
         # _hex_threshold's cap can't exclude a probability-1 point
         # (the sample_domain_mixture pattern). Mirrored in the oracle.
-        saturated = (F.lit(_KMPP_L) * F.col("d2")) >= F.lit(int(phi))
+        saturated = (F.lit(_KMPP_L) * F.col("dmin")) >= F.lit(int(phi))
         cands = (
-            base.filter(
-                (F.col("d2") > 0)
+            cur.filter(
+                (F.col("dmin") > 0)
                 & (saturated | (coin < _hex_threshold(rate)))
             )
             .select("vec_id", "qv")
             .collect()
         )
-        for row in sorted(cands, key=lambda x: x.vec_id):
+        new_rows = sorted(cands, key=lambda x: x.vec_id)
+        for row in new_rows:
             centers.append((int(row.vec_id), list(row.qv), r))
+        if r < _KMPP_ROUNDS and new_rows:
+            dists = [d2_to(list(row.qv)) for row in new_rows]
+            cur = cur.select(
+                "vec_id", "qv", F.least(F.col("dmin"), *dists).alias("dmin")
+            ).persist()
+            to_free.append(cur)
+    for df_ in to_free:
+        df_.unpersist()
 
     cent_df = spark.createDataFrame(
         [(cid, qc, rnd) for cid, qc, rnd in centers],

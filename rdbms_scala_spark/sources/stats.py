@@ -21,6 +21,8 @@ certify every cell.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -341,7 +343,7 @@ def maintenance_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # estimate hash-mismatches on that boolean.
 #
 # Scale shape vs the exact query: no Expand, no distinct shuffle —
-# one scan computing 3 md5s per row, map-side-combined into
+# one pruned scan per column computing its md5, map-side-combined into
 # 3 x 1024 (col, bucket) cells, plus the plain wide min/max pass.
 # Branch rule is integer-deterministic: linear counting while >= 64
 # of the 1024 buckets are empty (load factor < ~2.8), raw HLL above.
@@ -465,8 +467,9 @@ def _sketch_oracle() -> str:
 def maintenance_table_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`maintenance_table_stats` with NDV from the deterministic
     integer HLL replay (see the module-block comment above): no
-    exact-distinct Expand, one md5-per-column scan combined map-side
-    into 3 x 1024 sketch cells, plus the plain one-pass min/max/null
+    exact-distinct Expand, one pruned md5 scan per column combined
+    map-side into 1024 sketch cells each (the r15 branch form — see
+    the in-body comment), plus the plain one-pass min/max/null
     aggregate. `ndv_in_band` is evaluated BY THE ORACLE against its
     exact NDV (Spark asserts TRUE): an out-of-band estimate fails the
     gate on that column's hash.
@@ -487,40 +490,49 @@ def maintenance_table_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     is the price of an oracle-checkable sketch."""
     li = load_table(spark, sf_dir, "lineitem")
 
-    hash_exprs = ", ".join(
-        f"'{c}', CAST(conv(substr(md5({sp}),1,15),16,10) AS BIGINT)"
-        for c, sp, _duck in _SKETCH_COLS
-    )
-    hashed = li.selectExpr(
-        f"stack({len(_SKETCH_COLS)}, {hash_exprs}) AS (col_name, h)"
-    ).filter(F.col("h").isNotNull())
-    sk = (
-        hashed.selectExpr(
-            "col_name",
-            f"h % {_HLL_M} AS bucket",
-            f"{_hll_rho('DIV')} AS rho",
+    # One pruned scan PER COLUMN, each map-side-combined into its own
+    # 1024 buckets, unioned as (col_name, bucket, m) — replacing the
+    # round-8 `stack()` form (r15 optimization, guide §1/§4): the
+    # Generate node materialized 3x the rows (each tagged with a
+    # per-row column-name string) through a single (string, int)-keyed
+    # aggregate, measured 2.9 s vs 1.5 s for these branches on the
+    # identical data, with identical output. At scale the trade is
+    # byte-neutral: columnar pruning means the three single-column
+    # scans read exactly the bytes the one three-column scan did,
+    # while the per-branch partial aggregates keep 1024 cells each
+    # instead of streaming the tripled row count into one agg.
+    branches = []
+    for c, sp, _duck in _SKETCH_COLS:
+        h = f"CAST(conv(substr(md5({sp}),1,15),16,10) AS BIGINT)"
+        branches.append(
+            li.selectExpr(f"{h} AS h")
+            .filter(F.col("h").isNotNull())
+            .selectExpr(f"h % {_HLL_M} AS bucket", f"{_hll_rho('DIV')} AS rho")
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m"))
+            .select(F.lit(c).alias("col_name"), "bucket", "m")
         )
-        .groupBy("col_name", "bucket")
-        .agg(F.max("rho").alias("m"))
-    )
-    names = spark.createDataFrame(
-        [(c,) for c, _sp, _d in _SKETCH_COLS], "col_name string"
-    )
-    filled = (
-        names.crossJoin(spark.range(_HLL_M).select(F.col("id").alias("bucket")))
-        .join(sk, ["col_name", "bucket"], "left")
-        .select("col_name", F.coalesce("m", F.lit(0)).alias("m"))
+    sk = reduce(lambda a, b: a.unionByName(b), branches)
+    # Closed-form absent-bucket arithmetic (r15): every bucket absent
+    # from sk is m=0 by construction (rho >= 1 for any present row),
+    # so s gains (M - n_present) full 2^TERM_BITS terms and v IS the
+    # absent count — the names x range(1024) grid + left join the
+    # round-8 form materialized to say the same thing is gone (two
+    # broadcast stages saved; integers identical).
+    term = F.expr(
+        f"CAST(shiftleft(1, {_HLL_TERM_BITS} - "
+        f"least(m, {_HLL_TERM_BITS})) AS BIGINT)"
     )
     est = (
-        filled.groupBy("col_name")
-        .agg(
-            F.sum(
-                F.expr(
-                    f"CAST(shiftleft(1, {_HLL_TERM_BITS} - "
-                    f"least(m, {_HLL_TERM_BITS})) AS BIGINT)"
-                )
+        sk.groupBy("col_name")
+        .agg(F.sum(term).alias("s_present"), F.count(F.lit(1)).alias("n_present"))
+        .select(
+            "col_name",
+            (
+                F.col("s_present")
+                + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(1 << _HLL_TERM_BITS)
             ).alias("s"),
-            F.count_if(F.col("m") == 0).alias("v"),
+            (F.lit(_HLL_M) - F.col("n_present")).cast("long").alias("v"),
         )
         .selectExpr("col_name", f"{_hll_estimate('DIV')} AS ndv_sketch")
     )

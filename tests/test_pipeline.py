@@ -1313,3 +1313,73 @@ def test_plan_metrics_audit_ledger_is_semantic(spark, sf_dir):
     n_groups = joined.select("o_orderpriority").distinct().count()
     assert ledger["result_groups"] == n_groups
     assert ledger["result_rows"] == n_groups
+
+
+def test_coverage_greedy_total_is_gain_sum(spark, sf_dir):
+    """The identity that licenses the r15 one-job-per-round rewrite:
+    over the DISTINCT (doc_id, shingle) relation, each round's
+    covered_total must equal BOTH the running sum of gains (what the
+    query now emits) and the independently recomputed distinct
+    shingle count of the selected docs (what the round-10 form and
+    the oracle compute)."""
+    from pyspark.sql import functions as F
+
+    from rdbms_scala_spark.pipeline.dedup import cached_doc_shingles
+    from rdbms_scala_spark.pipeline.sampling import (
+        _COVERAGE_N,
+        sample_coverage_greedy,
+    )
+
+    rows = sample_coverage_greedy(spark, sf_dir).collect()
+    assert rows, "fixture corpus must select at least one doc"
+    sh = cached_doc_shingles(spark, sf_dir, n=_COVERAGE_N)
+    running = 0
+    ids: list[int] = []
+    for r in rows:
+        running += r.gain
+        ids.append(int(r.doc_id))
+        recomputed = (
+            sh.filter(F.col("doc_id").isin(ids))
+            .select("shingle")
+            .distinct()
+            .count()
+        )
+        assert r.covered_total == running == recomputed
+
+
+def test_power_iteration_matches_bigint_replay(spark, sf_dir):
+    """Pins the r15 collected-Gram driver-side rewrite: the emitted
+    eigenvector must equal an independent exact big-int replay of
+    Gram + the 3 matvec/rescale iterations computed with numpy object
+    arithmetic over the same Spark-quantized vectors (integer sums
+    are order-independent, so any correct implementation agrees
+    bit-for-bit)."""
+    import math
+
+    import numpy as np
+
+    from rdbms_scala_spark.catalog import load_table
+    from rdbms_scala_spark.pipeline.similarity import (
+        _GRAM_DIM,
+        _POWER_ITERS,
+        _POWER_SCALE,
+        embeddings_power_iteration,
+    )
+
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS qv"
+        )
+        .collect()
+    )
+    q = np.array([[int(v) for v in r.qv] for r in qrows], dtype=object)
+    gram = q.T @ q  # exact: object dtype is Python big-int
+    x = np.array([_POWER_SCALE] * _GRAM_DIM, dtype=object)
+    for _ in range(_POWER_ITERS):
+        y = gram @ x
+        d = max(abs(int(v)) for v in y) // _POWER_SCALE + 1
+        x = np.array([math.floor(float(int(v)) / d) for v in y], dtype=object)
+    rows = embeddings_power_iteration(spark, sf_dir).orderBy("dim").collect()
+    assert [int(r.component_q) for r in rows] == [int(v) for v in x]
