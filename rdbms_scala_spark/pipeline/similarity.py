@@ -1405,34 +1405,59 @@ def adaptive_lsh_buckets(emb: DataFrame) -> DataFrame:
     depth and every member of a bucket agrees on its final level);
     vectors whose bucket is still oversized at max depth are dropped.
 
-    Shuffle shape: the codes relation (8 rows per vector, one long
-    each) is localCheckpointed, then aggregated once per level into a
-    (band, prefix) -> count relation that is BROADCAST back — the
-    count relations are bounded by the code space (8 bands x 2^13 =
-    65,536 rows at the deepest level) regardless of corpus size, so
-    the per-level joins never shuffle the big relation. ``emb`` must
-    carry ``vec_id`` and an array<double> column ``v``."""
+    Shuffle shape (r15, guide §1.2/§2.4): the codes relation (8 rows
+    per vector, one long each) is localCheckpointed, then aggregated
+    ONCE at the deepest prefix into the (band, deep-prefix) -> count
+    relation — bounded by the code space (8 bands x 2^13 = 65,536
+    rows at the deepest level) REGARDLESS of corpus size, i.e. model
+    state. Coarser levels' counts nest (a level-lv bucket is the sum
+    of its deeper refinements), so the whole first-fitting-level
+    decision is a pure function of (band, deep prefix): it is rolled
+    up driver-side over the bounded relation and broadcast back as a
+    single (band, deep-prefix, lvl) map joined once to the codes —
+    replacing the round-8 form's 9 per-level corpus aggregations and
+    9 broadcast joins with 1 aggregation + 1 bounded collect + 1
+    broadcast join (identical assignments: same counts, same
+    first-fitting rule). ``emb`` must carry ``vec_id`` and an
+    array<double> column ``v``."""
+    from collections import defaultdict
+
     codes = emb.select(
         "vec_id", F.posexplode(_adaptive_code_udf()("v")).alias("band", "code")
     ).localCheckpoint(eager=True)
-    cur = codes
-    for lv in range(_TRI_LSH_LEVELS + 1):
-        mask = (1 << (_LSH_ROWS + lv)) - 1
-        cnt = codes.groupBy(
-            F.col("band").alias(f"cb{lv}"),
-            F.col("code").bitwiseAND(F.lit(mask)).alias(f"ck{lv}"),
-        ).agg(F.count(F.lit(1)).alias(f"n{lv}"))
-        cur = cur.join(
-            F.broadcast(cnt),
-            (F.col("band") == F.col(f"cb{lv}"))
-            & (F.col("code").bitwiseAND(F.lit(mask)) == F.col(f"ck{lv}")),
-        ).drop(f"cb{lv}", f"ck{lv}")
-    lvl = F.when(F.col("n0") <= _TRI_LSH_CAP, 0)
-    for lv in range(1, _TRI_LSH_LEVELS + 1):
-        lvl = lvl.when(F.col(f"n{lv}") <= _TRI_LSH_CAP, lv)
+    deep_mask = (1 << (_LSH_ROWS + _TRI_LSH_LEVELS)) - 1
+    cnt_rows = (
+        codes.groupBy(
+            "band", F.col("code").bitwiseAND(F.lit(deep_mask)).alias("ck")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_level: list[dict] = [defaultdict(int) for _ in range(_TRI_LSH_LEVELS + 1)]
+    for r in cnt_rows:
+        for lv in range(_TRI_LSH_LEVELS + 1):
+            per_level[lv][(r.band, r.ck & ((1 << (_LSH_ROWS + lv)) - 1))] += r.n
+    assign = []
+    for r in cnt_rows:
+        for lv in range(_TRI_LSH_LEVELS + 1):
+            if (
+                per_level[lv][(r.band, r.ck & ((1 << (_LSH_ROWS + lv)) - 1))]
+                <= _TRI_LSH_CAP
+            ):
+                assign.append((int(r.band), int(r.ck), lv))
+                break
+        # no qualifying level: the deep prefix is simply absent from
+        # the map and its vectors drop out of the (inner) join below,
+        # replaying the round-8 form's lvl-IS-NULL filter
+    lvl_df = emb.sparkSession.createDataFrame(
+        assign, "lband int, lck long, lvl int"
+    )
     return (
-        cur.withColumn("lvl", lvl)
-        .filter(F.col("lvl").isNotNull())
+        codes.join(
+            F.broadcast(lvl_df),
+            (F.col("band") == F.col("lband"))
+            & (F.col("code").bitwiseAND(F.lit(deep_mask)) == F.col("lck")),
+        )
         .select(
             "vec_id",
             "band",

@@ -1157,19 +1157,41 @@ def streaming_throughput_progress(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         input_dir = os.path.join(workdir, "input")
         os.makedirs(input_dir)
-        for i in range(k):
-            d = os.path.join(workdir, f"w{i}")
-            ev.filter(F.col("event_id") % k == i).coalesce(1).write.parquet(d)
-            [part] = glob.glob(os.path.join(d, "part-*.parquet"))
-            dst = os.path.join(input_dir, f"b{i}.parquet")
-            shutil.copy(part, dst)
-            os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
         schema = T.StructType(
             [
                 T.StructField("event_id", T.LongType()),
                 T.StructField("event_type", T.StringType()),
             ]
         )
+        # ONE source pass splits all k residue files (r15, guide
+        # §1.2): repartition(k, residue) sends each residue class to
+        # exactly one task and partitionBy writes it as that class's
+        # single file — the round-14 form re-scanned the source k
+        # times (filter residue -> coalesce(1) -> write, k separate
+        # jobs). An empty residue class writes no directory under
+        # partitionBy, so it falls back to an explicit empty file:
+        # b{i}.parquet must exist for EVERY residue or the file-source
+        # log's 0-based offsets (= batch_seq, the oracle's residue
+        # identity — ADVICE r14) would renumber the later files.
+        base = os.path.join(workdir, "w")
+        (
+            ev.withColumn("r", (F.col("event_id") % k).cast("int"))
+            .repartition(k, "r")
+            .write.partitionBy("r")
+            .parquet(base)
+        )
+        for i in range(k):
+            hits = glob.glob(os.path.join(base, f"r={i}", "part-*.parquet"))
+            if not hits:
+                d_empty = os.path.join(workdir, f"empty{i}")
+                spark.createDataFrame([], schema).coalesce(1).write.parquet(
+                    d_empty
+                )
+                hits = glob.glob(os.path.join(d_empty, "part-*.parquet"))
+            [part] = hits
+            dst = os.path.join(input_dir, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
         stream = (
             spark.readStream.schema(schema)
             .format("parquet")

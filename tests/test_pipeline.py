@@ -1383,3 +1383,57 @@ def test_power_iteration_matches_bigint_replay(spark, sf_dir):
         x = np.array([math.floor(float(int(v)) / d) for v in y], dtype=object)
     rows = embeddings_power_iteration(spark, sf_dir).orderBy("dim").collect()
     assert [int(r.component_q) for r in rows] == [int(v) for v in x]
+
+
+def test_adaptive_lsh_buckets_first_fitting(spark, sf_dir):
+    """Pins the r15 single-aggregation rewrite of the occupancy-
+    adaptive bucket ladder: every emitted (vec_id, band) row must sit
+    in the FIRST prefix level whose bucket holds <= cap members
+    (recomputed independently per level from the code relation), and
+    every dropped row must be oversized at every level."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from rdbms_scala_spark.catalog import load_table
+    from rdbms_scala_spark.pipeline.similarity import (
+        _LSH_ROWS,
+        _TRI_LSH_CAP,
+        _TRI_LSH_LEVELS,
+        _adaptive_code_udf,
+        _as_double,
+        adaptive_lsh_buckets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    codes = {
+        (r.vec_id, r.band): r.code
+        for r in emb.select(
+            "vec_id", F.posexplode(_adaptive_code_udf()("v")).alias("band", "code")
+        ).collect()
+    }
+
+    def prefix(code, lv):
+        return code & ((1 << (_LSH_ROWS + lv)) - 1)
+
+    counts = [Counter() for _ in range(_TRI_LSH_LEVELS + 1)]
+    for (_vid, band), code in codes.items():
+        for lv in range(_TRI_LSH_LEVELS + 1):
+            counts[lv][(band, prefix(code, lv))] += 1
+
+    out = adaptive_lsh_buckets(emb).collect()
+    assert out, "fixture corpus must bucket at least one (vec, band)"
+    seen = set()
+    for r in out:
+        code = codes[(r.vec_id, r.band)]
+        assert r.bucket == prefix(code, r.lvl)
+        assert counts[r.lvl][(r.band, r.bucket)] <= _TRI_LSH_CAP
+        for lv in range(r.lvl):
+            assert counts[lv][(r.band, prefix(code, lv))] > _TRI_LSH_CAP
+        seen.add((r.vec_id, r.band))
+    for (vid, band), code in codes.items():
+        if (vid, band) not in seen:
+            for lv in range(_TRI_LSH_LEVELS + 1):
+                assert counts[lv][(band, prefix(code, lv))] > _TRI_LSH_CAP
