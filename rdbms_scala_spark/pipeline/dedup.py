@@ -1100,7 +1100,10 @@ def connected_components_edges(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        # lazy: the probe's aggregate below is the materializing action
+        # (r15 — an eager checkpoint here doubled the per-round job
+        # count: one job to checkpoint, one to probe the same rows)
+        .localCheckpoint(eager=False)
     )
 
     def probe(df: DataFrame):
@@ -1139,7 +1142,7 @@ def connected_components_edges(
             .union(star.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # probe(E) materializes it
         )
         rounds += 1
         cur = probe(E)

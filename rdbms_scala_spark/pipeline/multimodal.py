@@ -906,7 +906,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .distinct()
-        .localCheckpoint()
+        # lazy: count() below is the materializing action (r15 — eager
+        # checkpointing doubled every peel round's job count)
+        .localCheckpoint(eager=False)
     )
     n_edges = E.count()
     for _ in range(_KCORE_ORACLE_ROUNDS):
@@ -918,7 +920,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             E.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # E.count() materializes it
         )
         cur = E.count()
         if cur == n_edges:
