@@ -3253,6 +3253,11 @@ def similarity_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFra
         [(cid, qc, rnd) for cid, qc, rnd in centers],
         "cent_id long, qc array<bigint>, round int",
     )
+    # (r15 note: a map-only literal-centroid argmin — array_min over
+    # 25 (d2, cent_id) structs — was tried here and measured ~1 s
+    # SLOWER than this broadcast+min_by shape in order-controlled
+    # A/Bs; the giant single interpreted projection lost to the
+    # fanned-out-but-small HOF evaluations. Kept the measured winner.)
     d2 = F.expr(
         "aggregate(zip_with(qv, qc, (a, b) -> (a - b) * (a - b)), "
         "0L, (acc, x) -> acc + x)"
