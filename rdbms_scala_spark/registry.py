@@ -51,9 +51,9 @@ def _family(name: str) -> str:
 
 
 # Queries that earned a full rows+schema+hash green row in ANY prior
-# external driver correctness gate (union of CORRECTNESS_r01..r13 —
-# 340 of the 343 registered queries; the 3 gaps are round-13 late
-# additions that landed after the r13 prefix was consumed). From
+# external driver correctness gate (union of CORRECTNESS_r01..r15 —
+# all 349 registered queries; the r13 late additions were certified
+# in r14 and the 3 r15 additions in CORRECTNESS_r15). From
 # round 14 this set is the HISTORICAL UNION and is no longer edited
 # to force rotation — the per-round rotation is expressed by the two
 # explicit rotation sets below, so the tier logic reads as policy:
@@ -162,6 +162,8 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "pipeline_quality_funnel", "pipeline_scd2_dimension",
     "pipeline_snapshot_diff", "pipeline_snapshot_time_travel",
     "pipeline_snapshot_vacuum", "pipeline_token_budget_mixture",
+    "pipeline_decontamination_incremental", "retrieval_eval_mrr",
+    "maintenance_plan_metrics_audit",
     "pipeline_training_manifest", "pipeline_upsert_snapshot",
     "pivot_event_type", "project_expressions", "retrieval_hybrid_rrf",
     "sample_coverage_greedy", "sample_deterministic_hash",
@@ -219,52 +221,44 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "window_topn_per_group", "window_value_functions"
 })
 
-# Round-15 rotation (r14 verdict #1). Tier 0 (leads the prefix): the
-# 13 rows last externally checked r06 (staleness 8 as of the r14
-# artifact — the budget ceiling; all pre-verified green by the r14
-# judge's fresh-process sweep) plus the rows whose code path changes
-# in round 15: the contamination check's packed-argmax overflow guard
-# (ADVICE r14) and the throughput ledger's batch_seq derivation fix
-# (ADVICE r14).
+# Round-16 rotation (r15 verdict #1). Tier 0 (leads the prefix):
+# (a) the 12 operators performance-rewritten (or lazy-checkpoint
+# beneficiaries) in round 15 whose external checks predate the
+# rewrites — converting them from builder self-certified to
+# driver-certified is the round's first deliverable; (b) the 8 rows
+# at staleness 8 as of the r15 artifact (the budget ceiling —
+# scripts/staleness.py); (c) rows whose code path changes in round
+# 16 (rotation discipline): the semdedup pair-stage rewrite and the
+# throughput split's multi-part-file hardening (ADVICE r15).
 _ROTATE_LEAD: frozenset[str] = frozenset({
-    # staleness 8 (last checked r06) — r14 verdict #1
-    "agg_count_min_sketch", "agg_group_by_all", "agg_hll_mergeable",
-    "agg_mode_per_group", "join_bucketed_colocated", "join_null_safe",
-    "maintenance_column_histogram", "maintenance_compact_small_files",
-    "pipeline_snapshot_diff", "pipeline_snapshot_vacuum",
-    "scan_point_lookup", "scan_schema_merge", "text_unigram_logprob",
-    # code path changed in round 15 (rotation discipline): the
-    # packed-argmax guard (check), the batch_seq fix (throughput),
-    # and the contamination_shingles/_contam_sh_chain refactor that
-    # exposed the pinned hot set for the incremental readout (the
-    # whole family shares those helpers)
-    "dedup_contamination_check", "streaming_throughput_progress",
-    "dedup_contamination_sweep", "pipeline_decontamination_report",
+    # r15-rewritten operators + lazy-checkpoint beneficiaries
+    "similarity_kmeans_parallel_init", "embeddings_kcenter_coreset",
+    "embeddings_power_iteration", "embeddings_pc1_projection",
+    "sample_coverage_greedy", "maintenance_table_stats_sketch",
+    "graph_triangle_count_lsh", "graph_kcore",
+    "dedup_connected_components", "dedup_incremental",
+    "multimodal_phash_clusters", "graph_modularity",
+    # staleness 8 (last checked r07) — budget ceiling
+    "agg_median_mad", "agg_multi_distinct", "agg_weighted_median",
+    "events_attribution_first_touch", "events_concurrent_sessions",
+    "events_pareto_activity", "events_rfm_segments",
+    "events_value_log_histogram",
+    # code path changes in round 16
+    "dedup_semdedup", "streaming_throughput_progress",
 })
 
-# Tier 1: the staleness-7 block (last externally checked r07). 38
-# rows; the ~50-row prefix takes tier 0 (~15) plus the first ~35 of
-# these — the handful that miss reach staleness 8 next round and must
-# lead the r16 _ROTATE_LEAD (the budget makes this mandatory, not
-# advisory).
+# Tier 1: the staleness-7 block (last externally checked r08). 12
+# rows; tier 0 (22) + tier 1 (12) = 34, well inside the ~50-row
+# prefix, leaving ~16 slots of tier-2 regression coverage.
 _ROTATE_STALE: frozenset[str] = frozenset({
-    "agg_arg_extremes", "agg_bool_aggs", "agg_filter_clause",
-    "agg_median_mad", "agg_multi_distinct", "agg_string_agg",
-    "agg_weighted_median", "events_attribution_first_touch",
-    "events_concurrent_sessions", "events_dau_stickiness",
-    "events_hourly_profile", "events_interevent_gaps",
-    "events_pareto_activity", "events_rfm_segments",
-    "events_time_to_conversion", "events_value_log_histogram",
-    "except_keys", "functions_bitwise", "functions_try_arith",
-    "intersect_keys", "join_asof_nearest", "join_star_schema",
-    "maintenance_referential_audit", "multimodal_features",
-    "pipeline_dataset_card", "pipeline_quality_funnel",
-    "sample_epoch_shuffle", "sample_kfold_assignment",
-    "sample_split_by_time", "sample_stratified_fixed_n",
-    "similarity_ivf_kmeans", "similarity_range_search",
-    "text_bpe_merge_pairs", "text_char_entropy", "text_keyword_tfidf",
-    "window_gaps_islands", "window_nulls_ordering",
-    "window_value_functions"
+    "events_session_paths", "graph_triangle_count",
+    "join_asof_tolerance", "maintenance_skew_report",
+    "scan_dynamic_partition_pruning", "text_bigram_logprob",
+    "text_langid_agreement", "text_source_signature_terms",
+    "text_term_pmi", "window_running_distinct",
+    "window_time_range_rolling",
+    # maintenance_table_stats_sketch is also staleness-7 but sits in
+    # tier 0 above as a rewritten row.
 })
 
 # Within-family ordering for the interleave: each family's
