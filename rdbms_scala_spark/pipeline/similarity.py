@@ -3033,6 +3033,12 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()[0]
         )
+        # The collect materialized ``cur``, so every predecessor
+        # generation's cache is now dead weight — unpersist eagerly
+        # (r16, guide §5 / ADVICE r15): at most one cached corpus
+        # projection lives at a time instead of O(rounds) of them.
+        while len(to_free) > 1:
+            to_free.pop(0).unpersist()
         chosen.append((r, int(far.vec_id), [int(q) for q in far.qv], int(far.dmin)))
         if r < _KCENTER_K - 1:
             cur = cur.select(

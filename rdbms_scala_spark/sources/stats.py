@@ -513,6 +513,11 @@ def maintenance_table_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFram
             .select(F.lit(c).alias("col_name"), "bucket", "m")
         )
     sk = reduce(lambda a, b: a.unionByName(b), branches)
+    # A column whose hash is NULL on every row yields an empty branch
+    # and disappears from the output entirely (no ndv-0 row) — this is
+    # intentional and oracle-symmetric: DuckDB's filled CTE likewise
+    # derives columns from `hashed`, so both engines drop it (ADVICE
+    # r15; the pre-r15 grid form guaranteed one row per column).
     # Closed-form absent-bucket arithmetic (r15): every bucket absent
     # from sk is m=0 by construction (rho >= 1 for any present row),
     # so s gains (M - n_present) full 2^TERM_BITS terms and v IS the

@@ -91,9 +91,17 @@ def main() -> None:
             f"sink={sink:.3f}s ({js} jobs)",
             flush=True,
         )
+        # Capture the plan through the public API (ADVICE r15: the
+        # private PythonSQLUtils/queryExecution path breaks across
+        # Spark minor versions).
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
         with open(os.path.join(plandir, f"{name}_{tag}.txt"), "w") as f:
-            f.write(df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"))
+            f.write(buf.getvalue())
         evict_session_relations(spark)
         for t in CACHED:
             if t in tables:
