@@ -451,6 +451,74 @@ def main() -> None:
                 tables[name].cache().count()
     timings = {name: min(ts) for name, ts in passes.items()}
     tpch_total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
+
+    # Amplified headline tier (r16, r15 verdict #6): at sf0.1 the
+    # TPC-H pack sits at the job-dispatch floor (the r15 scaling block
+    # measured 8 cores FASTER than 32 and every ratio ≈ 1), so
+    # round-over-round deltas at the base tier carry no engine signal.
+    # Run the same 8 queries once more against a k-times key-shifted
+    # amplification of the fact tables (built fresh into a tempdir on
+    # EVERY invocation — nothing persists across runs), mirroring the
+    # base methodology (cached facts, untimed warm pass, min of timed
+    # passes, noop sink). Additions-only: the base-tier `value` and
+    # per-query rows are untouched; the amplified rows land in
+    # `queries` as `<name>_x<k>`. SPARK_GRAFT_BENCH_AMPLIFY overrides
+    # the factor (default 4; 0/1 disables); subset runs skip the tier.
+    amp_k = int(os.environ.get("SPARK_GRAFT_BENCH_AMPLIFY", "4") or "0")
+    if amp_k >= 2 and not only.strip():
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        amp_dir = tempfile.mkdtemp(prefix="bench_amp_")
+        try:
+            for name in _CACHED_TABLES:
+                if name in tables:
+                    tables[name].unpersist()
+            orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            n_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+            o_parts = [
+                orders.withColumn("o_orderkey", F.col("o_orderkey") + i * n_ord)
+                for i in range(amp_k)
+            ]
+            l_parts = [
+                li.withColumn("l_orderkey", F.col("l_orderkey") + i * n_ord)
+                for i in range(amp_k)
+            ]
+            for parts, name in ((o_parts, "orders"), (l_parts, "lineitem")):
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p)
+                u.write.parquet(os.path.join(amp_dir, f"{name}.parquet"))
+            for name in (
+                "customer", "part", "supplier", "nation", "region",
+            ):
+                src = os.path.join(sf_dir, f"{name}.parquet")
+                dst = os.path.join(amp_dir, f"{name}.parquet")
+                (shutil.copytree if os.path.isdir(src) else shutil.copy)(
+                    src, dst
+                )
+            amp_tables = load_tables(spark, amp_dir)
+            for name in _CACHED_TABLES:
+                if name in amp_tables:
+                    amp_tables[name].cache().count()
+            for name in head:
+                run(specs[name].fn(spark, amp_dir))
+            for _rep in range(3):
+                for name in head:
+                    t0 = time.perf_counter()
+                    run(specs[name].fn(spark, amp_dir))
+                    dt = round(time.perf_counter() - t0, 4)
+                    passes.setdefault(f"{name}_x{amp_k}", []).append(dt)
+            for name in _CACHED_TABLES:
+                if name in amp_tables:
+                    amp_tables[name].unpersist()
+            evict_session_relations(spark)
+        finally:
+            shutil.rmtree(amp_dir, ignore_errors=True)
+        timings = {name: min(ts) for name, ts in passes.items()}
     # The stdout headline carries ONLY the 8 TPC-H rows in "queries":
     # the driver tail-captures the last 2,000 characters of stdout,
     # and the full per-query map (69 rows by r11) overflowed that
@@ -462,7 +530,14 @@ def main() -> None:
         "metric": "tpch8_total_warm",
         "value": tpch_total,
         "unit": "sec",
-        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        # Base-tier rows first, then the amplified-tier additions
+        # (<name>_x<k>) so BENCH artifacts carry both tiers; the line
+        # stays well under the driver's 2,000-char stdout tail.
+        "queries": {
+            n: timings[n]
+            for n in HEADLINE + [f"{h}_x{amp_k}" for h in HEADLINE]
+            if n in timings
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
         "membw_sec": membw,

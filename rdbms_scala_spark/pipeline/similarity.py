@@ -2769,6 +2769,72 @@ def embeddings_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.35
 
 
+def _semdedup_cluster_score():
+    """Per-cluster Arrow GEMM keeper-argmax (r16, guide §4.2/§8): one
+    ``applyInPandas`` pass receives a whole cluster's (vec_id,
+    cent_id, v) rows — LINEAR bytes, keys + one vector per row — and
+    resolves every member's keeper decision with a blocked
+    ``V @ V.T`` instead of materializing the sum(|cluster|^2)
+    ~1 KB-wide pair rows the r15 form shuffled (32M rows at x16). For
+    each vector j (ids ascending) the keeper is the argmax-cosine
+    neighbor among i < j with cos >= tau, ties to the LOWEST id:
+    ``np.argmax`` returns the first maximal index over ascending ids,
+    which is exactly ``max_by(keeper_cand, struct(cos, -keeper_cand))``.
+
+    Float stance: the BLAS dot and einsum norms reorder the 64-term
+    double sums relative to the old HOF fold (and DuckDB's
+    list_cosine_similarity fold). All three agree to ~1e-15 relative;
+    the decisions this query declares are gated by margins measured
+    vastly wider (fixture audit, tests/test_pipeline.py
+    test_semdedup_margins_dominate_gemm_reorder): min |cos - tau|
+    ~1e-2, min keeper-argmax gap and min distance of any kept cosine
+    to a round-to-3-decimals edge both > 1e-6 — nine-plus orders
+    beyond the reorder drift, the triangle-tier argument."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = len(ids)
+        keeper = np.full(m, -1, dtype=np.int64)
+        kcos = np.full(m, 0.0, dtype=np.float64)
+        if m > 1:
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            n = np.sqrt(np.einsum("ij,ij->i", V, V))
+            # Block rows so the (block x m) cosine slab stays ~32 MB
+            # regardless of cluster size (guide §5).
+            blk = max(1, int(32e6 // (8 * m)))
+            col = np.arange(m)[None, :]
+            for s in range(1, m, blk):
+                e = min(s + blk, m)
+                C = (V[s:e] @ V.T) / (n[s:e, None] * n[None, :])
+                valid = (col < np.arange(s, e)[:, None]) & (C >= _SEMDEDUP_TAU)
+                Cm = np.where(valid, C, -np.inf)
+                best = Cm.argmax(axis=1)
+                bestv = Cm[np.arange(e - s), best]
+                has = np.isfinite(bestv)
+                keeper[s:e][has] = ids[best[has]]
+                kcos[s:e][has] = bestv[has]
+        has_k = keeper >= 0
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cent_id": pdf["cent_id"].to_numpy(dtype=np.int64),
+                "keeper_id": pd.array(
+                    [int(k) if h else None for k, h in zip(keeper, has_k)],
+                    dtype="Int64",
+                ),
+                "keeper_cos": pd.array(
+                    [float(c) if h else None for c, h in zip(kcos, has_k)],
+                    dtype="Float64",
+                ),
+            }
+        )
+
+    return score
+
+
 @register(
     "dedup_semdedup",
     oracle=f"""
@@ -2826,16 +2892,19 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery (the threshold is the one tunable, the shape is the
     operator).
 
-    Scale shape: assignment is one map-only pass against broadcast
-    centroids collapsed by a max_by hash aggregate (the _ivf_topk
-    plan); the pair join shuffles on cent_id so the pair space is
-    sum(|cluster|^2) bounded by the cluster granularity (at 100 TB, K
+    Scale shape (r16, guide §4.2/§8): assignment is one map-only pass
+    against broadcast centroids collapsed by a max_by hash aggregate
+    (the _ivf_topk plan); the keeper decision then moves KEYS plus one
+    vector per row — one shuffle of the corpus on cent_id into a
+    per-cluster Arrow GEMM (``applyInPandas``) that scores and
+    argmaxes in blocked BLAS without ever materializing the
+    sum(|cluster|^2) pair rows the r15 form shuffled (~1 KB per pair,
+    32M rows at x16 — the row's wall at every scale). At 100 TB, K
     scales with the corpus so |cluster| stays ~constant and the tier
-    is linear; AQE splits any hot cluster); keeper selection is one
-    max_by per dropped vector. In production the centroids come from
-    lloyd_centroids (similarity_ivf_kmeans) — the seed set is used
-    here for exact cross-engine assignment, the downstream shape is
-    identical."""
+    is linear; the blocked slab bounds per-task memory at any cluster
+    size. In production the centroids come from lloyd_centroids
+    (similarity_ivf_kmeans) — the seed set is used here for exact
+    cross-engine assignment, the downstream shape is identical."""
     emb = _load_vectors(spark, sf_dir)
     cent_n = (
         emb.filter(F.col("vec_id") < _IVF_K)
@@ -2855,45 +2924,21 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cent_id", F.struct(F.col("ccos"), -F.col("cent_id"))
             ).alias("cent_id"),
             F.first("v").alias("v"),
-            F.first("vn").alias("vn"),
         )
     )
-    a = assign.select(
-        F.col("vec_id").alias("keeper_cand"),
-        F.col("cent_id").alias("ca"),
-        F.col("v").alias("va"),
-        F.col("vn").alias("na"),
-    )
-    b = assign.select(
-        "vec_id", F.col("cent_id").alias("cb"),
-        F.col("v").alias("vb"), F.col("vn").alias("nb"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("ca") == F.col("cb"))
-            & (F.col("keeper_cand") < F.col("vec_id")),
-        )
-        .withColumn("cos", cosine_pre("va", "vb", "na", "nb"))
-        .filter(F.col("cos") >= _SEMDEDUP_TAU)
-    )
-    keeper = pairs.groupBy("vec_id").agg(
-        F.max_by(
-            "keeper_cand", F.struct(F.col("cos"), -F.col("keeper_cand"))
-        ).alias("keeper_id"),
-        F.max("cos").alias("kcos"),
+    decided = assign.groupBy("cent_id").applyInPandas(
+        _semdedup_cluster_score(),
+        "vec_id long, cent_id long, keeper_id long, keeper_cos double",
     )
     return (
-        assign.select("vec_id", "cent_id")
-        .join(keeper, "vec_id", "left")
-        .select(
+        decided.select(
             "vec_id",
             "cent_id",
             F.when(F.col("keeper_id").isNotNull(), F.lit("drop"))
             .otherwise(F.lit("keep"))
             .alias("status"),
             "keeper_id",
-            F.round("kcos", 3).alias("keeper_cos"),
+            F.round("keeper_cos", 3).alias("keeper_cos"),
         )
         .orderBy("vec_id")
     )
@@ -3158,17 +3203,18 @@ def similarity_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFra
     is rand()-seeded and SQL-irreproducible; this variant is the same
     algorithm with a reproducible coin.
 
-    Scale shape per round: the persisted (vec_id, qv, dmin) relation
-    folds each round's NEW centers into the cached running minimum
-    (codegen `least` over literal arrays — no join; min over a union
-    is the min of mins, so the fold is int64-exact), one combinable
-    sum over it produces phi, and the Bernoulli filter is a cached
-    map-only scan; candidates returning to the driver are O(l) rows
-    (expectation l per round, the paper's bound). The final weighting
-    is the Lloyd assignment shape: broadcast center table, min_by
-    argmin, combinable count. O(rounds * corpus) total distance work
-    — each corpus row meets each center once, not once per round per
-    action — no pairwise anything."""
+    Scale shape per round: the persisted (vec_id, qv, dmin, aid)
+    relation folds each round's NEW centers into the cached running
+    (minimum, argmin) pair (codegen `least` over (d2, cent_id)
+    structs — lexicographic, the exact min_by order; no join; min
+    over a union is the min of mins, so the fold is int64-exact), one
+    combinable sum over it produces phi, and the Bernoulli filter is
+    a cached map-only scan; candidates returning to the driver are
+    O(l) rows (expectation l per round, the paper's bound). The final
+    weighting is one combinable count over the same cached argmin
+    relation — k rows of model state — so each corpus row meets each
+    center EXACTLY once in the whole query, with no separate
+    assignment pass and no pairwise anything."""
     from rdbms_scala_spark.pipeline.sampling import _hex_threshold
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3196,28 +3242,49 @@ def similarity_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFra
         )
     seed = seeds[0]
     centers: list[tuple[int, list, int]] = [(int(seed.vec_id), list(seed.qv), 0)]
-    # ``cur`` holds (vec_id, qv, dmin) with dmin = min d2 over every
-    # center chosen so far, PERSISTED and maintained incrementally
-    # (r15 optimization, guide §1.2 "the distributed algorithm" +
-    # §2.4): the round-10 form rebuilt the d2-to-ALL-centers least()
-    # chain from parquet TWICE per round (once for the phi sum, once
-    # for the candidate draw), so round 3 recomputed up to 17 center
-    # distances per row per action. min over a union is the min of
-    # the mins, so folding only the round's NEW centers into the
-    # cached dmin is int64-exact-identical; each round's two actions
-    # scan the cached narrow relation, and per-row distance work per
-    # round is O(new centers) once instead of O(all centers) twice.
-    # Intermediates are unpersisted before returning — nothing cached
-    # outlives the call (round r+1's first action materializes round
-    # r's relation from the still-cached predecessor, so the chain
-    # never falls back to parquet).
+    # ``cur`` holds (vec_id, qv, dmin, aid) with dmin = min d2 over
+    # every center chosen so far and aid = the argmin center id under
+    # the (d2, cent_id) lexicographic order, PERSISTED and maintained
+    # incrementally (r15 optimization + r16 argmin fold, guide §1.2
+    # "the distributed algorithm" + §2.4): the round-10 form rebuilt
+    # the d2-to-ALL-centers least() chain from parquet TWICE per
+    # round; the r15 form cached the running minimum but still ran a
+    # separate broadcast-crossJoin + min_by weighting pass recomputing
+    # all 25 center distances per row at the end. Folding the argmin
+    # IDENTITY through the same cached relation — least() over
+    # (d2, cent_id) structs is the identical lexicographic min_by
+    # order, int64-exact — makes the final weighting a single
+    # map-side-combinable count over the cached relation: each corpus
+    # row meets each center EXACTLY once in the whole query.
+    # Predecessor generations are unpersisted as soon as the successor
+    # materializes (guide §5 / ADVICE r15) so at most one cached copy
+    # of the corpus projection is live at a time, and nothing cached
+    # outlives the call.
+    def m_fold(rows) -> "F.Column":
+        parts = [
+            F.struct(F.col("dmin").alias("d"), F.col("aid").alias("c"))
+        ] + [
+            F.struct(
+                d2_to(list(row.qv)).alias("d"),
+                F.lit(int(row.vec_id)).cast("long").alias("c"),
+            )
+            for row in rows
+        ]
+        return F.least(*parts)
+
     to_free = []
     cur = qcorpus.select(
-        "vec_id", "qv", d2_to(list(seed.qv)).alias("dmin")
+        "vec_id",
+        "qv",
+        d2_to(list(seed.qv)).alias("dmin"),
+        F.lit(int(seed.vec_id)).cast("long").alias("aid"),
     ).persist()
     to_free.append(cur)
     for r in range(1, _KMPP_ROUNDS + 1):
         phi = cur.agg(F.sum("dmin")).collect()[0][0]
+        # ``cur`` is now materialized; predecessors are dead weight.
+        while len(to_free) > 1:
+            to_free.pop(0).unpersist()
         if not phi:
             break
         rate = F.least(
@@ -3246,45 +3313,37 @@ def similarity_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFra
         new_rows = sorted(cands, key=lambda x: x.vec_id)
         for row in new_rows:
             centers.append((int(row.vec_id), list(row.qv), r))
-        if r < _KMPP_ROUNDS and new_rows:
-            dists = [d2_to(list(row.qv)) for row in new_rows]
+        if new_rows:
+            # Fold EVERY round's draws (the last round's included —
+            # the weighting below reads the complete argmin). The
+            # final generation receives exactly one action, so it is
+            # left unpersisted and computes off the predecessor's
+            # cache.
+            m = m_fold(new_rows)
             cur = cur.select(
-                "vec_id", "qv", F.least(F.col("dmin"), *dists).alias("dmin")
-            ).persist()
-            to_free.append(cur)
+                "vec_id",
+                "qv",
+                m.getField("d").alias("dmin"),
+                m.getField("c").alias("aid"),
+            )
+            if r < _KMPP_ROUNDS:
+                cur = cur.persist()
+                to_free.append(cur)
+    # Final weighting (r16, guide §1.2): one combinable count over the
+    # cached argmin relation — k rows of model state back to the
+    # driver — replacing the r15 broadcast-crossJoin + min_by pass
+    # that recomputed every center distance per row. (That pass was
+    # itself the measured winner over a literal-centroid array_min
+    # projection in r15; riding the loop's cache beats both because
+    # the distances are never recomputed at all.)
+    wrows = cur.groupBy("aid").agg(F.count(F.lit(1)).alias("n")).collect()
     for df_ in to_free:
         df_.unpersist()
-
-    cent_df = spark.createDataFrame(
-        [(cid, qc, rnd) for cid, qc, rnd in centers],
-        "cent_id long, qc array<bigint>, round int",
-    )
-    # (r15 note: a map-only literal-centroid argmin — array_min over
-    # 25 (d2, cent_id) structs — was tried here and measured ~1 s
-    # SLOWER than this broadcast+min_by shape in order-controlled
-    # A/Bs; the giant single interpreted projection lost to the
-    # fanned-out-but-small HOF evaluations. Kept the measured winner.)
-    d2 = F.expr(
-        "aggregate(zip_with(qv, qc, (a, b) -> (a - b) * (a - b)), "
-        "0L, (acc, x) -> acc + x)"
-    )
-    counts = (
-        qcorpus.crossJoin(F.broadcast(cent_df.select("cent_id", "qc")))
-        .select("vec_id", "cent_id", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(F.min_by("cent_id", F.struct("d2", "cent_id")).alias("cent_id"))
-        .groupBy("cent_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        cent_df.join(counts, "cent_id", "left")
-        .select(
-            "cent_id",
-            F.col("round").alias("round_added"),
-            F.coalesce("n", F.lit(0)).alias("weight"),
-        )
-        .orderBy("round_added", "cent_id")
-    )
+    wmap = {int(row.aid): int(row.n) for row in wrows}
+    return spark.createDataFrame(
+        [(cid, rnd, wmap.get(cid, 0)) for cid, _qc, rnd in centers],
+        "cent_id long, round_added int, weight long",
+    ).orderBy("round_added", "cent_id")
 
 
 # ---------------------------------------------------------------------------

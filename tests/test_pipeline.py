@@ -1437,3 +1437,107 @@ def test_adaptive_lsh_buckets_first_fitting(spark, sf_dir):
         if (vid, band) not in seen:
             for lv in range(_TRI_LSH_LEVELS + 1):
                 assert counts[lv][(band, prefix(code, lv))] > _TRI_LSH_CAP
+
+
+def test_semdedup_margins_dominate_gemm_reorder(spark, sf_dir):
+    """Double-margin audit for the r16 per-cluster GEMM keeper pass
+    (the triangle-tier argument, made a standing gate): replay the
+    whole decision chain in Python with the OLD left-fold summation
+    order, assert (a) the GEMM path's declared output is identical,
+    and (b) every float-gated decision — the tau gate, the keeper
+    argmax, the round-to-3 readout — sits orders of magnitude farther
+    from its decision boundary than the fold-vs-GEMM drift."""
+    import numpy as np
+
+    from rdbms_scala_spark.pipeline.similarity import (
+        _IVF_K,
+        _SEMDEDUP_TAU,
+        _load_vectors,
+        dedup_semdedup,
+    )
+
+    def fold_dot(a, b):
+        acc = np.float64(0.0)
+        for x, y in zip(a, b):
+            acc = acc + np.float64(x) * np.float64(y)
+        return acc
+
+    def fold_cos(a, b):
+        return fold_dot(a, b) / (
+            np.sqrt(fold_dot(a, a)) * np.sqrt(fold_dot(b, b))
+        )
+
+    vecs = {
+        int(r.vec_id): np.asarray(r.v, dtype=np.float64)
+        for r in _load_vectors(spark, sf_dir).collect()
+    }
+    assert len(vecs) > 1
+    cents = {i: vecs[i] for i in vecs if i < _IVF_K}
+    # assignment replay: max_by(cent_id, struct(ccos, -cent_id))
+    assign: dict[int, int] = {}
+    for vid, v in vecs.items():
+        best = max(
+            ((fold_cos(v, cv), -cid) for cid, cv in cents.items()),
+        )
+        assign[vid] = -int(best[1])
+    clusters: dict[int, list[int]] = {}
+    for vid, cid in assign.items():
+        clusters.setdefault(cid, []).append(vid)
+
+    tau_margin = np.inf
+    gap_margin = np.inf
+    edge_margin = np.inf
+    drift = 0.0
+    expected: dict[int, tuple] = {}
+    n_pairs = 0
+    for cid, members in clusters.items():
+        members.sort()
+        V = np.stack([vecs[m] for m in members])
+        n = np.sqrt(np.einsum("ij,ij->i", V, V))
+        G = (V @ V.T) / (n[:, None] * n[None, :])
+        for j, vj in enumerate(members):
+            cands = []
+            for i in range(j):
+                c = float(fold_cos(vecs[members[i]], vecs[vj]))
+                drift = max(drift, abs(c - float(G[i, j])))
+                tau_margin = min(tau_margin, abs(c - _SEMDEDUP_TAU))
+                n_pairs += 1
+                if c >= _SEMDEDUP_TAU:
+                    cands.append((c, members[i]))
+            if cands:
+                best = max(cands, key=lambda t: (t[0], -t[1]))
+                others = sorted(
+                    {c for c, _ in cands if c != best[0]}, reverse=True
+                )
+                if others:
+                    gap_margin = min(gap_margin, best[0] - others[0])
+                # distance of kcos*1000 from the nearest .5 rounding edge
+                frac = abs((best[0] * 1000.0) % 1.0 - 0.5)
+                edge_margin = min(edge_margin, frac)
+                expected[vj] = (cid, "drop", best[1], round(best[0], 3))
+            else:
+                expected[vj] = (cid, "keep", None, None)
+
+    assert n_pairs > 0, "fixture must exercise the pair stage"
+    floor = max(drift, 1e-15)
+    assert tau_margin > 1e4 * floor, (tau_margin, drift)
+    assert gap_margin > 1e4 * floor, (gap_margin, drift)
+    assert edge_margin * 1e-3 > 1e3 * floor, (edge_margin, drift)
+
+    got = {
+        int(r.vec_id): (
+            r.cent_id,
+            r.status,
+            r.keeper_id,
+            r.keeper_cos,
+        )
+        for r in dedup_semdedup(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for vid, exp in expected.items():
+        g = got[vid]
+        assert g[0] == exp[0] and g[1] == exp[1] and g[2] == exp[2], (vid, g, exp)
+        if exp[3] is None:
+            assert g[3] is None, (vid, g, exp)
+        else:
+            assert g[3] is not None and abs(g[3] - exp[3]) < 1e-9, (vid, g, exp)

@@ -604,16 +604,20 @@ def test_winnowing_window_is_doc_partitioned(spark, sf_dir):
 
 
 def test_semdedup_cluster_bounded_pair_join(spark, sf_dir):
-    """SemDeDup's pair space must stay cluster-bounded: centroid
+    """SemDeDup must never materialize pair rows (r16): centroid
     assignment broadcasts the seed set (never a CartesianProduct
-    against the corpus), the within-cluster pair join is an equi-join
-    on cent_id, and everything stays JVM-side."""
+    against the corpus), and the keeper decision is the per-cluster
+    Arrow GEMM (FlatMapGroupsInPandas) fed by ONE exchange on cent_id
+    — no pair join of any kind, no row-at-a-time Python."""
     from rdbms_scala_spark.plans import physical_plan
 
     plan = physical_plan(SPECS["dedup_semdedup"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastExchange" in plan, plan[:2000]
-    assert "EvalPython" not in plan, plan[:2000]
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
 
 
 def test_gopher_rules_single_pass(spark, sf_dir):
@@ -705,19 +709,63 @@ def test_coverage_greedy_gain_pass_shape(spark, sf_dir):
 
 
 def test_kmeans_parallel_init_weighting_shape(spark, sf_dir):
-    """The k-means|| final weighting must be the Lloyd assignment
-    shape: the center table broadcast against the corpus (never a
-    shuffled or cartesian pairing), min_by argmin collapsed by a
-    partial-count aggregate — JVM-side throughout."""
+    """The k-means|| final weighting rides the loop's cached argmin
+    relation (r16): the weights are collected as bounded model state
+    during the build, so the RETURNED plan is a local relation — no
+    corpus re-scan, no cartesian pairing, no Python, no join at all."""
     from rdbms_scala_spark.plans import physical_plan
 
     plan = physical_plan(
         SPECS["similarity_kmeans_parallel_init"].fn(spark, sf_dir)
     )
     assert "CartesianProduct" not in plan, plan[:2000]
-    assert "BroadcastExchange" in plan, plan[:2000]
-    assert "partial_count" in plan, plan[:2000]
     assert "EvalPython" not in plan, plan[:2000]
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan[:2000]
+
+
+def test_kmeans_parallel_init_weights_match_bruteforce(spark, sf_dir):
+    """The fold-maintained argmin weights must equal an independent
+    brute-force recomputation: assign every corpus row to its
+    (d2, cent_id)-lexicographic-min center over the FULL final center
+    set (the r15 broadcast + min_by shape this rewrite replaced) and
+    compare counts per center."""
+    from pyspark.sql import functions as F
+
+    from rdbms_scala_spark.pipeline.similarity import _KC_Q
+
+    out = SPECS["similarity_kmeans_parallel_init"].fn(spark, sf_dir)
+    rows = out.collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qcorpus = emb.selectExpr(
+        "vec_id",
+        f"transform(embedding, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {_KC_Q}, 0) AS BIGINT)) AS qv",
+    )
+    cent = spark.createDataFrame(
+        [(r.cent_id,) for r in rows], "cent_id long"
+    ).join(
+        qcorpus.select(F.col("vec_id").alias("cent_id"), F.col("qv").alias("qc")),
+        "cent_id",
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qv, qc, (a, b) -> (a - b) * (a - b)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    brute = (
+        qcorpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cent_id", F.struct("d2", "cent_id")).alias("cent_id"))
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bmap = {r.cent_id: r.n for r in brute.collect()}
+    for r in rows:
+        assert r.weight == bmap.get(r.cent_id, 0), (
+            f"center {r.cent_id}: fold weight {r.weight} != "
+            f"brute-force {bmap.get(r.cent_id, 0)}"
+        )
 
 
 def test_minhash_bbit_reuses_candidates_no_python(spark, sf_dir):
