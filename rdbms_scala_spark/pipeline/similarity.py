@@ -1250,6 +1250,13 @@ def triangle_counts(e: DataFrame) -> DataFrame:
     x_first = (F.col("dx") < F.col("dy")) | (
         (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
     )
+    # (r16 note: a lazy checkpoint was tried here — eager=False, the
+    # r15 loop-checkpoint pattern — and measured WORSE and erratic
+    # (x16 min 6.3 s with 12-13 s passes vs 5.2 s stable eager): the
+    # wedge and closing subtrees race to compute the same uncached
+    # partitions in parallel stages, so the relation is recomputed up
+    # to three times. Loops probe sequentially; this DAG fans out —
+    # eager is the measured winner.)
     oriented = ed.select(
         F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("v"),
@@ -1418,37 +1425,55 @@ def adaptive_lsh_buckets(emb: DataFrame) -> DataFrame:
     replacing the round-8 form's 9 per-level corpus aggregations and
     9 broadcast joins with 1 aggregation + 1 bounded collect + 1
     broadcast join (identical assignments: same counts, same
-    first-fitting rule). ``emb`` must carry ``vec_id`` and an
-    array<double> column ``v``."""
-    from collections import defaultdict
+    first-fitting rule). The rollup itself is vectorized (r16): the
+    r15 dict-of-dicts Python loop over cnt_rows x 9 levels measured
+    0.6 s at sf0.1 and 3.1 s at x16 — the single largest stage of the
+    whole query — where the equivalent numpy prefix-key
+    unique/add.at pass is ~10 ms; the bounded relation also comes
+    back as ONE Arrow batch (toPandas) instead of 58k Row objects,
+    and the codes checkpoint is lazy (its materializing action is the
+    count aggregation, the r15 loop-checkpoint pattern — one job
+    saved). ``emb`` must carry ``vec_id`` and an array<double>
+    column ``v``."""
+    import numpy as np
 
     codes = emb.select(
         "vec_id", F.posexplode(_adaptive_code_udf()("v")).alias("band", "code")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     deep_mask = (1 << (_LSH_ROWS + _TRI_LSH_LEVELS)) - 1
-    cnt_rows = (
+    cnt_pdf = (
         codes.groupBy(
             "band", F.col("code").bitwiseAND(F.lit(deep_mask)).alias("ck")
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        .toPandas()
     )
-    per_level: list[dict] = [defaultdict(int) for _ in range(_TRI_LSH_LEVELS + 1)]
-    for r in cnt_rows:
-        for lv in range(_TRI_LSH_LEVELS + 1):
-            per_level[lv][(r.band, r.ck & ((1 << (_LSH_ROWS + lv)) - 1))] += r.n
-    assign = []
-    for r in cnt_rows:
-        for lv in range(_TRI_LSH_LEVELS + 1):
-            if (
-                per_level[lv][(r.band, r.ck & ((1 << (_LSH_ROWS + lv)) - 1))]
-                <= _TRI_LSH_CAP
-            ):
-                assign.append((int(r.band), int(r.ck), lv))
-                break
-        # no qualifying level: the deep prefix is simply absent from
-        # the map and its vectors drop out of the (inner) join below,
-        # replaying the round-8 form's lvl-IS-NULL filter
+    band = cnt_pdf["band"].to_numpy(dtype=np.int64)
+    ck = cnt_pdf["ck"].to_numpy(dtype=np.int64)
+    n = cnt_pdf["n"].to_numpy(dtype=np.int64)
+    # First-fitting level per deep prefix: for each level, sum the
+    # deep counts within that level's prefix (counts nest) and take
+    # the shallowest level whose bucket holds <= cap. Exactly the
+    # defaultdict rollup's arithmetic, batched.
+    lvl = np.full(len(ck), -1, dtype=np.int64)
+    for lv in range(_TRI_LSH_LEVELS + 1):
+        key = band * (deep_mask + 1) + (ck & ((1 << (_LSH_ROWS + lv)) - 1))
+        uniq, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        ok = (lvl < 0) & (tot[inv] <= _TRI_LSH_CAP)
+        lvl[ok] = lv
+    # rows with lvl == -1 (oversized at every depth) are simply absent
+    # from the map and their vectors drop out of the (inner) join
+    # below, replaying the round-8 form's lvl-IS-NULL filter
+    keep = lvl >= 0
+    assign = list(
+        zip(
+            (b.item() for b in band[keep]),
+            (c.item() for c in ck[keep]),
+            (v.item() for v in lvl[keep]),
+        )
+    )
     lvl_df = emb.sparkSession.createDataFrame(
         assign, "lband int, lck long, lvl int"
     )
