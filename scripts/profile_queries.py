@@ -56,7 +56,9 @@ def main() -> None:
             tables[t].cache().count()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plandir = os.path.join(here, "plans", "r15")
+    plandir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16")
+    )
     os.makedirs(plandir, exist_ok=True)
     tracker = spark.sparkContext.statusTracker()
 
